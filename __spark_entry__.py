@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is a Spark DataFrame program from the engine
+(``impala_base_to_cdw_sizing_spark``); each ``oracle_sql()`` entry is the
+equivalent DuckDB SQL over the same parquet views. The sizing-pipeline
+queries derive a deterministic ``query_history`` fact table from the
+``events`` view (see ``sources/synthetic.py``) so both sides compute from
+identical inputs with identical arithmetic.
 """
 
 from __future__ import annotations
@@ -12,27 +13,217 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impala_base_to_cdw_sizing_spark.config import DEFAULT_PARAMS
+from impala_base_to_cdw_sizing_spark.operators import queries_ext  # noqa: F401 (registered below)
+from impala_base_to_cdw_sizing_spark.operators.aggregates import (
+    argmax_query,
+    size_matrix,
+    size_matrix_sql,
+    summarize,
+    summarize_sql,
+)
+from impala_base_to_cdw_sizing_spark.operators.classify import classify, classify_cte
+from impala_base_to_cdw_sizing_spark.operators.derive import derive, derived_cte
+from impala_base_to_cdw_sizing_spark.operators.route import (
+    accepted_filter,
+    prune_split,
+    skip_split,
+)
+from impala_base_to_cdw_sizing_spark.operators.sweep import (
+    EXPLODE_EVENTS_CTE,
+    RUNNING_SUMS_SQL,
+    SWEEP_MAXIMA_SQL,
+    explode_events,
+    running_sums,
+    sweep_maxima,
+)
+from impala_base_to_cdw_sizing_spark.sources.synthetic import (
+    oracle_with,
+    query_history_from_events,
+)
+
+P = DEFAULT_PARAMS
+
+# Shared oracle CTE chain for the sizing pipeline.
+ACCEPTED_CTE = (
+    "accepted AS (SELECT * FROM query_history "
+    "WHERE query_type = 'QUERY' AND has_mem_metric)"
+)
+DERIVED_CTE = derived_cte(P, source="accepted")
+CLASSIFIED_CTE = classify_cte(source="derived")
+KEPT_CTE = f"kept AS (SELECT * FROM classified WHERE min_executor_pod <= {P.pod_limit})"
+
+SIZING_OUTPUT_COLS = [
+    "query_id", "pool", "start_ms", "end_ms", "duration_millis",
+    "reqd_cache_gb", "min_exec_pod_cache", "tsize_cache",
+    "reqd_agg_mem", "min_exec_pod_mem", "tsize_mem",
+    "cpu_time_sec", "query_sla_sec",
+    "min_parallelism", "min_exec_pod_cpu", "tsize_cpu",
+    "memory_spilled_gb", "min_exec_pod_spill", "tsize_spill",
+    "min_executor_pod", "recommended_tsize",
+    "query_type", "admission_wait", "num_backends",
+]
+
+
+def _qh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return query_history_from_events(spark, sf_dir)
+
+
+def _accepted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df, _ = skip_split(accepted_filter(_qh(spark, sf_dir), P))
+    return df
+
+
+def _classified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classify(derive(_accepted(spark, sf_dir), P))
+
+
+def _kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept, _ = prune_split(_classified(spark, sf_dir), P)
+    return kept
+
+
+# --- sizing-pipeline queries --------------------------------------------------
+
+
+def q_sizing_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C13 + E1: the 24-column derived/classified fact table."""
+    return _classified(spark, sf_dir).select(*SIZING_OUTPUT_COLS)
+
+
+def q_sizing_route_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: rows routed to the pruned sink (pod demand over the limit)."""
+    _, pruned = prune_split(_classified(spark, sf_dir), P)
+    return pruned.select("query_id", "pool", "min_executor_pod", "recommended_tsize")
+
+
+def q_sizing_skipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: queries missing the memory metric → skipped sink shape
+    (id|duration|start|end, ``impala_query_sizing.py:198``)."""
+    _, skipped = skip_split(accepted_filter(_qh(spark, sf_dir), P))
+    return skipped.select("query_id", "duration_millis", "start_ms", "end_ms")
+
+
+def q_sizing_size_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: size × dimension counts (long form) — the flagship aggregate."""
+    return size_matrix(_kept(spark, sf_dir))
+
+
+def q_sizing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1+G3+G6+G8: workload summary row."""
+    return summarize(_kept(spark, sf_dir), _accepted(spark, sf_dir))
+
+
+def q_sizing_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: highest-demand query id, earliest tie wins."""
+    return argmax_query(_kept(spark, sf_dir))
+
+
+def q_sizing_sweep_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F3: per-event running concurrency/resource sums."""
+    return running_sums(explode_events(_kept(spark, sf_dir)))
+
+
+def q_sizing_sweep_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: sweep maxima (max concurrency, max pods + its timestamp)."""
+    return sweep_maxima(running_sums(explode_events(_kept(spark, sf_dir))))
+
+
+def q_sizing_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: average cluster-utilization percentages."""
+    from impala_base_to_cdw_sizing_spark.operators.aggregates import utilization
+
+    return utilization(
+        summarize(_kept(spark, sf_dir), _accepted(spark, sf_dir)), P
+    )
+
+
+# --- contract -----------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full sizing pipeline at sf0.001 → size × dim count matrix."""
+    return q_sizing_size_matrix(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    base: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "sizing_derive": q_sizing_derive,
+        "sizing_route_pruned": q_sizing_route_pruned,
+        "sizing_skipped": q_sizing_skipped,
+        "sizing_size_matrix": q_sizing_size_matrix,
+        "sizing_summary": q_sizing_summary,
+        "sizing_argmax": q_sizing_argmax,
+        "sizing_sweep_running": q_sizing_sweep_running,
+        "sizing_sweep_max": q_sizing_sweep_max,
+        "sizing_utilization": q_sizing_utilization,
+    }
+    base.update(queries_ext.queries())
+    return base
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    base = {
+        "sizing_derive": oracle_with(
+            ACCEPTED_CTE, DERIVED_CTE, CLASSIFIED_CTE,
+            body="SELECT " + ", ".join(SIZING_OUTPUT_COLS) + " FROM classified",
+        ),
+        "sizing_route_pruned": oracle_with(
+            ACCEPTED_CTE, DERIVED_CTE, CLASSIFIED_CTE,
+            body=(
+                "SELECT query_id, pool, min_executor_pod, recommended_tsize "
+                f"FROM classified WHERE min_executor_pod > {P.pod_limit}"
+            ),
+        ),
+        "sizing_skipped": oracle_with(
+            body=(
+                "SELECT query_id, duration_millis, start_ms, end_ms "
+                "FROM query_history "
+                "WHERE query_type = 'QUERY' AND NOT has_mem_metric"
+            ),
+        ),
+        "sizing_size_matrix": oracle_with(
+            ACCEPTED_CTE, DERIVED_CTE, CLASSIFIED_CTE,
+            body=size_matrix_sql(P),
+        ),
+        "sizing_summary": oracle_with(
+            ACCEPTED_CTE,
+            # G1 counts the pre-prune accepted set: summarize_sql embeds it
+            DERIVED_CTE,
+            body=summarize_sql(P),
+        ),
+        "sizing_argmax": oracle_with(
+            ACCEPTED_CTE, DERIVED_CTE, CLASSIFIED_CTE, KEPT_CTE,
+            body=(
+                "SELECT query_id, min_executor_pod FROM kept "
+                "ORDER BY min_executor_pod DESC, seq ASC LIMIT 1"
+            ),
+        ),
+        "sizing_sweep_running": oracle_with(
+            ACCEPTED_CTE, DERIVED_CTE, CLASSIFIED_CTE, KEPT_CTE,
+            EXPLODE_EVENTS_CTE,
+            body=RUNNING_SUMS_SQL,
+        ),
+        "sizing_sweep_max": oracle_with(
+            ACCEPTED_CTE, DERIVED_CTE, CLASSIFIED_CTE, KEPT_CTE,
+            EXPLODE_EVENTS_CTE,
+            f"running AS ({RUNNING_SUMS_SQL})",
+            body=SWEEP_MAXIMA_SQL,
+        ),
+        "sizing_utilization": oracle_with(
+            ACCEPTED_CTE, DERIVED_CTE,
+            f"summary AS ({summarize_sql(P)})",
+            body=f"""
+SELECT
+  (floor((100 * util_cache / ((min_executor_pod_workload * total_query_time) * {P.cache_gb_per_node})) * 100.0 + 0.5) / 100.0) AS cache_util_pct,
+  (floor((100 * util_mem / ((min_executor_pod_workload * total_query_time) * {P.query_mem_per_node})) * 100.0 + 0.5) / 100.0) AS mem_util_pct,
+  (floor((100 * util_cpu / ((min_executor_pod_workload * total_query_time) * {P.vcores_per_node})) * 100.0 + 0.5) / 100.0) AS cpu_util_pct,
+  (floor((100 * util_spill / ((min_executor_pod_workload * total_query_time) * {P.scratch_gb_per_node})) * 100.0 + 0.5) / 100.0) AS spill_util_pct
+FROM summary
+""",
+        ),
+    }
+    base.update(queries_ext.oracle_sql())
+    return base

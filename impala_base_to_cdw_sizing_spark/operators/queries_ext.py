@@ -1,0 +1,28 @@
+"""Extended query registry: generic OLAP coverage (joins, top-k, set ops,
+grouping) and the training-data-pipeline operators (dedup, similarity,
+text analysis, multimodal). Filled in as operators land; kept separate so
+``__spark_entry__`` stays a thin contract file.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None) -> None:
+    _QUERIES[name] = fn
+    if sql is not None:
+        _ORACLES[name] = sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

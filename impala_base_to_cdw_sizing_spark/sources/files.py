@@ -1,0 +1,34 @@
+"""File sources with explicit schemas (SURVEY.md §2.A).
+
+The reference's CSV-replay source (A5, ``impala_query_sizing.py:128-131``)
+reads a prior run's output via ``csv.DictReader`` with everything stringly;
+here the replay read is schema-enforced and columnar-friendly. Parquet is
+the default interchange format (pushdown + pruning for free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import QUERY_HISTORY_SCHEMA
+
+TPCH_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Column pruning + predicate pushdown reach
+    the parquet scan because the schema is declared by the file itself."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_query_history_csv(spark: SparkSession, path: str) -> DataFrame:
+    """EP2 replay source (A5): header-driven CSV with the 12-column replay
+    schema enforced (``impala_query_sizing.py:172-187``)."""
+    return (
+        spark.read.option("header", True)
+        .schema(QUERY_HISTORY_SCHEMA)
+        .csv(path)
+    )

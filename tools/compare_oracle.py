@@ -1,0 +1,122 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB at a given sf dir, then compares
+row count, column names, and exact values (column-name-sorted,
+row-sorted) — strictly stronger than the driver's order-insensitive
+value hash, so passing here implies passing there.
+
+Usage: python tools/compare_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+    return a == b
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    issues: list[str] = []
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        issues.append(
+            f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+        )
+        return issues
+    if len(spark_pdf) != len(duck_pdf):
+        issues.append(f"row count differs: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+        return issues
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c].tolist(), d[c].tolist()
+        bad = [
+            (i, a, b) for i, (a, b) in enumerate(zip(sv, dv)) if not values_equal(a, b)
+        ]
+        if bad:
+            i, a, b = bad[0]
+            issues.append(
+                f"col {c}: {len(bad)}/{len(sv)} values differ; first at row {i}: "
+                f"spark={a!r} duck={b!r} (dtypes {s[c].dtype}/{d[c].dtype})"
+            )
+    return issues
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as ent
+    from impala_base_to_cdw_sizing_spark.session import build_spark
+
+    spark = build_spark("oracle-parity")
+    con = duck_connection(sf_dir)
+    qs, oracles = ent.queries(), ent.oracle_sql()
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows={len(spark_pdf)})")
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).fetch_df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        issues = compare_frames(name, spark_pdf, duck_pdf)
+        if issues:
+            failures += 1
+            print(f"FAIL {name}:")
+            for msg in issues:
+                print(f"  - {msg}")
+        else:
+            print(f"OK   {name}: rows={len(spark_pdf)} cols={len(spark_pdf.columns)}")
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
