@@ -20,9 +20,27 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str |
         _ORACLES[name] = sql
 
 
+_LOADED = False
+
+
+def _load_providers() -> None:
+    """Import provider modules (they call :func:`register` at import)."""
+    global _LOADED
+    if _LOADED:
+        return
+    _LOADED = True
+    from . import relational, similarity, text
+
+    relational.register_all()
+    text.register_all()
+    similarity.register_all()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_providers()
     return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_providers()
     return dict(_ORACLES)

@@ -1,0 +1,356 @@
+"""Generic relational operator coverage (SURVEY.md §2.J gap table).
+
+The reference has no joins, set ops, rollups, or top-k beyond its range
+lookup; the survey routes that coverage through a TPC-H-style corpus over
+the driver's star schema. Each query here exercises one physical pattern
+the engine must get right at 100 TB:
+
+- q1   : scan + predicate pushdown + hash aggregate (map-side partial)
+- q3   : selective broadcast dim join + agg + deterministic top-k
+- q5   : multi-join star (broadcast small dims, shuffle only the fact)
+- semi/anti joins: EXISTS/NOT EXISTS without materializing the right side
+- top-k per group: ranked window with partition pruning
+- set ops: INTERSECT/EXCEPT via shuffle-dedup
+- rollup: grouping sets in one pass
+- sessionize: gap-based sessions with a per-key ordered window
+- hourly: epoch-aligned tumbling window (batch analog of streaming)
+
+Float determinism: every unordered SUM goes through DECIMAL(38,6)
+(``aggregates.dsum``); orderings that feed LIMIT are totalized with key
+tie-breaks so Spark and DuckDB return identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .aggregates import dsum, dsum_sql
+from .queries_ext import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- q1: pricing summary (scan + agg) ----------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumns(
+            {
+                "avg_qty": F.col("sum_qty") / F.col("count_order"),
+                "avg_price": F.col("sum_base_price") / F.col("count_order"),
+            }
+        )
+    )
+
+
+SQL_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+  {dsum_sql('l_quantity')} AS sum_qty,
+  {dsum_sql('l_extendedprice')} AS sum_base_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  COUNT(*) AS count_order,
+  {dsum_sql('l_quantity')} / COUNT(*) AS avg_qty,
+  {dsum_sql('l_extendedprice')} / COUNT(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- q3: shipping-priority top-k ----------------------------------------------
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01"))
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            # parquet gives TIMESTAMP_NTZ; session TZ is UTC so the cast is exact
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_Q3 = f"""
+SELECT o_orderkey,
+  {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+  epoch_ms(o_orderdate) AS orderdate_ms,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- q5: star multi-join ------------------------------------------------------
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+SQL_Q5 = f"""
+SELECT n_name,
+  {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --- semi / anti joins ---------------------------------------------------------
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+    without = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    return (
+        with_orders.join(without, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+SQL_SEMI_ANTI = """
+SELECT c_mktsegment,
+  COUNT(*) FILTER (WHERE EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+  COUNT(*) FILTER (WHERE NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+# --- top-k per group -----------------------------------------------------------
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "rank", "p_partkey", "p_retailprice")
+    )
+
+
+SQL_TOPK = """
+SELECT p_brand, rank, p_partkey, p_retailprice FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+    ROW_NUMBER() OVER (
+      PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
+  FROM part
+) WHERE rank <= 3
+"""
+
+
+# --- set operations ------------------------------------------------------------
+
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    o_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return spark.createDataFrame(
+        [
+            (
+                o_keys.intersect(f_keys).count(),
+                o_keys.exceptAll(f_keys).count(),
+                f_keys.exceptAll(o_keys).count(),
+                o_keys.union(f_keys).distinct().count(),
+            )
+        ],
+        "n_both long, n_only_open long, n_only_f long, n_union long",
+    )
+
+
+SQL_SETOPS = """
+WITH o_keys AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+     f_keys AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT
+  (SELECT COUNT(*) FROM (SELECT * FROM o_keys INTERSECT SELECT * FROM f_keys)) AS n_both,
+  (SELECT COUNT(*) FROM (SELECT * FROM o_keys EXCEPT SELECT * FROM f_keys)) AS n_only_open,
+  (SELECT COUNT(*) FROM (SELECT * FROM f_keys EXCEPT SELECT * FROM o_keys)) AS n_only_f,
+  (SELECT COUNT(*) FROM (SELECT * FROM o_keys UNION SELECT * FROM f_keys)) AS n_union
+"""
+
+
+# --- rollup ---------------------------------------------------------------------
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum(F.col("o_totalprice")).alias("sum_total"))
+    )
+
+
+SQL_ROLLUP = f"""
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n, {dsum_sql('o_totalprice')} AS sum_total
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+# --- sessionization --------------------------------------------------------------
+
+_GAP_NS = 30 * 60 * 1_000_000_000  # 30 min
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts arrives as raw nanos (nanosAsLong)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (F.col("prev_ts").isNull() | (F.col("ts") - F.col("prev_ts") > _GAP_NS))
+            .cast("long"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("new_session").alias("n_sessions"),
+        )
+    )
+
+
+SQL_SESSIONIZE = f"""
+SELECT user_id, COUNT(*) AS n_events, SUM(new_session) AS n_sessions
+FROM (
+  SELECT user_id,
+    CAST(CASE WHEN prev_ns IS NULL OR epoch_ns(ts) - prev_ns > {_GAP_NS}
+         THEN 1 ELSE 0 END AS BIGINT) AS new_session
+  FROM (
+    SELECT user_id, ts,
+      LAG(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ns
+    FROM events
+  )
+)
+GROUP BY user_id
+"""
+
+
+# --- epoch-aligned tumbling window ------------------------------------------------
+
+
+def q_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    hour_ms = F.expr("(ts div 1000000) div 3600000 * 3600000")
+    return (
+        ev.withColumn("hour_ms", hour_ms)
+        .groupBy("hour_ms", "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("sum_value"))
+    )
+
+
+SQL_HOURLY = f"""
+SELECT (epoch_ns(ts) // 1000000) // 3600000 * 3600000 AS hour_ms,
+  event_type, COUNT(*) AS n, {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def register_all() -> None:
+    register("rel_tpch_q1", q_tpch_q1, SQL_Q1)
+    register("rel_tpch_q3_topk", q_tpch_q3, SQL_Q3)
+    register("rel_tpch_q5_star", q_tpch_q5, SQL_Q5)
+    register("rel_semi_anti", q_semi_anti, SQL_SEMI_ANTI)
+    register("rel_topk_per_group", q_topk_per_group, SQL_TOPK)
+    register("rel_setops", q_setops, SQL_SETOPS)
+    register("rel_rollup", q_rollup, SQL_ROLLUP)
+    register("rel_sessionize", q_sessionize, SQL_SESSIONIZE)
+    register("rel_hourly_window", q_hourly, SQL_HOURLY)

@@ -1,0 +1,221 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``,
+64-dim) — the ANN extension (SURVEY.md §7.1 M8).
+
+Three tiers:
+- :func:`q_cosine_topk` — brute-force cosine top-k: broadcast the (small)
+  query set against all candidates; dot products are ordered folds over
+  the arrays, evaluated inside codegen (no Python). This is the exact
+  baseline; at 100 TB it is the *per-bucket* kernel, not the global plan.
+- :func:`q_lsh_ann` — the scale path: random-hyperplane LSH bucketing as
+  a pure per-row expression (sign bits of fixed dim contrasts), candidates
+  from an equi-join on bucket id, exact cosine re-rank inside buckets.
+  Same structure as ``BucketedRandomProjectionLSH.approxSimilarityJoin``
+  but oracle-checkable.
+- :func:`q_label_centroids` — vector aggregation: per-label mean vector
+  via posexplode + integer micro-unit sums (long-form output).
+
+Numeric determinism: embeddings are cast float→double (exact) before any
+arithmetic; dot products fold left in index order in both engines;
+centroid sums use integer nano-units (order-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries_ext import register
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 5
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    )
+
+
+# ordered left fold — identical accumulation order in both engines
+SPARK_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), "
+    "(acc, x) -> acc + x)"
+)
+DUCK_DOT = (
+    "list_reduce([CAST(0 AS DOUBLE)] || "
+    "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]), "
+    "(acc, x) -> acc + x)"
+)
+
+DUCK_EMB = (
+    "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn(
+        "norm2", F.expr(SPARK_DOT.format(a="v", b="v"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS q_id", "v AS qv", "norm2 AS q_norm2"
+    )
+    cand = emb.selectExpr("vec_id AS c_id", "v AS cv", "norm2 AS c_norm2")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cosine",
+            F.expr(SPARK_DOT.format(a="qv", b="cv"))
+            / F.sqrt(F.col("q_norm2") * F.col("c_norm2")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "rank", F.col("c_id").alias("neighbor_id"), "cosine")
+    )
+
+
+SQL_COSINE_TOPK = f"""
+WITH emb AS ({DUCK_EMB}),
+normed AS (
+  SELECT vec_id, v, {DUCK_DOT.format(a='v', b='v')} AS norm2 FROM emb
+),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+    {DUCK_DOT.format(a='q.v', b='c.v')} / sqrt(q.norm2 * c.norm2) AS cosine
+  FROM normed q JOIN normed c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT q_id, rank, c_id AS neighbor_id, cosine FROM (
+  SELECT q_id, c_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+# --- LSH-bucketed ANN ------------------------------------------------------------
+
+_N_BITS = 8
+# hyperplane j = contrast of four fixed dims: v[4j] - v[4j+1] + v[4j+2] - v[4j+3]
+# (0-based dims; every projection uses distinct dims, deterministic)
+
+
+def _spark_bucket() -> str:
+    bits = " + ".join(
+        f"CASE WHEN v[{4 * j}] - v[{4 * j + 1}] + v[{4 * j + 2}] - v[{4 * j + 3}]"
+        f" > CAST(0 AS DOUBLE) THEN {1 << j} ELSE 0 END"
+        for j in range(_N_BITS)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+def _duck_bucket() -> str:
+    bits = " + ".join(
+        f"CASE WHEN v[{4 * j + 1}] - v[{4 * j + 2}] + v[{4 * j + 3}] - v[{4 * j + 4}]"
+        f" > CAST(0 AS DOUBLE) THEN {1 << j} ELSE 0 END"
+        for j in range(_N_BITS)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        _emb(spark, sf_dir)
+        .withColumn("norm2", F.expr(SPARK_DOT.format(a="v", b="v")))
+        .withColumn("bucket", F.expr(_spark_bucket()))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS q_id", "v AS qv", "norm2 AS q_norm2", "bucket"
+    )
+    cand = emb.selectExpr(
+        "vec_id AS c_id", "v AS cv", "norm2 AS c_norm2", "bucket"
+    )
+    scored = (
+        q.join(cand, "bucket")  # equi-join on bucket = the LSH candidate cut
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cosine",
+            F.expr(SPARK_DOT.format(a="qv", b="cv"))
+            / F.sqrt(F.col("q_norm2") * F.col("c_norm2")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "bucket", "rank", F.col("c_id").alias("neighbor_id"), "cosine")
+    )
+
+
+SQL_LSH_ANN = f"""
+WITH emb AS ({DUCK_EMB}),
+normed AS (
+  SELECT vec_id, v, {DUCK_DOT.format(a='v', b='v')} AS norm2,
+    {_duck_bucket()} AS bucket
+  FROM emb
+),
+scored AS (
+  SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS c_id,
+    {DUCK_DOT.format(a='q.v', b='c.v')} / sqrt(q.norm2 * c.norm2) AS cosine
+  FROM normed q JOIN normed c ON q.bucket = c.bucket
+   AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT q_id, bucket, rank, c_id AS neighbor_id, cosine FROM (
+  SELECT q_id, bucket, c_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# --- per-label centroids (vector aggregation) --------------------------------------
+
+_NANO = 1_000_000_000.0
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("v").alias("pos", "x"))
+        .withColumn("x_nano", F.floor(F.col("x") * _NANO + 0.5).cast("long"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x_nano").cast("decimal(38,0)")).alias("sum_nano"),
+        )
+        .selectExpr(
+            "label", "pos", "n",
+            f"CAST(sum_nano AS DOUBLE) / {_NANO} / n AS mean_x",
+        )
+    )
+
+
+SQL_LABEL_CENTROIDS = f"""
+WITH emb AS ({DUCK_EMB}),
+exploded AS (
+  SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+    CAST(floor(v[i] * {_NANO} + 0.5) AS BIGINT) AS x_nano
+  FROM emb, (SELECT unnest(range(1, 65)) AS i)
+)
+SELECT label, pos, COUNT(*) AS n,
+  CAST(SUM(CAST(x_nano AS DECIMAL(38,0))) AS DOUBLE) / {_NANO} / COUNT(*) AS mean_x
+FROM exploded
+GROUP BY label, pos
+"""
+
+
+def register_all() -> None:
+    register("sim_cosine_topk", q_cosine_topk, SQL_COSINE_TOPK)
+    register("sim_lsh_ann", q_lsh_ann, SQL_LSH_ANN)
+    register("emb_label_centroids", q_label_centroids, SQL_LABEL_CENTROIDS)

@@ -1,0 +1,497 @@
+"""Text-analysis + deduplication operators over the ``documents`` table —
+the training-data-pipeline extensions (SURVEY.md §7.1 M8).
+
+Everything on the hot path is a native Spark expression (higher-order
+array functions run inside codegen — no Python UDFs): language-ID by
+marker-token counting, quality scoring, token counting, rolling-hash
+fingerprinting, exact dedup, word-shingle Jaccard, MinHash-LSH and
+SimHash near-dup candidate generation.
+
+Scale notes (100 TB framing):
+- exact dedup: hash-groupBy, one shuffle on the digest — the canonical
+  pattern.
+- n-gram Jaccard: explode distinct shingles → self-equi-join on shingle →
+  count-based Jaccard. The join is shingle-partitioned (no cross join);
+  hot shingles would be salted/filtered by document frequency at scale.
+- MinHash-LSH: signature is a per-row expression; candidates come from an
+  equi-join on (band, band-key) — the same plan shape as
+  ``ml.feature.MinHashLSH.approxSimilarityJoin``, kept explicit here so
+  the banding/candidate semantics are visible and oracle-checkable.
+- SimHash: explode tokens → 16 conditional sums per doc → nibble-band
+  equi-join, Hamming ≤ 3 filter via bit_count(xor).
+
+Numeric determinism: all hashes are integer polynomial folds (the same
+fold both engines); ratios are single double divisions of identical ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries_ext import register
+
+_MOD = 1_000_000_000_000_000  # 1e15: keeps acc*31+x < 2^63
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- shared expression twins ---------------------------------------------------
+
+# polynomial rolling hash over characters: fold (acc*31 + ascii(c)) % 1e15
+def spark_charfold(s: str) -> str:
+    return (
+        f"aggregate(transform(split({s}, ''), c -> cast(ascii(c) as bigint)), "
+        f"cast(0 as bigint), (acc, x) -> (acc * 31 + x) % {_MOD})"
+    )
+
+
+def duck_charfold(s: str) -> str:
+    return (
+        f"list_reduce([CAST(0 AS BIGINT)] || "
+        f"list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT)), "
+        f"(acc, x) -> (acc * 31 + x) % {_MOD})"
+    )
+
+
+SPARK_TOKENS = "split(text, ' ')"
+DUCK_TOKENS = "string_split(text, ' ')"
+
+# word 3-gram shingles (guarded for short docs)
+SPARK_SHINGLES = (
+    "CASE WHEN size(tokens) < 3 THEN array(concat_ws(' ', tokens)) "
+    "ELSE transform(sequence(1, size(tokens) - 2), "
+    "i -> concat_ws(' ', slice(tokens, i, 3))) END"
+)
+DUCK_SHINGLES = (
+    "CASE WHEN len(tokens) < 3 THEN [array_to_string(tokens, ' ')] "
+    "ELSE list_transform(range(1, len(tokens) - 1), "
+    "i -> array_to_string(tokens[i:i+2], ' ')) END"
+)
+
+LANG_MARKERS = {
+    "en": ["the", "of", "and", "a", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "y", "en", "de"],
+    "zh": ["的", "是", "在", "了", "和"],
+}
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _arr(words: list[str]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _lst(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# --- text_stats: quality scoring -----------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(SPARK_TOKENS))
+        .selectExpr(
+            "doc_id",
+            "size(tokens) AS n_tokens",
+            "size(array_distinct(tokens)) AS n_distinct",
+            "aggregate(transform(tokens, t -> length(t)), cast(0 as bigint),"
+            " (acc, x) -> acc + x) AS total_token_chars",
+            f"size(filter(tokens, t -> array_contains({_arr(STOPWORDS)}, t)))"
+            " AS n_stopwords",
+        )
+        .selectExpr(
+            "doc_id", "n_tokens", "n_distinct", "total_token_chars",
+            "total_token_chars / n_tokens AS avg_token_len",
+            "n_stopwords / n_tokens AS stopword_ratio",
+            "n_distinct / n_tokens AS distinct_ratio",
+            "CAST(0.4 AS DOUBLE) * (n_stopwords / n_tokens)"
+            " + CAST(0.3 AS DOUBLE) * (n_distinct / n_tokens)"
+            " + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),"
+            " n_tokens / CAST(100.0 AS DOUBLE)) AS quality_score",
+        )
+    )
+
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id, n_tokens, n_distinct, total_token_chars,
+  total_token_chars / n_tokens AS avg_token_len,
+  n_stopwords / n_tokens AS stopword_ratio,
+  n_distinct / n_tokens AS distinct_ratio,
+  CAST(0.4 AS DOUBLE) * (n_stopwords / n_tokens)
+    + CAST(0.3 AS DOUBLE) * (n_distinct / n_tokens)
+    + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+      n_tokens / CAST(100.0 AS DOUBLE)) AS quality_score
+FROM (
+  SELECT doc_id,
+    len(tokens) AS n_tokens,
+    len(list_distinct(tokens)) AS n_distinct,
+    list_reduce([CAST(0 AS BIGINT)] || list_transform(tokens, t -> CAST(length(t) AS BIGINT)),
+      (acc, x) -> acc + x) AS total_token_chars,
+    len(list_filter(tokens, t -> list_contains({_lst(STOPWORDS)}, t))) AS n_stopwords
+  FROM (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents)
+)
+"""
+
+
+# --- text_langid -----------------------------------------------------------------
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hit_cols = {
+        f"hits_{lang}": F.expr(
+            f"size(filter(tokens, t -> array_contains({_arr(m)}, t)))"
+        )
+        for lang, m in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    # deterministic argmax: first language (in declared order) with max hits
+    pred = "CASE "
+    for lang in langs:
+        conds = " AND ".join(
+            f"hits_{lang} >= hits_{o}" for o in langs if o != lang
+        )
+        pred += f"WHEN {conds} THEN '{lang}' "
+    pred += "END"
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(SPARK_TOKENS))
+        .withColumns(hit_cols)
+        .withColumn("predicted_lang", F.expr(pred))
+        .selectExpr(
+            "doc_id", "lang", *[f"hits_{lang}" for lang in langs],
+            "predicted_lang",
+            "CAST(predicted_lang = lang AS BIGINT) AS is_correct",
+        )
+    )
+
+
+def _langid_sql() -> str:
+    langs = list(LANG_MARKERS)
+    hits = ",\n    ".join(
+        f"len(list_filter(tokens, t -> list_contains({_lst(m)}, t))) AS hits_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    pred = "CASE "
+    for lang in langs:
+        conds = " AND ".join(f"hits_{lang} >= hits_{o}" for o in langs if o != lang)
+        pred += f"WHEN {conds} THEN '{lang}' "
+    pred += "END"
+    return f"""
+SELECT doc_id, lang, {', '.join(f'hits_{lang}' for lang in langs)},
+  {pred} AS predicted_lang,
+  CAST(({pred}) = lang AS BIGINT) AS is_correct
+FROM (
+  SELECT doc_id, lang, {hits}
+  FROM (SELECT doc_id, lang, {DUCK_TOKENS} AS tokens FROM documents)
+)
+"""
+
+
+# --- token counting ---------------------------------------------------------------
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(SPARK_TOKENS))
+        .selectExpr(
+            "doc_id",
+            "size(tokens) AS n_ws_tokens",
+            "regexp_count(text, '[a-z]+') AS n_alpha_runs",
+            "regexp_count(text, '[0-9]+') AS n_digit_runs",
+            "CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_subword_est",
+        )
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+  len({DUCK_TOKENS}) AS n_ws_tokens,
+  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_runs,
+  len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+  CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_subword_est
+FROM documents
+"""
+
+
+# --- fingerprinting -----------------------------------------------------------------
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"{spark_charfold('lower(substring(text, 1, 64))')} AS fp_prefix64",
+        f"{spark_charfold('lower(text)')} AS fp_full",
+    )
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+  {duck_charfold('lower(substring(text, 1, 64))')} AS fp_prefix64,
+  {duck_charfold('lower(text)')} AS fp_full
+FROM documents
+"""
+
+
+# --- exact dedup ----------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("text_hash", F.md5(F.encode("text", "UTF-8")))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --- n-gram Jaccard near-dup -----------------------------------------------------------
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(SPARK_TOKENS))
+        .selectExpr("doc_id", f"array_distinct({SPARK_SHINGLES}) AS shingles")
+    )
+    exploded = sh.selectExpr("doc_id", "explode(shingles) AS shingle")
+    sizes = sh.selectExpr("doc_id", "size(shingles) AS n_sh")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .selectExpr(
+            "doc_a", "doc_b", "n_common",
+            "n_common / (n_a + n_b - n_common) AS jaccard",
+        )
+        .filter(F.col("n_common") >= 2)
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({DUCK_SHINGLES}) AS shingles
+  FROM (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents)
+),
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+  n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common >= 2
+"""
+
+
+# --- MinHash-LSH -------------------------------------------------------------------------
+
+_MH_PARAMS = [(2, 1), (3, 7), (5, 13), (7, 31), (11, 101), (13, 257), (17, 523), (19, 1019)]
+_MH_P = 1_000_000_007
+_N_BANDS = 4  # bands of 2 signature slots
+
+
+def _spark_sig() -> str:
+    mins = ", ".join(
+        f"array_min(transform(hashes, h -> ({a} * h + {b}) % {_MH_P}))"
+        for a, b in _MH_PARAMS
+    )
+    return f"array({mins})"
+
+
+def _duck_sig() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(hashes, h -> ({a} * h + {b}) % {_MH_P}))"
+        for a, b in _MH_PARAMS
+    )
+    return f"[{mins}]"
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(SPARK_TOKENS))
+        .withColumn("shingles", F.expr(f"array_distinct({SPARK_SHINGLES})"))
+        .withColumn(
+            "hashes", F.expr(f"transform(shingles, s -> {spark_charfold('s')})")
+        )
+        .selectExpr("doc_id", f"{_spark_sig()} AS sig")
+    )
+    bands = sigs.selectExpr(
+        "doc_id", "sig",
+        f"explode(transform(sequence(0, {_N_BANDS - 1}), "
+        "j -> struct(j AS band_id, "
+        "concat(sig[j * 2], '_', sig[j * 2 + 1]) AS band_key))) AS band",
+    ).select("doc_id", "sig", "band.band_id", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(
+                "size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))"
+            ).alias("n_equal"),
+        )
+        .distinct()
+    )
+    return pairs.selectExpr(
+        "doc_a", "doc_b", "n_equal",
+        f"n_equal / CAST({len(_MH_PARAMS)} AS DOUBLE) AS est_jaccard",
+    )
+
+
+def _minhash_sql() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {j} AS band_id, "
+        f"CAST(sig[{j * 2 + 1}] AS VARCHAR) || '_' || CAST(sig[{j * 2 + 2}] AS VARCHAR)"
+        f" AS band_key FROM sigs"
+        for j in range(_N_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({DUCK_SHINGLES}) AS shingles
+  FROM (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents)
+),
+hashed AS (
+  SELECT doc_id, list_transform(shingles, s -> {duck_charfold('s')}) AS hashes
+  FROM sh
+),
+sigs AS (SELECT doc_id, {_duck_sig()} AS sig FROM hashed),
+bands AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    len(list_filter(range(1, {len(_MH_PARAMS) + 1}),
+        i -> a.sig[i] = b.sig[i])) AS n_equal
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, n_equal, n_equal / CAST({len(_MH_PARAMS)} AS DOUBLE) AS est_jaccard
+FROM pairs
+"""
+
+
+# --- SimHash ---------------------------------------------------------------------------
+
+_SIM_BITS = 16
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok_hash = (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(SPARK_TOKENS))
+        .selectExpr(
+            "doc_id",
+            f"explode(transform(tokens, t -> {spark_charfold('t')})) AS th",
+        )
+    )
+    bit_sums = tok_hash.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN (th div {1 << j}) % 2 = 1 THEN 1 ELSE -1 END")
+            ).alias(f"s{j}")
+            for j in range(_SIM_BITS)
+        ]
+    )
+    simhash = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SIM_BITS)
+    )
+    sh = bit_sums.selectExpr("doc_id", f"CAST({simhash} AS BIGINT) AS simhash")
+    bands = sh.selectExpr(
+        "doc_id", "simhash",
+        "explode(transform(sequence(0, 3), "
+        "j -> struct(j AS band_id, (simhash div CAST(pow(16, j) AS BIGINT)) % 16"
+        " AS nibble))) AS band",
+    ).select("doc_id", "simhash", "band.band_id", "band.nibble")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.nibble") == F.col("b.nibble"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN (th // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIM_BITS)
+    )
+    simhash = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SIM_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_transform({DUCK_TOKENS}, t -> {duck_charfold('t')})) AS th
+  FROM documents
+),
+bit_sums AS (
+  SELECT doc_id, {bit_sums}
+  FROM tok GROUP BY doc_id
+),
+sh AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM bit_sums),
+bands AS (
+  SELECT doc_id, simhash, j AS band_id,
+    (simhash // CAST(pow(16, j) AS BIGINT)) % 16 AS nibble
+  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS j)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.nibble = b.nibble AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def register_all() -> None:
+    register("text_stats", q_text_stats, SQL_TEXT_STATS)
+    register("text_langid", q_text_langid, _langid_sql())
+    register("text_token_count", q_token_count, SQL_TOKEN_COUNT)
+    register("text_fingerprint", q_fingerprint, SQL_FINGERPRINT)
+    register("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT)
+    register("dedup_ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD)
+    register("dedup_minhash", q_dedup_minhash, _minhash_sql())
+    register("dedup_simhash", q_dedup_simhash, _simhash_sql())
