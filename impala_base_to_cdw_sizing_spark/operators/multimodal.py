@@ -1,0 +1,139 @@
+"""Multimodal-column plumbing — opaque ``binary`` payloads with typed
+metadata, decoded via Arrow-batched ``mapInPandas`` (SURVEY.md §7.1 M8).
+
+The container has no image/audio libraries, so the *decode kernel* is a
+deterministic fake behind :func:`_decode_payload` (clearly marked; a real
+deployment swaps in PIL/ffmpeg there). Everything Spark-side is real and
+tested: binary column creation, schema contracts, Arrow batch iteration,
+per-partition batching, and frame fan-out.
+
+Scale notes: decode runs per-partition over Arrow batches — the canonical
+shape for 100 TB media processing (no row-at-a-time Python, no driver
+involvement); partition count controls decode parallelism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries_ext import register
+
+_FORMATS = ["png", "jpeg", "wav"]
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata columns.
+
+    In production the payload IS the stored bytes; here it is the utf-8
+    encoding of ``text`` so everything stays deterministic.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.element_at(F.lit(_FORMATS), (F.col("doc_id") % 3 + 1).cast("int")).alias(
+            "media_format"
+        ),
+    )
+
+
+def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over the binary column — pure JVM expressions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_payload(docs).select(
+        "doc_id",
+        "media_format",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("digest"),
+    )
+
+
+SQL_MM_META = """
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END
+    AS media_format,
+  octet_length(encode(text)) AS n_bytes,
+  sha256(text) AS digest
+FROM documents
+"""
+
+
+# --- decode via mapInPandas (Arrow batches) -----------------------------------
+
+DECODE_SCHEMA = (
+    "doc_id long, media_format string, width int, height int, "
+    "n_pixels long, mean_byte double"
+)
+
+
+def _decode_payload(payload: bytes) -> tuple[int, int, float]:
+    """STUB decode kernel (no media libs in this container).
+
+    Deterministic fake: dimensions derived from payload length, mean
+    byte value as the 'luma'. Swap for PIL/soundfile in production:
+
+        try:
+            from PIL import Image  # noqa
+        except ImportError:
+            ...  # this fake
+    """
+    n = len(payload)
+    width = 16 + n % 64
+    height = max(1, n // max(width, 1))
+    mean = sum(payload) / n if n else 0.0
+    return width, height, mean
+
+
+def decode_media(with_payload_df: DataFrame) -> DataFrame:
+    """binary payload → decoded metadata, one output row per input row."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf["payload"].map(_decode_payload)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_format": pdf["media_format"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                }
+            )
+            out["n_pixels"] = out["width"].astype("int64") * out["height"]
+            out["mean_byte"] = [d[2] for d in decoded]
+            yield out
+
+    return with_payload_df.mapInPandas(_batches, DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary"
+
+
+def sample_frames(with_payload_df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling fan-out: each payload yields ``n_frames`` equal-width
+    slices (the video-keyframe batch shape: 1 input row → N output rows)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                step = max(1, len(payload) // n_frames)
+                for j in range(n_frames):
+                    rows.append((doc_id, j, payload[j * step : (j + 1) * step]))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
+
+    return with_payload_df.mapInPandas(_batches, FRAME_SCHEMA)
+
+
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode metadata through the Pandas-UDF path (rows-only check: the
+    kernel is a Python stub, deliberately not SQL-expressible)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_media(with_payload(docs)).drop("media_format")
+
+
+def register_all() -> None:
+    register("mm_meta", q_mm_meta, SQL_MM_META)
+    register("mm_decode_stub", q_mm_decode, None)  # rows-only: Python kernel

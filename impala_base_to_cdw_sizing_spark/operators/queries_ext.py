@@ -29,11 +29,12 @@ def _load_providers() -> None:
     if _LOADED:
         return
     _LOADED = True
-    from . import relational, similarity, text
+    from . import multimodal, relational, similarity, text
 
     relational.register_all()
     text.register_all()
     similarity.register_all()
+    multimodal.register_all()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

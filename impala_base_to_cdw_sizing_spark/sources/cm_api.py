@@ -1,0 +1,151 @@
+"""Cloudera Manager REST source — SURVEY.md §2.A3/A4, driver-side paged
+fetch feeding ``createDataFrame`` batches.
+
+The reference GETs ``/api/v32/clusters/<c>/services/impala/impalaQueries``
+with a server-side filter string, ``limit=1000&offset=N``, and a
+warning-driven time-window shrink protocol
+(``impala_query_sizing.py:136-162,338-339``):
+
+- page returns < 1000 rows AND exactly 1 warning → parse the warning's
+  last token as the new ``to`` date, reset offset, continue (retry with a
+  tightened predicate);
+- else offset += 1000;
+- terminate on a short page with no warnings.
+
+A DataSourceV2 is not justified for an auth'd, rate-limited admin API
+(SURVEY §4.3.1): the loop is inherently sequential and tiny relative to
+the analytics. The fetcher is injectable so tests run network-free; the
+real fetcher uses ``requests`` with basic auth (import-gated).
+
+In Spark terms the filter/limit are *manual source-level predicate and
+limit pushdown* — the same predicates are re-expressible in-plan for file
+sources (operators.route.accepted_filter).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import API_DOC_SCHEMA
+
+PAGE_SIZE = 1000
+
+# fetcher(from_date, to_date, pool, offset) -> {"queries": [...], "warnings": [...]}
+Fetcher = Callable[[str, str, str | None, int], dict]
+
+
+def build_filter(pool: str | None) -> str:
+    """Server-side filter string (impala_query_sizing.py:138-141)."""
+    base = "queryType=QUERY and executing=false"
+    return f"{base} and pool={pool}" if pool else base
+
+
+def requests_fetcher(
+    cm_url: str, cluster_name: str, user: str, password: str
+) -> Fetcher:
+    """Production fetcher against CM API v32 (basic auth)."""
+    import requests  # gated: not needed for tests
+
+    def fetch(from_date: str, to_date: str, pool: str | None, offset: int) -> dict:
+        url = (
+            f"{cm_url}/api/v32/clusters/{cluster_name}/services/impala/"
+            f"impalaQueries?from={from_date}&to={to_date}"
+            f"&filter={build_filter(pool)}&limit={PAGE_SIZE}&offset={offset}"
+        )
+        resp = requests.get(url, auth=(user, password), timeout=60)
+        resp.raise_for_status()
+        return resp.json()
+
+    return fetch
+
+
+def fetch_pages(
+    fetcher: Fetcher,
+    from_date: str,
+    to_date: str,
+    pool: str | None = None,
+    max_pages: int = 10_000,
+) -> Iterator[list[dict]]:
+    """A4 pagination protocol with warning-driven window shrink."""
+    offset = 0
+    for _ in range(max_pages):
+        page = fetcher(from_date, to_date, pool, offset)
+        queries = page.get("queries", [])
+        warnings = page.get("warnings", [])
+        if queries:
+            yield queries
+        if len(queries) < PAGE_SIZE and len(warnings) == 1:
+            # shrink the window: warning's last token is the new to-date
+            to_date = warnings[0].split()[-1]
+            offset = 0
+            continue
+        if len(queries) < PAGE_SIZE and not warnings:
+            return
+        offset += PAGE_SIZE
+
+
+def load_api_queries(
+    spark: SparkSession,
+    fetcher: Fetcher,
+    from_date: str,
+    to_date: str,
+    pool: str | None = None,
+) -> DataFrame:
+    """Fetch all pages and return one DataFrame of nested API docs.
+
+    Pages become Arrow-backed ``createDataFrame`` batches unioned together
+    (an implicit set-op union, SURVEY §2.J); at typical volumes (≤ a few
+    million admin records) this is driver-cheap and the analytics below it
+    are fully distributed.
+    """
+    batches = [
+        spark.createDataFrame(page, API_DOC_SCHEMA)
+        for page in fetch_pages(fetcher, from_date, to_date, pool)
+    ]
+    if not batches:
+        return spark.createDataFrame([], API_DOC_SCHEMA)
+    out = batches[0]
+    for b in batches[1:]:
+        out = out.union(b)
+    return out
+
+
+def flatten_api_docs(docs: DataFrame) -> DataFrame:
+    """C1+C2: nested API doc → the flat query-history schema with typed
+    casts and GB/sec unit conversions (impala_query_sizing.py:189-208).
+
+    The ``has_mem_metric`` flag carries the D1 skip-route condition
+    (missing ``memory_aggregate_peak``) downstream.
+    """
+    attr = F.col("attributes")
+    gb = 1024 * 1024 * 1024
+    return docs.select(
+        F.col("queryId").alias("query_id"),
+        F.element_at(attr, "pool").alias("pool"),
+        F.col("startTime").alias("start_time"),
+        F.col("endTime").alias("end_time"),
+        F.col("durationMillis").cast("long").alias("duration_millis"),
+        F.round(F.element_at(attr, "hdfs_bytes_read").cast("double") / gb, 2).alias(
+            "reqd_cache_gb"
+        ),
+        F.round(
+            F.element_at(attr, "memory_aggregate_peak").cast("double") / gb, 2
+        ).alias("reqd_agg_mem"),
+        F.round(F.element_at(attr, "memory_spilled").cast("double") / gb, 2).alias(
+            "memory_spilled_gb"
+        ),
+        F.round(
+            F.element_at(attr, "thread_cpu_time").cast("double") / 1000, 2
+        ).alias("cpu_time_sec"),
+        F.col("queryType").alias("query_type"),
+        F.element_at(attr, "admission_wait").cast("int").alias("admission_wait"),
+        F.element_at(attr, "num_backends").cast("int").alias("num_backends"),
+        F.element_at(attr, "memory_aggregate_peak").isNotNull().alias(
+            "has_mem_metric"
+        ),
+        F.col("queryState").alias("query_state"),
+        F.col("user").alias("user_id"),
+    )

@@ -1,0 +1,65 @@
+"""Structured Streaming sweep: stream ≡ batch on the same event files,
+plus cumulative concurrency consistency with the batch sweep."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from impala_base_to_cdw_sizing_spark.config import DEFAULT_PARAMS
+from impala_base_to_cdw_sizing_spark.operators.sweep import explode_events
+from impala_base_to_cdw_sizing_spark.plans.pipeline import run_sizing
+from impala_base_to_cdw_sizing_spark.sources.synthetic import (
+    query_history_from_events,
+)
+from impala_base_to_cdw_sizing_spark.streaming.sweep_stream import (
+    batch_equivalent,
+    cumulative_concurrency,
+    event_stream,
+    run_stream_to_memory,
+    windowed_concurrency,
+)
+
+from tests.conftest import SF_SMALL
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("sign", T.IntegerType()),
+        T.StructField("pods_u", T.LongType()),
+    ]
+)
+
+
+def _event_files(spark, tmp_path):
+    qh = query_history_from_events(spark, SF_SMALL)
+    res = run_sizing(qh, DEFAULT_PARAMS)
+    ev = explode_events(res.routed.kept).select("ts_ms", "sign", "pods_u")
+    path = str(tmp_path / "events")
+    # several files so maxFilesPerTrigger exercises multiple micro-batches
+    ev.repartition(4).write.mode("overwrite").parquet(path)
+    return path, ev
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    path, ev = _event_files(spark, tmp_path)
+    stream = event_stream(spark, path, EVENT_SCHEMA)
+    result = run_stream_to_memory(windowed_concurrency(stream), "sweep_test")
+    got = {r.window_start: r for r in result.collect()}
+    want = {r.window_start: r for r in batch_equivalent(ev).collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert (
+            got[k].starts == want[k].starts
+            and got[k].ends == want[k].ends
+            and got[k].net_queries == want[k].net_queries
+            and got[k].net_pods_u == want[k].net_pods_u
+        ), f"window {k}"
+
+
+def test_cumulative_concurrency_closes_to_zero(spark, tmp_path):
+    _, ev = _event_files(spark, tmp_path)
+    cum = cumulative_concurrency(batch_equivalent(ev)).orderBy(
+        "window_start"
+    ).collect()
+    assert cum[-1].concurrent_at_window_end == 0  # every query start has an end
+    assert abs(cum[-1].pods_at_window_end) < 1e-9
