@@ -122,13 +122,19 @@ def q_sizing_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sizing_sweep_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1-F3: per-event running concurrency/resource sums."""
-    return running_sums(explode_events(_kept(spark, sf_dir)))
+    """F1-F3: per-event running concurrency/resource sums.
+
+    Declared with ``segmented=True`` — the 100 TB plan (parallel
+    per-bucket windows + broadcast carry-in). Integer micro-unit
+    arithmetic makes it bit-identical to the single-window oracle."""
+    return running_sums(explode_events(_kept(spark, sf_dir)), segmented=True)
 
 
 def q_sizing_sweep_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4: sweep maxima (max concurrency, max pods + its timestamp)."""
-    return sweep_maxima(running_sums(explode_events(_kept(spark, sf_dir))))
+    return sweep_maxima(
+        running_sums(explode_events(_kept(spark, sf_dir)), segmented=True)
+    )
 
 
 def q_sizing_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:

