@@ -1,0 +1,174 @@
+"""Additional OLAP surface: pivot, cube, window-function suite, scalar
+string/date functions, approximate aggregates (SURVEY.md §2.J breadth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .aggregates import dsum, dsum_sql
+from .queries_ext import register
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- pivot (G5's generic form) --------------------------------------------------
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """status × priority count matrix via ``groupBy().pivot()`` with an
+    explicit value list (no extra distinct-scan job, stable columns)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+        .na.fill(0)
+    )
+    renames = {p: f"n_{p[0]}" for p in _PRIORITIES}  # n_1 … n_5
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
+SQL_PIVOT = """
+SELECT o_orderstatus,
+  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_1,
+  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_2,
+  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_3,
+  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_4,
+  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- cube -------------------------------------------------------------------------
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum(F.col("l_quantity")).alias("sum_qty")
+    )
+
+
+SQL_CUBE = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+# --- window-function suite -----------------------------------------------------------
+
+
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / lag / lead / running sum over one ordered
+    partition spec (single shuffle, all functions share the sort)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 3)
+    order = [F.col("l_shipdate").asc(), F.col("l_orderkey").asc(),
+             F.col("l_linenumber").asc()]
+    w = Window.partitionBy("l_suppkey").orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(Window.partitionBy("l_suppkey").orderBy("l_quantity")).alias(
+            "qty_rank"
+        ),
+        F.dense_rank()
+        .over(Window.partitionBy("l_suppkey").orderBy("l_quantity"))
+        .alias("qty_dense_rank"),
+        F.lag("l_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("l_orderkey").over(w).alias("next_orderkey"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+        .over(wsum)
+        .cast("double")
+        .alias("running_qty"),
+    )
+
+
+SQL_WINDOW_SUITE = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+  ROW_NUMBER() OVER w AS rn,
+  RANK() OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS qty_rank,
+  DENSE_RANK() OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS qty_dense_rank,
+  LAG(l_orderkey) OVER w AS prev_orderkey,
+  LEAD(l_orderkey) OVER w AS next_orderkey,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+       OVER (PARTITION BY l_suppkey
+             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
+FROM lineitem
+WHERE l_suppkey <= 3
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)
+"""
+
+
+# --- scalar string/date function coverage ----------------------------------------------
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar functions the reference actually uses (SURVEY §2.J last
+    row): substring, lpad/rjust, concat, upper/lower, regexp_replace,
+    date parts via epoch arithmetic, greatest/least, base64 round-trip."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_cap"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+SQL_SCALAR_FUNCS = """
+SELECT c_custkey,
+  substring(c_name, 1, 8) AS name_prefix,
+  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+  c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR) AS seg_nation,
+  upper(c_mktsegment) AS seg_upper,
+  lower(c_name) AS name_lower,
+  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+  greatest(c_acctbal, CAST(0.0 AS DOUBLE)) AS bal_floor0,
+  least(c_acctbal, CAST(5000.0 AS DOUBLE)) AS bal_cap,
+  length(c_name) AS name_len
+FROM customer
+"""
+
+
+# --- approximate aggregates (rows-only: approx ≠ oracle-hashable) ------------------------
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct + approximate quantiles. Values are
+    estimator-specific, so the driver records a rows-only check; the
+    pytest asserts the estimates sit within tolerance of exact values."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("approx_p99_price"),
+    )
+
+
+def register_all() -> None:
+    register("rel_pivot", q_pivot, SQL_PIVOT)
+    register("rel_cube", q_cube, SQL_CUBE)
+    register("rel_window_suite", q_window_suite, SQL_WINDOW_SUITE)
+    register("rel_scalar_funcs", q_scalar_funcs, SQL_SCALAR_FUNCS)
+    register("rel_approx_distinct", q_approx_distinct, None)  # rows-only

@@ -29,9 +29,11 @@ def _load_providers() -> None:
     if _LOADED:
         return
     _LOADED = True
-    from . import multimodal, relational, similarity, text
+    from . import asof, multimodal, olap_extra, relational, similarity, text
 
     relational.register_all()
+    olap_extra.register_all()
+    asof.register_all()
     text.register_all()
     similarity.register_all()
     multimodal.register_all()

@@ -215,7 +215,108 @@ GROUP BY label, pos
 """
 
 
+# --- IVF-style ANN: coarse quantizer + in-cell search -------------------------------
+
+_N_CELLS = 8  # vec_id 0..7 double as fixed coarse centroids (deterministic)
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: assign every vector to its nearest of ``_N_CELLS`` fixed
+    seed centroids (argmin L2², deterministic ties), then answer each query
+    by exact cosine re-rank *within its cell only*.
+
+    The scale shape: cell assignment is a broadcast-8-rows join (a map
+    stage), the search is an equi-join on cell id — candidates shrink by
+    ~n_cells× vs brute force. A trained quantizer (k-means) would slot in
+    without changing the plan.
+    """
+    emb = _emb(spark, sf_dir).withColumn(
+        "norm2", F.expr(SPARK_DOT.format(a="v", b="v"))
+    )
+    seeds = emb.filter(F.col("vec_id") < _N_CELLS).selectExpr(
+        "vec_id AS cell_id", "v AS sv", "norm2 AS s_norm2"
+    )
+    # L2²(v, s) = |v|² + |s|² − 2·v·s ; argmin via deterministic ranked window
+    from pyspark.sql import Window
+
+    dists = (
+        emb.crossJoin(F.broadcast(seeds))
+        .withColumn(
+            "dist2",
+            F.col("norm2") + F.col("s_norm2")
+            - 2 * F.expr(SPARK_DOT.format(a="v", b="sv")),
+        )
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(
+        F.col("dist2").asc(), F.col("cell_id").asc()
+    )
+    cells = (
+        dists.withColumn("r", F.row_number().over(wcell))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "label", "v", "norm2", "cell_id")
+    )
+    q = cells.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS q_id", "v AS qv", "norm2 AS q_norm2", "cell_id"
+    )
+    cand = cells.selectExpr(
+        "vec_id AS c_id", "v AS cv", "norm2 AS c_norm2", "cell_id"
+    )
+    scored = (
+        q.join(cand, "cell_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cosine",
+            F.expr(SPARK_DOT.format(a="qv", b="cv"))
+            / F.sqrt(F.col("q_norm2") * F.col("c_norm2")),
+        )
+    )
+    wtop = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "cell_id", "rank", F.col("c_id").alias("neighbor_id"), "cosine")
+    )
+
+
+SQL_IVF_ANN = f"""
+WITH emb AS ({DUCK_EMB}),
+normed AS (
+  SELECT vec_id, label, v, {DUCK_DOT.format(a='v', b='v')} AS norm2 FROM emb
+),
+seeds AS (
+  SELECT vec_id AS cell_id, v AS sv, norm2 AS s_norm2
+  FROM normed WHERE vec_id < {_N_CELLS}
+),
+dists AS (
+  SELECT n.vec_id, n.label, n.v, n.norm2, s.cell_id,
+    n.norm2 + s.s_norm2 - 2 * {DUCK_DOT.format(a='n.v', b='s.sv')} AS dist2
+  FROM normed n, seeds s
+),
+cells AS (
+  SELECT vec_id, label, v, norm2, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist2 ASC, cell_id ASC) AS r
+    FROM dists
+  ) WHERE r = 1
+),
+scored AS (
+  SELECT q.vec_id AS q_id, q.cell_id AS cell_id, c.vec_id AS c_id,
+    {DUCK_DOT.format(a='q.v', b='c.v')} / sqrt(q.norm2 * c.norm2) AS cosine
+  FROM cells q JOIN cells c ON q.cell_id = c.cell_id
+   AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT q_id, cell_id, rank, c_id AS neighbor_id, cosine FROM (
+  SELECT q_id, cell_id, c_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 def register_all() -> None:
     register("sim_cosine_topk", q_cosine_topk, SQL_COSINE_TOPK)
     register("sim_lsh_ann", q_lsh_ann, SQL_LSH_ANN)
+    register("sim_ivf_ann", q_ivf_ann, SQL_IVF_ANN)
     register("emb_label_centroids", q_label_centroids, SQL_LABEL_CENTROIDS)

@@ -1,0 +1,40 @@
+"""Approx-aggregate tolerance and as-of join semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from impala_base_to_cdw_sizing_spark.operators.asof import merge_asof
+from impala_base_to_cdw_sizing_spark.operators.olap_extra import q_approx_distinct
+
+from tests.conftest import SF_ORACLE
+
+
+def test_approx_distinct_within_tolerance(spark):
+    est = q_approx_distinct(spark, SF_ORACLE).collect()[0]
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    exact = li.agg(
+        F.countDistinct("l_partkey").alias("parts"),
+        F.countDistinct("l_orderkey").alias("orders"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+    ).collect()[0]
+    assert abs(est.approx_parts - exact.parts) / exact.parts < 0.05
+    assert abs(est.approx_orders - exact.orders) / exact.orders < 0.05
+    assert abs(est.approx_median_price - exact.median) / exact.median < 0.05
+
+
+def test_merge_asof_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 5, 102)], "k long, t long, lid long"
+    ).withColumn("tb", F.col("lid"))
+    right = spark.createDataFrame(
+        [(1, 10, 7.0, 900), (1, 15, 8.0, 901), (2, 9, 9.0, 902)],
+        "k long, t long, val double, rid long",
+    ).withColumn("tb", F.col("rid"))
+    out = merge_asof(
+        left, right, on="t", by="k", right_cols=["val", "rid"], tiebreak="tb"
+    )
+    rows = {r.lid: r for r in out.collect()}
+    assert rows[100].asof_rid == 900  # inclusive: right at t=10 matches left t=10
+    assert rows[101].asof_rid == 901  # latest preceding (t=15)
+    assert rows[102].asof_rid is None  # right t=9 > left t=5 → no match
