@@ -33,6 +33,25 @@ class SizingResult:
     sweep_maxima: DataFrame     # single row (F4)
 
 
+def prepare_query_history(flat: DataFrame) -> DataFrame:
+    """Boundary adapter: ISO-string timestamps (API/replay form) → the
+    engine's epoch-millis interval columns + a deterministic ``seq``
+    ordering key (SURVEY §7.3.3: one canonical internal schema, two
+    boundary adapters)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    return flat.withColumns(
+        {
+            "start_ms": F.unix_millis(F.to_timestamp("start_time")),
+            "end_ms": F.unix_millis(F.to_timestamp("end_time")),
+            "admission_wait": F.col("admission_wait").cast("long"),
+            "num_backends": F.col("num_backends").cast("long"),
+            "seq": F.row_number().over(Window.orderBy("query_id")).cast("long"),
+        }
+    )
+
+
 def run_sizing(
     query_history: DataFrame,
     params: SizingParams,
