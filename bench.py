@@ -37,6 +37,24 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # headline: ONE full EP2 pipeline pass (the reference's whole program —
+    # derive+classify+route+aggregates+sweep+reports off a single cached
+    # derive), comparable to the reference's single-node end-to-end run.
+    t0 = time.perf_counter()
+    from impala_base_to_cdw_sizing_spark.config import DEFAULT_PARAMS
+    from impala_base_to_cdw_sizing_spark.plans.pipeline import run_sizing
+    from impala_base_to_cdw_sizing_spark.plans.reports import (
+        collect_report_values,
+    )
+    from impala_base_to_cdw_sizing_spark.sources.synthetic import (
+        query_history_from_events,
+    )
+
+    res = run_sizing(query_history_from_events(spark, sf_dir), DEFAULT_PARAMS)
+    collect_report_values(res, DEFAULT_PARAMS)  # forces every branch
+    res.routed.kept.unpersist()
+    timings["ep2_full_pipeline"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

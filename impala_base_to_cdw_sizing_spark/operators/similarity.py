@@ -315,7 +315,53 @@ SELECT q_id, cell_id, rank, c_id AS neighbor_id, cosine FROM (
 """
 
 
+# --- embedding-cosine near-duplicate pairs -------------------------------------
+
+_NEAR_DUP_TAU = 0.95
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection: candidate pairs from the LSH bucket
+    equi-join (no cross join), exact cosine filter at τ=0.95. The
+    all-pairs analog of `sim_lsh_ann` — the 5th dedup modality alongside
+    exact/MinHash/SimHash/n-gram."""
+    emb = (
+        _emb(spark, sf_dir)
+        .withColumn("norm2", F.expr(SPARK_DOT.format(a="v", b="v")))
+        .withColumn("bucket", F.expr(_spark_bucket()))
+    )
+    a = emb.selectExpr("vec_id AS id_a", "v AS va", "norm2 AS na", "bucket")
+    b = emb.selectExpr("vec_id AS id_b", "v AS vb", "norm2 AS nb", "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.expr(SPARK_DOT.format(a="va", b="vb"))
+            / F.sqrt(F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cosine") >= _NEAR_DUP_TAU)
+        .select("id_a", "id_b", "bucket", "cosine")
+    )
+
+
+SQL_DEDUP_EMB_COSINE = f"""
+WITH emb AS ({DUCK_EMB}),
+normed AS (
+  SELECT vec_id, v, {DUCK_DOT.format(a='v', b='v')} AS norm2,
+    {_duck_bucket()} AS bucket
+  FROM emb
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+  {DUCK_DOT.format(a='a.v', b='b.v')} / sqrt(a.norm2 * b.norm2) AS cosine
+FROM normed a JOIN normed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {DUCK_DOT.format(a='a.v', b='b.v')} / sqrt(a.norm2 * b.norm2)
+      >= {_NEAR_DUP_TAU}
+"""
+
+
 def register_all() -> None:
+    register("dedup_embedding_cosine", q_dedup_embedding_cosine, SQL_DEDUP_EMB_COSINE)
     register("sim_cosine_topk", q_cosine_topk, SQL_COSINE_TOPK)
     register("sim_lsh_ann", q_lsh_ann, SQL_LSH_ANN)
     register("sim_ivf_ann", q_ivf_ann, SQL_IVF_ANN)
