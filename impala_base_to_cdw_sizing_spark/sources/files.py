@@ -32,3 +32,19 @@ def read_query_history_csv(spark: SparkSession, path: str) -> DataFrame:
         .schema(QUERY_HISTORY_SCHEMA)
         .csv(path)
     )
+
+
+def read_query_history(spark: SparkSession, path: str, fmt: str = "csv") -> DataFrame:
+    """Multi-format replay source: the same enforced schema over csv /
+    json / parquet / orc (schema declared, never inferred — a 100 TB scan
+    with inference is two scans)."""
+    reader = spark.read.schema(QUERY_HISTORY_SCHEMA)
+    if fmt == "csv":
+        return reader.option("header", True).csv(path)
+    if fmt == "json":
+        return reader.json(path)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "orc":
+        return reader.orc(path)
+    raise ValueError(f"unsupported replay format: {fmt}")

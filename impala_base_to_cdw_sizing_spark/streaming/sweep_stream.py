@@ -92,6 +92,34 @@ def batch_equivalent(events: DataFrame) -> DataFrame:
     )
 
 
+def session_bursts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session-window variant (SURVEY §2.J streaming row, 'session-window
+    optional'): contiguous bursts of query activity separated by ``gap`` of
+    silence, per pool. Works identically as a streaming aggregation
+    (``groupBy(session_window(...))`` with a watermark) and as batch —
+    batch form here so equivalence is assertable.
+
+    Input: pool, ts_ms, sign events.
+    """
+    with_ts = events.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    return (
+        with_ts.groupBy(
+            F.col("pool"), F.session_window("ts", gap).alias("session")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("sign") > 0, 1).otherwise(0)).alias("n_starts"),
+        )
+        .select(
+            "pool",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "n_starts",
+        )
+    )
+
+
 def cumulative_concurrency(windowed: DataFrame) -> DataFrame:
     """Closed windows → running concurrency at window boundaries.
 

@@ -1,0 +1,85 @@
+"""SQL catalog, multi-format replay sources, lakehouse gating, golden hash."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from impala_base_to_cdw_sizing_spark import catalog
+from impala_base_to_cdw_sizing_spark.sources.files import read_query_history
+from impala_base_to_cdw_sizing_spark.sources.lakehouse import (
+    LakehouseUnavailable,
+    read_delta,
+)
+
+from tests.conftest import SF_SMALL
+
+
+def test_sql_catalog_views(spark):
+    catalog.register_views(spark, SF_SMALL)
+    row = catalog.sql(
+        spark,
+        """
+        SELECT count(*) AS n FROM query_history q
+        JOIN events e ON q.seq = e.event_id
+        """,
+    ).collect()[0]
+    assert row.n == 1000
+    top = catalog.sql(
+        spark,
+        "SELECT pool, count(*) n FROM query_history GROUP BY pool ORDER BY n DESC LIMIT 1",
+    ).collect()[0]
+    assert top.n > 0
+
+
+def test_multi_format_replay_roundtrip(spark, tmp_path):
+    csv_df = read_query_history(
+        spark, _write_sample_csv(tmp_path), fmt="csv"
+    )
+    for fmt in ("json", "parquet", "orc"):
+        path = str(tmp_path / fmt)
+        getattr(csv_df.write.mode("overwrite"), fmt)(path)
+        back = read_query_history(spark, path, fmt=fmt)
+        assert back.schema == csv_df.schema
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, csv_df.collect())
+        )
+    with pytest.raises(ValueError):
+        read_query_history(spark, "x", fmt="avro")
+
+
+def _write_sample_csv(tmp_path) -> str:
+    p = tmp_path / "h.csv"
+    p.write_text(
+        "query_id,pool,start_time,end_time,duration_millis,reqd_cache_gb,"
+        "reqd_agg_mem,memory_spilled_gb,cpu_time_sec,query_type,"
+        "admission_wait,num_backends\n"
+        "q1,etl,2021-07-12T01:00:00.000Z,2021-07-12T01:00:10.000Z,10000,"
+        "1.5,2.5,0.0,12.0,QUERY,5,2\n"
+    )
+    return str(p)
+
+
+def test_lakehouse_gated_with_clear_error(spark):
+    with pytest.raises(LakehouseUnavailable, match="Delta Lake"):
+        read_delta(spark, "/tmp/nowhere")
+
+
+# Golden regression: the flagship derive output at sf0.001 is pinned by
+# hash. If this breaks, either the engine or the synthetic generator
+# changed semantics — both must be deliberate (update the hash with the
+# commit that changes them).
+GOLDEN_SHA256 = "2bcdde20ddc09b85d294f75739e20141a4a60dbf4f1da2a70515eb1103d0bdda"
+
+
+def test_sizing_derive_golden_hash(spark):
+    import __spark_entry__ as ent
+
+    pdf = ent.q_sizing_derive(spark, SF_SMALL).toPandas()
+    pdf = pdf[sorted(pdf.columns)].sort_values(list(sorted(pdf.columns)))
+    payload = pdf.to_csv(index=False, float_format="%.10g").encode()
+    digest = hashlib.sha256(payload).hexdigest()
+    if GOLDEN_SHA256 == "UNSET":
+        pytest.skip(f"golden not pinned yet; current = {digest}")
+    assert digest == GOLDEN_SHA256

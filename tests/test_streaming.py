@@ -56,6 +56,31 @@ def test_stream_equals_batch(spark, tmp_path):
         ), f"window {k}"
 
 
+def test_session_bursts(spark):
+    from pyspark.sql import functions as F
+
+    from impala_base_to_cdw_sizing_spark.streaming.sweep_stream import (
+        session_bursts,
+    )
+
+    minute = 60_000
+    rows = [  # pool, ts_ms, sign — two bursts for etl, one for bi
+        ("etl", 0 * minute, 1), ("etl", 5 * minute, -1),
+        ("etl", 10 * minute, 1),  # within 30min gap of previous → same session
+        ("etl", 120 * minute, 1), ("etl", 125 * minute, -1),  # new session
+        ("bi", 7 * minute, 1), ("bi", 9 * minute, -1),
+    ]
+    ev = spark.createDataFrame(rows, "pool string, ts_ms long, sign int")
+    got = session_bursts(ev).orderBy("pool", "session_start").collect()
+    by_pool = {}
+    for r in got:
+        by_pool.setdefault(r.pool, []).append(r)
+    assert len(by_pool["etl"]) == 2  # 120min silence splits the sessions
+    assert by_pool["etl"][0].n_events == 3
+    assert by_pool["etl"][1].n_starts == 1
+    assert len(by_pool["bi"]) == 1 and by_pool["bi"][0].n_events == 2
+
+
 def test_cumulative_concurrency_closes_to_zero(spark, tmp_path):
     _, ev = _event_files(spark, tmp_path)
     cum = cumulative_concurrency(batch_equivalent(ev)).orderBy(
