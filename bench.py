@@ -53,6 +53,8 @@ def main() -> None:
     res = run_sizing(query_history_from_events(spark, sf_dir), DEFAULT_PARAMS)
     collect_report_values(res, DEFAULT_PARAMS)  # forces every branch
     res.routed.kept.unpersist()
+    if res.sweep_events is not None:
+        res.sweep_events.unpersist()
     timings["ep2_full_pipeline"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -31,6 +31,7 @@ class SizingResult:
     utilization: DataFrame      # single row: G7
     sweep_running: DataFrame    # per-event running sums (F1-F3)
     sweep_maxima: DataFrame     # single row (F4)
+    sweep_events: DataFrame | None = None  # cached explode; unpersist when done
 
 
 def prepare_query_history(flat: DataFrame) -> DataFrame:
@@ -60,7 +61,10 @@ def run_sizing(
     routed = route(query_history, params, derive)
     classified_kept = classify(routed.kept)
     summary = summarize(routed.kept, routed.accepted)
-    running = running_sums(explode_events(routed.kept), segmented=segmented_sweep)
+    # events feed both the running-sums output and the maxima (and, when
+    # segmented, the quantile pass) — cache so the explode runs once
+    events = explode_events(routed.kept).cache()
+    running = running_sums(events, segmented=segmented_sweep)
     return SizingResult(
         routed=routed,
         classified_kept=classified_kept,
@@ -70,4 +74,5 @@ def run_sizing(
         utilization=utilization(summary, params),
         sweep_running=running,
         sweep_maxima=sweep_maxima(running),
+        sweep_events=events,
     )
