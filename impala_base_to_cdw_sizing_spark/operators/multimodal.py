@@ -46,7 +46,7 @@ def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload(docs).select(
         "doc_id",
         "media_format",
-        F.octet_length("payload").alias("n_bytes"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
         F.sha2("payload", 256).alias("digest"),
     )
 

@@ -77,12 +77,14 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsum = w.rowsBetween(Window.unboundedPreceding, 0)
     return li.select(
         "l_suppkey", "l_orderkey", "l_linenumber",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(Window.partitionBy("l_suppkey").orderBy("l_quantity")).alias(
-            "qty_rank"
-        ),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank()
+        .over(Window.partitionBy("l_suppkey").orderBy("l_quantity"))
+        .cast("long")
+        .alias("qty_rank"),
         F.dense_rank()
         .over(Window.partitionBy("l_suppkey").orderBy("l_quantity"))
+        .cast("long")
         .alias("qty_dense_rank"),
         F.lag("l_orderkey").over(w).alias("prev_orderkey"),
         F.lead("l_orderkey").over(w).alias("next_orderkey"),
@@ -131,7 +133,7 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
         F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
         F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_cap"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
     )
 
 

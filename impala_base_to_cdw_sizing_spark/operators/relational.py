@@ -215,7 +215,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").desc(), F.col("p_partkey").asc()
     )
     return (
-        part.withColumn("rank", F.row_number().over(w))
+        part.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("p_brand", "rank", "p_partkey", "p_retailprice")
     )
@@ -334,7 +334,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SESSIONIZE = f"""
-SELECT user_id, COUNT(*) AS n_events, SUM(new_session) AS n_sessions
+SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions
 FROM (
   SELECT user_id,
     CAST(CASE WHEN prev_ns IS NULL OR epoch_ns(ts) - prev_ns > {_GAP_NS}

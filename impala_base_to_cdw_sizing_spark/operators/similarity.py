@@ -76,7 +76,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").desc(), F.col("c_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "rank", F.col("c_id").alias("neighbor_id"), "cosine")
     )
@@ -152,7 +152,7 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").desc(), F.col("c_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("q_id", "bucket", "rank", F.col("c_id").alias("neighbor_id"), "cosine")
     )
@@ -274,7 +274,7 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").desc(), F.col("c_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(wtop))
+        scored.withColumn("rank", F.row_number().over(wtop).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("q_id", "cell_id", "rank", F.col("c_id").alias("neighbor_id"), "cosine")
     )

@@ -195,7 +195,7 @@ _RUN_COLS_SQL = ",\n  ".join(
 
 RUNNING_SUMS_SQL = f"""
 SELECT seq, ts_ms, sign,
-  SUM(CAST(sign AS BIGINT)) OVER w AS run_queries,
+  CAST(SUM(CAST(sign AS BIGINT)) OVER w AS BIGINT) AS run_queries,
   {_RUN_COLS_SQL},
   CAST(ROW_NUMBER() OVER (ORDER BY ts_ms, seq, sign DESC) AS INTEGER) AS event_pos
 FROM sweep_events

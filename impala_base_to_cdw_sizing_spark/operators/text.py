@@ -98,12 +98,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tokens", F.expr(SPARK_TOKENS))
         .selectExpr(
             "doc_id",
-            "size(tokens) AS n_tokens",
-            "size(array_distinct(tokens)) AS n_distinct",
+            "CAST(size(tokens) AS BIGINT) AS n_tokens",
+            "CAST(size(array_distinct(tokens)) AS BIGINT) AS n_distinct",
             "aggregate(transform(tokens, t -> length(t)), cast(0 as bigint),"
             " (acc, x) -> acc + x) AS total_token_chars",
-            f"size(filter(tokens, t -> array_contains({_arr(STOPWORDS)}, t)))"
-            " AS n_stopwords",
+            f"CAST(size(filter(tokens, t -> array_contains({_arr(STOPWORDS)}, t)))"
+            " AS BIGINT) AS n_stopwords",
         )
         .selectExpr(
             "doc_id", "n_tokens", "n_distinct", "total_token_chars",
@@ -145,7 +145,7 @@ FROM (
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit_cols = {
         f"hits_{lang}": F.expr(
-            f"size(filter(tokens, t -> array_contains({_arr(m)}, t)))"
+            f"CAST(size(filter(tokens, t -> array_contains({_arr(m)}, t))) AS BIGINT)"
         )
         for lang, m in LANG_MARKERS.items()
     }
@@ -202,9 +202,9 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tokens", F.expr(SPARK_TOKENS))
         .selectExpr(
             "doc_id",
-            "size(tokens) AS n_ws_tokens",
-            "regexp_count(text, '[a-z]+') AS n_alpha_runs",
-            "regexp_count(text, '[0-9]+') AS n_digit_runs",
+            "CAST(size(tokens) AS BIGINT) AS n_ws_tokens",
+            "CAST(regexp_count(text, '[a-z]+') AS BIGINT) AS n_alpha_runs",
+            "CAST(regexp_count(text, '[0-9]+') AS BIGINT) AS n_digit_runs",
             "CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_subword_est",
         )
     )
@@ -377,7 +377,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.expr(
-                "size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))"
+                "CAST(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y),"
+                " v -> v)) AS BIGINT)"
             ).alias("n_equal"),
         )
         .distinct()
@@ -466,7 +467,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= 3)
@@ -498,7 +499,7 @@ bands AS (
   FROM sh, (SELECT unnest([0, 1, 2, 3]) AS j)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  bit_count(xor(a.simhash, b.simhash)) AS hamming
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.nibble = b.nibble AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3

@@ -63,6 +63,14 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -
         return issues
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
+        # dtype parity: the driver compares schemas; int-width or
+        # int-vs-float drift (e.g. DuckDB HUGEINT sums → float64) must
+        # surface here even when values compare equal
+        if str(s[c].dtype) != str(d[c].dtype):
+            issues.append(
+                f"col {c}: dtype mismatch spark={s[c].dtype} duck={d[c].dtype}"
+            )
+    for c in s.columns:
         sv, dv = s[c].tolist(), d[c].tolist()
         bad = [
             (i, a, b) for i, (a, b) in enumerate(zip(sv, dv)) if not values_equal(a, b)
