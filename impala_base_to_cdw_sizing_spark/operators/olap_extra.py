@@ -168,7 +168,34 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- explicit grouping sets -----------------------------------------------------
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status), (priority), ()) — the general form that
+    rollup/cube specialize. Declared via Spark SQL (Catalyst plans SQL and
+    DataFrame identically; the DataFrame API has no grouping-sets verb)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          {dsum_sql('o_totalprice')} AS sum_total
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+  {dsum_sql('o_totalprice')} AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def register_all() -> None:
+    register("rel_grouping_sets", q_grouping_sets, SQL_GROUPING_SETS)
     register("rel_pivot", q_pivot, SQL_PIVOT)
     register("rel_cube", q_cube, SQL_CUBE)
     register("rel_window_suite", q_window_suite, SQL_WINDOW_SUITE)

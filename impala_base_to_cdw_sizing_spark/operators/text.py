@@ -506,7 +506,46 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+# --- PII scrubbing ---------------------------------------------------------------
+
+# simple, dialect-portable patterns (Java regex ≡ RE2 for these forms)
+_PII_RULES = [
+    ("[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>"),
+    ("[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("[0-9]{7,}", "<NUM>"),
+]
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene: rule-based PII redaction + a changed flag.
+    Chained regexp_replace stays inside codegen — per-row Python never
+    touches the 100 TB text column."""
+    out = F.col("text")
+    for pat, repl in _PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        out.alias("scrubbed"),
+        (out != F.col("text")).cast("bigint").alias("was_redacted"),
+        F.length(out).cast("long").alias("n_chars_scrubbed"),
+    )
+
+
+def _pii_sql() -> str:
+    expr = "text"
+    for pat, repl in _PII_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id, {expr} AS scrubbed,
+  CAST(({expr}) <> text AS BIGINT) AS was_redacted,
+  CAST(length({expr}) AS BIGINT) AS n_chars_scrubbed
+FROM documents
+"""
+
+
 def register_all() -> None:
+    register("text_pii_scrub", q_pii_scrub, _pii_sql())
     register("text_stats", q_text_stats, SQL_TEXT_STATS)
     register("text_langid", q_text_langid, _langid_sql())
     register("text_token_count", q_token_count, SQL_TOKEN_COUNT)
