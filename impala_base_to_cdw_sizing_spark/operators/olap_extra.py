@@ -173,16 +173,18 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS ((status), (priority), ()) — the general form that
-    rollup/cube specialize. Declared via Spark SQL (Catalyst plans SQL and
-    DataFrame identically; the DataFrame API has no grouping-sets verb)."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    rollup/cube specialize. Declared via parameterized Spark SQL (Catalyst
+    plans SQL and DataFrame identically; the DataFrame API has no
+    grouping-sets verb). The DataFrame is bound as a parameter — no named
+    temp view, no shared-catalog side effects."""
     return spark.sql(
         f"""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
           {dsum_sql('o_totalprice')} AS sum_total
-        FROM _orders_gs
+        FROM {{orders}}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
+        """,
+        orders=_t(spark, sf_dir, "orders"),
     )
 
 

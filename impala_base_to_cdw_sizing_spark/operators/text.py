@@ -508,28 +508,36 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 # --- PII scrubbing ---------------------------------------------------------------
 
-# simple, dialect-portable patterns (Java regex ≡ RE2 for these forms)
+# simple, dialect-portable patterns (Java regex ≡ RE2 for these forms);
+# email covers hyphenated and plus-addressed forms — '-' sits last in the
+# classes so both dialects read it literally
 _PII_RULES = [
-    ("[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>"),
+    ("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
     ("[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
     ("[0-9]{7,}", "<NUM>"),
 ]
 
 
-def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Training-data hygiene: rule-based PII redaction + a changed flag.
     Chained regexp_replace stays inside codegen — per-row Python never
-    touches the 100 TB text column."""
-    out = F.col("text")
+    touches the text column. The chain is materialized ONCE in an inner
+    projection; the flag/length derive from that column (no reliance on
+    subexpression elimination for the 9-regex chain)."""
+    out = F.col(text_col)
     for pat, repl in _PII_RULES:
         out = F.regexp_replace(out, pat, repl)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
+    inner = docs.select("doc_id", F.col(text_col).alias("_text"), out.alias("scrubbed"))
+    return inner.select(
         "doc_id",
-        out.alias("scrubbed"),
-        (out != F.col("text")).cast("bigint").alias("was_redacted"),
-        F.length(out).cast("long").alias("n_chars_scrubbed"),
+        "scrubbed",
+        (F.col("scrubbed") != F.col("_text")).cast("bigint").alias("was_redacted"),
+        F.length("scrubbed").cast("long").alias("n_chars_scrubbed"),
     )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scrub_pii(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _pii_sql() -> str:
@@ -537,10 +545,10 @@ def _pii_sql() -> str:
     for pat, repl in _PII_RULES:
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
     return f"""
-SELECT doc_id, {expr} AS scrubbed,
-  CAST(({expr}) <> text AS BIGINT) AS was_redacted,
-  CAST(length({expr}) AS BIGINT) AS n_chars_scrubbed
-FROM documents
+SELECT doc_id, scrubbed,
+  CAST(scrubbed <> text AS BIGINT) AS was_redacted,
+  CAST(length(scrubbed) AS BIGINT) AS n_chars_scrubbed
+FROM (SELECT doc_id, text, {expr} AS scrubbed FROM documents)
 """
 
 

@@ -1,0 +1,47 @@
+"""PII scrub rules exercised on synthesized PII (the documents corpus
+contains no digits/emails, so the oracle check alone is pass-through)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from impala_base_to_cdw_sizing_spark.operators.text import _PII_RULES, scrub_pii
+
+CASES = [
+    # (input, expected scrub)
+    (0, "contact john-doe@ex-ample.com now", "contact <EMAIL> now"),
+    (1, "user+tag@gmail.com wrote", "<EMAIL> wrote"),
+    (2, "ssn 123-45-6789 on file", "ssn <SSN> on file"),
+    (3, "card 4111111111111111 and 12345678", "card <NUM> and <NUM>"),
+    (4, "short 123456 stays", "short 123456 stays"),  # <7 digits untouched
+    (5, "two a@b.co b@c.io hits", "two <EMAIL> <EMAIL> hits"),  # 'g' semantics
+    (6, "clean text stays clean", "clean text stays clean"),
+]
+
+
+def test_scrub_rules_on_synthesized_pii(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in CASES], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    for i, _, want in CASES:
+        assert got[i].scrubbed == want, f"case {i}"
+        assert got[i].was_redacted == (1 if want != CASES[i][1] else 0)
+
+
+def test_scrub_parity_spark_vs_duckdb_on_pii(spark):
+    """The oracle's regexp chain must agree with Spark on text that
+    actually fires every rule (incl. global-replace semantics)."""
+    expr = "text"
+    for pat, repl in _PII_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    con = duckdb.connect()
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in CASES], "doc_id long, text string"
+    )
+    spark_out = {r.doc_id: r.scrubbed for r in scrub_pii(df).collect()}
+    for i, t, _ in CASES:
+        duck = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS text)", [t]
+        ).fetchone()[0]
+        assert spark_out[i] == duck, f"case {i}: spark={spark_out[i]!r} duck={duck!r}"
