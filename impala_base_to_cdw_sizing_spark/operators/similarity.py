@@ -317,7 +317,11 @@ SELECT q_id, cell_id, rank, c_id AS neighbor_id, cosine FROM (
 
 # --- embedding-cosine near-duplicate pairs -------------------------------------
 
-_NEAR_DUP_TAU = 0.95
+# τ chosen for the synthetic corpus: random 64-dim embeddings peak near
+# cosine ≈ 0.51 in-bucket, so 0.95 (a realistic near-dup bar) returns an
+# empty — and therefore vacuous — oracle check. 0.3 yields a small,
+# data-dependent pair set that actually exercises the filter.
+_NEAR_DUP_TAU = 0.3
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,6 +29,31 @@ def test_scrub_rules_on_synthesized_pii(spark):
         assert got[i].was_redacted == (1 if want != CASES[i][1] else 0)
 
 
+def test_langid_on_synthesized_language_text(spark):
+    """The corpus's languages share one vocabulary, so langid accuracy is
+    uncheckable there; synthesized marker-bearing text pins the heuristic."""
+    from impala_base_to_cdw_sizing_spark.operators.text import q_text_langid
+
+    rows = [
+        (0, "the cat and the dog of a house in town", "en"),
+        (1, "der hund und die katze ist das tier", "de"),
+        (2, "le chat et la maison les arbres des champs", "fr"),
+        (3, "el perro y los gatos en la casa de", "es"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in q_text_langid(spark, d).collect()}
+    assert got[0].predicted_lang == "en" and got[0].is_correct == 1
+    assert got[1].predicted_lang == "de" and got[1].is_correct == 1
+    assert got[2].predicted_lang == "fr" and got[2].is_correct == 1
+    # 'es' markers overlap fr/en ('de','en','la'...); at minimum the
+    # hit counters must see the es markers
+    assert got[3].hits_es >= 3
+
+
 def test_scrub_parity_spark_vs_duckdb_on_pii(spark):
     """The oracle's regexp chain must agree with Spark on text that
     actually fires every rule (incl. global-replace semantics)."""
