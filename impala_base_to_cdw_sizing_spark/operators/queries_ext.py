@@ -29,13 +29,22 @@ def _load_providers() -> None:
     if _LOADED:
         return
     _LOADED = True
-    from . import asof, multimodal, olap_extra, relational, similarity, text
+    from . import (
+        asof,
+        kmeans,
+        multimodal,
+        olap_extra,
+        relational,
+        similarity,
+        text,
+    )
 
     relational.register_all()
     olap_extra.register_all()
     asof.register_all()
     text.register_all()
     similarity.register_all()
+    kmeans.register_all()
     multimodal.register_all()
 
 
