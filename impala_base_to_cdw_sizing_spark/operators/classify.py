@@ -82,6 +82,33 @@ def classify_cte(source: str = "derived") -> str:
 )"""
 
 
+def classify_bucketizer(
+    df: DataFrame, value_col: str, out_col: str = "label", dim: str = "pods"
+) -> DataFrame:
+    """Third equivalent form (SURVEY §2.E1 option 3): ``ml.feature
+    .Bucketizer``. The buckets are contiguous after ceil, so right-open
+    splits ``[lo0, lo1, …, hi_last+1]`` reproduce the dict scan; values
+    past the last bucket keep the reference's ``None`` via the invalid
+    bucket index."""
+    from pyspark.ml.feature import Bucketizer
+
+    buckets = _buckets(dim)
+    splits = [float(lo) for lo, _, _ in buckets] + [buckets[-1][1] + 1.0, float("inf")]
+    labels = [label for _, _, label in buckets]
+    ceiled = df.withColumn("_ceiled", F.ceil(F.col(value_col)).cast("double"))
+    bucketed = Bucketizer(
+        splits=splits, inputCol="_ceiled", outputCol="_bucket",
+        handleInvalid="keep",
+    ).transform(ceiled)
+    label_expr = F.element_at(
+        F.lit(labels), (F.col("_bucket") + 1).cast("int")
+    )  # the overflow split (last) indexes past the array → NULL
+    return bucketed.withColumn(
+        out_col,
+        F.when(F.col("_bucket") < len(labels), label_expr),
+    ).drop("_ceiled", "_bucket")
+
+
 def classify_range_join(
     df: DataFrame, value_col: str, out_col: str = "label", dim: str = "pods"
 ) -> DataFrame:

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from impala_base_to_cdw_sizing_spark.operators.classify import (
+    classify_bucketizer,
     classify_range_join,
     tsize_expr,
 )
@@ -33,6 +34,20 @@ def test_when_chain_equals_range_join(spark):
     chain = df.select("x", tsize_expr(F.col("x")).alias("a"))
     joined = classify_range_join(df, "x", out_col="b")
     merged = chain.join(joined, "x")
+    mismatches = merged.filter(
+        ~(
+            (F.col("a") == F.col("b"))
+            | (F.col("a").isNull() & F.col("b").isNull())
+        )
+    ).count()
+    assert mismatches == 0
+
+
+def test_bucketizer_equals_when_chain(spark):
+    df = spark.range(0, 1200).select((F.col("id") / 3.0).alias("x"))
+    chain = df.select("x", tsize_expr(F.col("x")).alias("a"))
+    bucketized = classify_bucketizer(df, "x", out_col="b")
+    merged = chain.join(bucketized, "x")
     mismatches = merged.filter(
         ~(
             (F.col("a") == F.col("b"))
