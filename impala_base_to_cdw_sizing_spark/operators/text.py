@@ -552,8 +552,72 @@ FROM (SELECT doc_id, text, {expr} AS scrubbed FROM documents)
 """
 
 
+# --- duplicate clustering: connected components over the near-dup graph -----
+
+_CC_ITERS = 4
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster near-duplicates (SimHash hamming ≤ 3 edges) into duplicate
+    groups via ``_CC_ITERS`` unrolled min-label-propagation iterations —
+    connected components as pure DataFrame joins (the distributed CC
+    kernel; iterations = graph diameter bound, fixed so the DuckDB oracle
+    replays the computation exactly). Output: doc_id → cluster id (the
+    minimum doc_id reachable within the iteration horizon).
+    """
+    pairs = q_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster"))
+    for _ in range(_CC_ITERS):
+        nbr = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+    return labels
+
+
+def _components_sql() -> str:
+    pairs_sql = _simhash_sql().strip()
+    # reuse the full simhash pair query as a CTE, then unroll propagation
+    parts = [
+        f"pairs AS ({pairs_sql})",
+        "edges AS (SELECT doc_a, doc_b FROM pairs"
+        " UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "lab0 AS (SELECT doc_id, doc_id AS cluster FROM documents)",
+    ]
+    prev = "lab0"
+    for i in range(1, _CC_ITERS + 1):
+        parts.append(
+            f"""lab{i} AS (
+  SELECT l.doc_id,
+    least(l.cluster, coalesce(n.nbr_min, l.cluster)) AS cluster
+  FROM {prev} l LEFT JOIN (
+    SELECT e.doc_a, MIN(x.cluster) AS nbr_min
+    FROM edges e JOIN {prev} x ON e.doc_b = x.doc_id
+    GROUP BY e.doc_a
+  ) n ON l.doc_id = n.doc_a
+)"""
+        )
+        prev = f"lab{i}"
+    return "WITH " + ",\n".join(parts) + f"\nSELECT doc_id, cluster FROM {prev}"
+
+
 def register_all() -> None:
     register("text_pii_scrub", q_pii_scrub, _pii_sql())
+    register("dedup_components", q_dedup_components, _components_sql())
     register("text_stats", q_text_stats, SQL_TEXT_STATS)
     register("text_langid", q_text_langid, _langid_sql())
     register("text_token_count", q_token_count, SQL_TOKEN_COUNT)
