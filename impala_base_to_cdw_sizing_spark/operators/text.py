@@ -558,17 +558,27 @@ _CC_ITERS = 4
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster near-duplicates (SimHash hamming ≤ 3 edges) into duplicate
-    groups via ``_CC_ITERS`` unrolled min-label-propagation iterations —
-    connected components as pure DataFrame joins (the distributed CC
-    kernel; iterations = graph diameter bound, fixed so the DuckDB oracle
-    replays the computation exactly). Output: doc_id → cluster id (the
-    minimum doc_id reachable within the iteration horizon).
+    """Cluster near-duplicates into duplicate groups via ``_CC_ITERS``
+    unrolled min-label-propagation iterations — connected components as
+    pure DataFrame joins (the distributed CC kernel; iterations = graph
+    diameter bound, fixed so the DuckDB oracle replays the computation
+    exactly). Edges are the *MinHash* candidate pairs at est_jaccard ≥
+    0.5 — a sparse, meaningful near-dup graph (the SimHash graph
+    degenerates to a near-clique on this shared-vocabulary corpus: ~2M
+    edges at sf0.1, measured). Output: doc_id → cluster id (the minimum
+    doc_id reachable within the horizon).
     """
-    pairs = q_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = (
+        q_dedup_minhash(spark, sf_dir)
+        .filter(F.col("n_equal") >= 4)
+        .select("doc_a", "doc_b")
+    )
+    # every propagation iteration joins the edge list; cache it so the
+    # SimHash candidate pipeline (explode + band join) runs once, not
+    # once per iteration
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    ).cache()
     docs = _docs(spark, sf_dir).select("doc_id")
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster"))
     for _ in range(_CC_ITERS):
@@ -590,10 +600,11 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _components_sql() -> str:
-    pairs_sql = _simhash_sql().strip()
-    # reuse the full simhash pair query as a CTE, then unroll propagation
+    pairs_sql = _minhash_sql().strip()
+    # reuse the full minhash pair query as a CTE, then unroll propagation
     parts = [
-        f"pairs AS ({pairs_sql})",
+        f"allpairs AS ({pairs_sql})",
+        "pairs AS (SELECT doc_a, doc_b FROM allpairs WHERE n_equal >= 4)",
         "edges AS (SELECT doc_a, doc_b FROM pairs"
         " UNION ALL SELECT doc_b, doc_a FROM pairs)",
         "lab0 AS (SELECT doc_id, doc_id AS cluster FROM documents)",
