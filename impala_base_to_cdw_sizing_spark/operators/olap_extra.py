@@ -134,6 +134,12 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
         F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_cap"),
         F.length("c_name").cast("long").alias("name_len"),
+        # A2's secret decode as an in-plan expression: encode → base64 →
+        # unbase64 → utf-8 (impala_query_sizing.py:95-96 twin)
+        F.base64(F.encode("c_name", "UTF-8")).alias("name_b64"),
+        F.decode(F.unbase64(F.base64(F.encode("c_name", "UTF-8"))), "UTF-8").alias(
+            "name_roundtrip"
+        ),
     )
 
 
@@ -147,7 +153,9 @@ SELECT c_custkey,
   regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
   greatest(c_acctbal, CAST(0.0 AS DOUBLE)) AS bal_floor0,
   least(c_acctbal, CAST(5000.0 AS DOUBLE)) AS bal_cap,
-  length(c_name) AS name_len
+  length(c_name) AS name_len,
+  base64(encode(c_name)) AS name_b64,
+  CAST(from_base64(base64(encode(c_name))) AS VARCHAR) AS name_roundtrip
 FROM customer
 """
 
