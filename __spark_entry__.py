@@ -137,6 +137,19 @@ def q_sizing_sweep_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sizing_summary_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 through the oracle gate: the summary with the pool filter set
+    (reference pool equality filter, impala_query_sizing.py:211-216)."""
+    from impala_base_to_cdw_sizing_spark.config import SizingParams
+
+    params = SizingParams(pool="click")
+    qh = _qh(spark, sf_dir)
+    accepted, _ = skip_split(accepted_filter(qh, params))
+    derived = derive(accepted, params)
+    kept, _ = prune_split(derived, params)
+    return summarize(kept, accepted)
+
+
 def q_sizing_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G7: average cluster-utilization percentages."""
     from impala_base_to_cdw_sizing_spark.operators.aggregates import utilization
@@ -161,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sizing_skipped": q_sizing_skipped,
         "sizing_size_matrix": q_sizing_size_matrix,
         "sizing_summary": q_sizing_summary,
+        "sizing_summary_pool": q_sizing_summary_pool,
         "sizing_argmax": q_sizing_argmax,
         "sizing_sweep_running": q_sizing_sweep_running,
         "sizing_sweep_max": q_sizing_sweep_max,
@@ -197,6 +211,13 @@ def oracle_sql() -> dict[str, str]:
         "sizing_summary": oracle_with(
             ACCEPTED_CTE,
             # G1 counts the pre-prune accepted set: summarize_sql embeds it
+            DERIVED_CTE,
+            body=summarize_sql(P),
+        ),
+        "sizing_summary_pool": oracle_with(
+            "accepted AS (SELECT * FROM query_history "
+            "WHERE query_type = 'QUERY' AND has_mem_metric "
+            "AND pool = 'click')",
             DERIVED_CTE,
             body=summarize_sql(P),
         ),

@@ -39,8 +39,11 @@ def _load_providers() -> None:
         text,
     )
 
+    from . import rollup_cascade
+
     relational.register_all()
     olap_extra.register_all()
+    rollup_cascade.register_all()
     asof.register_all()
     text.register_all()
     similarity.register_all()
