@@ -150,6 +150,55 @@ def q_sizing_summary_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(kept, accepted)
 
 
+def q_sizing_size_matrix_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship expressed as ONE pure Spark-SQL statement over the
+    registered views — same logical plan family as the DataFrame form
+    (Catalyst converges them), same oracle. Shows a reference user can
+    bring plain SQL."""
+    from impala_base_to_cdw_sizing_spark import catalog
+    from impala_base_to_cdw_sizing_spark.operators.classify import tsize_case_spark
+
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH accepted AS (
+          SELECT * FROM query_history
+          WHERE query_type = 'QUERY' AND has_mem_metric
+        ),
+        derived AS (
+          SELECT *,
+            CAST(ceil(reqd_cache_gb / {P.cache_gb_per_node}) AS BIGINT) AS pod_cache,
+            CAST(ceil(((reqd_agg_mem * {P.mem_adjustment_pct}) / 100)
+              / {P.query_mem_per_node}) AS BIGINT) AS pod_mem,
+            CAST(ceil((({P.cpu_adjustment_pct} * CAST(ceil(cpu_time_sec
+              / (duration_millis / 1000.0)) AS BIGINT)) / 100)
+              / {P.parallel_factor!r}) AS BIGINT) AS pod_cpu,
+            CAST(ceil(memory_spilled_gb / {P.scratch_gb_per_node}) AS BIGINT)
+              AS pod_spill,
+            greatest(
+              reqd_cache_gb / {P.cache_gb_per_node},
+              ((reqd_agg_mem * {P.mem_adjustment_pct}) / 100) / {P.query_mem_per_node},
+              (({P.cpu_adjustment_pct} * CAST(ceil(cpu_time_sec
+                / (duration_millis / 1000.0)) AS BIGINT)) / 100) / {P.parallel_factor!r},
+              memory_spilled_gb / {P.scratch_gb_per_node}
+            ) AS pod_raw
+          FROM accepted
+        ),
+        kept AS (
+          SELECT * FROM derived WHERE CAST(ceil(pod_raw) AS BIGINT) <= {P.pod_limit}
+        ),
+        long AS (
+          SELECT 'count' AS dim, {tsize_case_spark('pod_raw')} AS tsize FROM kept
+          UNION ALL SELECT 'cache', {tsize_case_spark('pod_cache')} FROM kept
+          UNION ALL SELECT 'mem', {tsize_case_spark('pod_mem')} FROM kept
+          UNION ALL SELECT 'cpu', {tsize_case_spark('pod_cpu')} FROM kept
+          UNION ALL SELECT 'spill', {tsize_case_spark('pod_spill')} FROM kept
+        )
+        SELECT dim, tsize, COUNT(*) AS n FROM long GROUP BY dim, tsize
+        """
+    )
+
+
 def q_sizing_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G7: average cluster-utilization percentages."""
     from impala_base_to_cdw_sizing_spark.operators.aggregates import utilization
@@ -173,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sizing_route_pruned": q_sizing_route_pruned,
         "sizing_skipped": q_sizing_skipped,
         "sizing_size_matrix": q_sizing_size_matrix,
+        "sizing_size_matrix_sql": q_sizing_size_matrix_sql,
         "sizing_summary": q_sizing_summary,
         "sizing_summary_pool": q_sizing_summary_pool,
         "sizing_argmax": q_sizing_argmax,
@@ -205,6 +255,12 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "sizing_size_matrix": oracle_with(
+            ACCEPTED_CTE, DERIVED_CTE, CLASSIFIED_CTE,
+            body=size_matrix_sql(P),
+        ),
+        # same oracle as the DataFrame form — the SQL formulation must
+        # land on identical results
+        "sizing_size_matrix_sql": oracle_with(
             ACCEPTED_CTE, DERIVED_CTE, CLASSIFIED_CTE,
             body=size_matrix_sql(P),
         ),

@@ -44,13 +44,17 @@ def tsize_expr(c: Column, dim: str = "pods") -> Column:
 
 
 def tsize_case_sql(x: str, dim: str = "pods") -> str:
-    """DuckDB twin of :func:`tsize_expr` (oracle side)."""
+    """ANSI CASE form of :func:`tsize_expr` — valid in BOTH DuckDB
+    (oracle side) and Spark SQL (``tsize_case_spark`` alias below)."""
     xe = f"CAST(ceil({x}) AS BIGINT)"
     whens = "\n    ".join(
         f"WHEN {xe} >= {lo} AND {xe} <= {hi} THEN '{label}'"
         for lo, hi, label in _buckets(dim)
     )
     return f"(CASE {whens} ELSE NULL END)"
+
+
+tsize_case_spark = tsize_case_sql  # the CASE chain is dialect-portable
 
 
 def classify(df: DataFrame) -> DataFrame:
