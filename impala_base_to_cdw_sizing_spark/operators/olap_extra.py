@@ -204,7 +204,36 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+# --- exact percentiles ------------------------------------------------------------
+
+
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group — both engines use
+    the same PERCENTILE_CONT definition, verified bit-equal. (The sorted
+    per-group pass is the expensive exact form; ``percentile_approx`` in
+    rel_approx_distinct is the sketch-based scale path.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+
+
+SQL_EXACT_PERCENTILES = """
+SELECT l_returnflag, COUNT(*) AS n,
+  quantile_cont(l_extendedprice, 0.25) AS p25,
+  quantile_cont(l_extendedprice, 0.5) AS p50,
+  quantile_cont(l_extendedprice, 0.75) AS p75,
+  quantile_cont(l_extendedprice, 0.99) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def register_all() -> None:
+    register("rel_exact_percentiles", q_exact_percentiles, SQL_EXACT_PERCENTILES)
     register("rel_grouping_sets", q_grouping_sets, SQL_GROUPING_SETS)
     register("rel_pivot", q_pivot, SQL_PIVOT)
     register("rel_cube", q_cube, SQL_CUBE)
