@@ -232,7 +232,79 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- window navigation functions ----------------------------------------------------
+
+
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value, ntile, percent_rank, cume_dist over one
+    deterministic partition order."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 2)
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.first("l_orderkey").over(wfull).alias("first_ok"),
+        F.last("l_orderkey").over(wfull).alias("last_ok"),
+        F.nth_value("l_orderkey", 3).over(wfull).alias("third_ok"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+SQL_WINDOW_NAVIGATION = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+  FIRST_VALUE(l_orderkey) OVER wf AS first_ok,
+  LAST_VALUE(l_orderkey) OVER wf AS last_ok,
+  NTH_VALUE(l_orderkey, 3) OVER wf AS third_ok,
+  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+  PERCENT_RANK() OVER w AS pct_rank,
+  CUME_DIST() OVER w AS cume
+FROM lineitem
+WHERE l_suppkey <= 2
+WINDOW
+  w AS (PARTITION BY l_suppkey ORDER BY l_orderkey ASC, l_linenumber ASC),
+  wf AS (PARTITION BY l_suppkey ORDER BY l_orderkey ASC, l_linenumber ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# --- ordered array aggregation ---------------------------------------------------------
+
+
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list + sort + join — emitted as a delimited string so the
+    array content is hash-comparable across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("l_linestatus")), ","
+        ).alias("statuses"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("l_suppkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("suppliers"),
+    )
+
+
+SQL_ARRAY_AGG = """
+SELECT l_returnflag,
+  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+  array_to_string(
+    list_transform(list_sort(list(DISTINCT l_suppkey)), x -> CAST(x AS VARCHAR)),
+    ',') AS suppliers
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def register_all() -> None:
+    register("rel_window_navigation", q_window_navigation, SQL_WINDOW_NAVIGATION)
+    register("rel_array_agg", q_array_agg, SQL_ARRAY_AGG)
     register("rel_exact_percentiles", q_exact_percentiles, SQL_EXACT_PERCENTILES)
     register("rel_grouping_sets", q_grouping_sets, SQL_GROUPING_SETS)
     register("rel_pivot", q_pivot, SQL_PIVOT)
