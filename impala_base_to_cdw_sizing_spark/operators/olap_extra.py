@@ -302,7 +302,42 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- correlated scalar subquery ----------------------------------------------------
+
+
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above their segment's average balance — correlated scalar
+    subquery form (Catalyst decorrelates it into the same aggregate+join
+    plan a manual rewrite produces)."""
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM {c} outer_c
+        WHERE c_acctbal > (
+          -- decimal-sum average: order-independent, engine-identical
+          SELECT CAST(SUM(CAST(i.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*)
+          FROM {c} i
+          WHERE i.c_mktsegment = outer_c.c_mktsegment
+        )
+        """,
+        c=_t(spark, sf_dir, "customer"),
+    )
+
+
+SQL_CORRELATED = """
+SELECT c_custkey, c_mktsegment, c_acctbal
+FROM customer outer_c
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(i.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+  FROM customer i
+  WHERE i.c_mktsegment = outer_c.c_mktsegment
+)
+"""
+
+
 def register_all() -> None:
+    register("rel_correlated_subquery", q_correlated_subquery, SQL_CORRELATED)
     register("rel_window_navigation", q_window_navigation, SQL_WINDOW_NAVIGATION)
     register("rel_array_agg", q_array_agg, SQL_ARRAY_AGG)
     register("rel_exact_percentiles", q_exact_percentiles, SQL_EXACT_PERCENTILES)
