@@ -315,6 +315,32 @@ SELECT q_id, cell_id, rank, c_id AS neighbor_id, cosine FROM (
 """
 
 
+# --- vectorized Pandas-UDF cosine (the Arrow path) ------------------------------
+
+
+def cosine_pandas_udf():
+    """Arrow-batched cosine kernel — the documented alternative when
+    expression-level vector math isn't enough (e.g. calling into numpy/
+    faiss). Property-tested equal to the expression form; NOT used on
+    oracle paths (the JVM expression is the default)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type annotations: the hints would be evaluated against this
+    # module's globals where pd isn't bound (locally imported); the
+    # explicit returnType drives scalar eval mode instead
+    @pandas_udf("double")
+    def cosine(a, b):
+        va = np.stack(a.to_numpy())
+        vb = np.stack(b.to_numpy())
+        dots = (va * vb).sum(axis=1)
+        norms = np.sqrt((va * va).sum(axis=1) * (vb * vb).sum(axis=1))
+        return pd.Series(dots / norms)
+
+    return cosine
+
+
 # --- embedding-cosine near-duplicate pairs -------------------------------------
 
 # τ chosen for the synthetic corpus: random 64-dim embeddings peak near
