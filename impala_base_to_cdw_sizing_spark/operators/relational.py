@@ -169,6 +169,63 @@ GROUP BY n_name
 """
 
 
+# --- q7: bilateral volume by year (temporal extraction + multi-join) -----------
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flow between two nation pairs per year —
+    customer nation × supplier nation with calendar-year extraction
+    (year() verified engine-identical)."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n1 = nation.selectExpr("n_nationkey AS c_nk", "n_name AS cust_nation")
+    n2 = nation.selectExpr("n_nationkey AS s_nk", "n_name AS supp_nation")
+    pair = (("NATION_1", "NATION_2"), ("NATION_2", "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk"))
+        .filter(
+            ((F.col("cust_nation") == pair[0][0]) & (F.col("supp_nation") == pair[0][1]))
+            | ((F.col("cust_nation") == pair[1][0]) & (F.col("supp_nation") == pair[1][1]))
+        )
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("cust_nation", "supp_nation", "l_year")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_Q7 = f"""
+SELECT cust_nation, supp_nation, l_year,
+  {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+  COUNT(*) AS n_items
+FROM (
+  SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+    l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY cust_nation, supp_nation, l_year
+"""
+
+
 # --- semi / anti joins ---------------------------------------------------------
 
 
@@ -375,6 +432,7 @@ def register_all() -> None:
     register("rel_tpch_q1", q_tpch_q1, SQL_Q1)
     register("rel_tpch_q3_topk", q_tpch_q3, SQL_Q3)
     register("rel_tpch_q5_star", q_tpch_q5, SQL_Q5)
+    register("rel_tpch_q7_volume", q_tpch_q7, SQL_Q7)
     register("rel_semi_anti", q_semi_anti, SQL_SEMI_ANTI)
     register("rel_topk_per_group", q_topk_per_group, SQL_TOPK)
     register("rel_setops", q_setops, SQL_SETOPS)

@@ -52,6 +52,43 @@ def test_checkpoint_restart_processes_each_row_exactly_once(spark, tmp_path):
     assert len(epochs) >= 2
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicates across micro-batches (within the watermark) are dropped;
+    distinct keys all survive."""
+    from impala_base_to_cdw_sizing_spark.streaming.dedup_stream import (
+        dedup_stream,
+    )
+
+    src = str(tmp_path / "dsrc")
+    schema = "ts_ms long, doc_hash string"
+    minute = 60_000
+    # batch 1: a, b ; batch 2 (separate file → separate micro-batch):
+    # duplicate of a within the watermark + new c
+    spark.createDataFrame(
+        [(1 * minute, "a"), (2 * minute, "b")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3 * minute, "a"), (4 * minute, "c")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    keys = [r.doc_hash for r in spark.sql("SELECT * FROM dedup_out").collect()]
+    assert sorted(keys) == ["a", "b", "c"], keys  # 'a' emitted exactly once
+
+
 def test_foreachbatch_overwrite_is_redelivery_safe(spark, tmp_path):
     from impala_base_to_cdw_sizing_spark.streaming.sinks import (
         idempotent_parquet_sink,
