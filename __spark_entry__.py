@@ -150,52 +150,19 @@ def q_sizing_summary_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sizing_size_matrix_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship expressed as ONE pure Spark-SQL statement over the
-    registered views — same logical plan family as the DataFrame form
-    (Catalyst converges them), same oracle. Shows a reference user can
-    bring plain SQL."""
-    from impala_base_to_cdw_sizing_spark import catalog
-    from impala_base_to_cdw_sizing_spark.operators.classify import tsize_case_spark
-
-    catalog.register_views(spark, sf_dir)
-    return spark.sql(
-        f"""
-        WITH accepted AS (
-          SELECT * FROM query_history
-          WHERE query_type = 'QUERY' AND has_mem_metric
-        ),
-        derived AS (
-          SELECT *,
-            CAST(ceil(reqd_cache_gb / {P.cache_gb_per_node}) AS BIGINT) AS pod_cache,
-            CAST(ceil(((reqd_agg_mem * {P.mem_adjustment_pct}) / 100)
-              / {P.query_mem_per_node}) AS BIGINT) AS pod_mem,
-            CAST(ceil((({P.cpu_adjustment_pct} * CAST(ceil(cpu_time_sec
-              / (duration_millis / 1000.0)) AS BIGINT)) / 100)
-              / {P.parallel_factor!r}) AS BIGINT) AS pod_cpu,
-            CAST(ceil(memory_spilled_gb / {P.scratch_gb_per_node}) AS BIGINT)
-              AS pod_spill,
-            greatest(
-              reqd_cache_gb / {P.cache_gb_per_node},
-              ((reqd_agg_mem * {P.mem_adjustment_pct}) / 100) / {P.query_mem_per_node},
-              (({P.cpu_adjustment_pct} * CAST(ceil(cpu_time_sec
-                / (duration_millis / 1000.0)) AS BIGINT)) / 100) / {P.parallel_factor!r},
-              memory_spilled_gb / {P.scratch_gb_per_node}
-            ) AS pod_raw
-          FROM accepted
-        ),
-        kept AS (
-          SELECT * FROM derived WHERE CAST(ceil(pod_raw) AS BIGINT) <= {P.pod_limit}
-        ),
-        long AS (
-          SELECT 'count' AS dim, {tsize_case_spark('pod_raw')} AS tsize FROM kept
-          UNION ALL SELECT 'cache', {tsize_case_spark('pod_cache')} FROM kept
-          UNION ALL SELECT 'mem', {tsize_case_spark('pod_mem')} FROM kept
-          UNION ALL SELECT 'cpu', {tsize_case_spark('pod_cpu')} FROM kept
-          UNION ALL SELECT 'spill', {tsize_case_spark('pod_spill')} FROM kept
-        )
-        SELECT dim, tsize, COUNT(*) AS n FROM long GROUP BY dim, tsize
-        """
+    """The flagship expressed as ONE pure Spark-SQL statement — assembled
+    from the SAME SQL generators the oracle uses (derive/classify/matrix
+    are dialect-portable), so the sizing formulas live in exactly one
+    place. Registers only the view the statement reads."""
+    query_history_from_events(spark, sf_dir).createOrReplaceTempView(
+        "query_history"
     )
+    sql = (
+        "WITH "
+        + ",\n".join([ACCEPTED_CTE, DERIVED_CTE, CLASSIFIED_CTE])
+        + size_matrix_sql(P)
+    )
+    return spark.sql(sql)
 
 
 def q_sizing_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:

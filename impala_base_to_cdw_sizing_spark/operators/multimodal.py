@@ -145,8 +145,13 @@ def resize_media(with_payload_df: DataFrame, max_dim: int = 8) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, _ = _decode_payload(payload)
-                scale = max(w, h) / max_dim
-                tw, th = max(1, int(w / scale)), max(1, int(h / scale))
+                # pin the longest side to max_dim exactly and round the
+                # short side (plain division truncates for non-power-of-2
+                # max_dim: 16/1.6 → 9.999… → int() = 9)
+                if w >= h:
+                    tw, th = max_dim, max(1, int(h * max_dim / w + 0.5))
+                else:
+                    tw, th = max(1, int(w * max_dim / h + 0.5)), max_dim
                 step = max(1, len(payload) // (tw * th))
                 rows.append((doc_id, w, h, tw, th, payload[::step][: tw * th]))
             yield pd.DataFrame(

@@ -72,14 +72,15 @@ def test_watermark_drops_late_events(spark, tmp_path):
     path = tmp_path / "late"
     path.mkdir()
 
-    def write_file(name, rows):
+    def write_file(rows):
+        # each coalesce(1) append creates one file → one micro-batch
         spark.createDataFrame(
             rows, "ts_ms long, sign int, pods_u long"
         ).coalesce(1).write.mode("append").parquet(str(path))
         _time.sleep(0.1)
 
     # batch 1: events up to t=12h → watermark advances to 12h - 2h = 10h
-    write_file("b1", [(1 * hour, 1, 10), (12 * hour, 1, 10)])
+    write_file([(1 * hour, 1, 10), (12 * hour, 1, 10)])
 
     stream = spark.readStream.schema(
         "ts_ms long, sign int, pods_u long"
@@ -95,18 +96,21 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # batch 2: one late event in the 1h window (beyond the 10h watermark
     # → dropped) and one within (11h window, inside watermark → kept),
     # plus a fresh event to keep the stream moving
-    write_file("b2", [(1 * hour + 60_000, 1, 99), (11 * hour, 1, 7), (13 * hour, 1, 1)])
+    write_file([(1 * hour + 60_000, 1, 99), (11 * hour, 1, 7), (13 * hour, 1, 1)])
     q.processAllAvailable()
     q.stop()
 
+    # compare on UTC epoch millis via SQL (collect() of timestamps renders
+    # in the MACHINE timezone, which would break this on non-UTC hosts)
     got = {
-        r.window_start.hour + r.window_start.day * 24: r.starts
-        for r in spark.sql("SELECT * FROM late_test").collect()
+        r.ms: r.starts
+        for r in spark.sql(
+            "SELECT unix_millis(window_start) AS ms, starts FROM late_test"
+        ).collect()
     }
     # append mode emits only finalized windows (watermark passed): the 1h
     # window must have exactly its on-time event, the late +99 discarded
-    day0 = 1 * 24  # 1970-01-01 => day=1 in datetime terms
-    assert got.get(day0 + 1) == 1, got  # late event NOT folded in
+    assert got.get(1 * hour) == 1, got  # late event NOT folded in
 
 
 def test_session_bursts(spark):
