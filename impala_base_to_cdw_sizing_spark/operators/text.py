@@ -261,11 +261,17 @@ FROM documents GROUP BY 1
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shingle sets are read 4× downstream (explode ×2 join sides, df-cut,
+    # sizes ×2) — cache them so tokenize+shingle runs once, not per use.
+    # Self-join inputs are likewise materialized: joining two aliases of
+    # an UNcached plan recomputes the whole upstream per side (measured
+    # 2× at sf0.1). Per-doc shingle sets are the LSH working set at any
+    # scale; both caches are O(corpus tokens), evictable, plan-keyed.
     sh = (
         _docs(spark, sf_dir)
         .withColumn("tokens", F.expr(SPARK_TOKENS))
         .selectExpr("doc_id", f"array_distinct({SPARK_SHINGLES}) AS shingles")
-    )
+    ).cache()
     exploded = sh.selectExpr("doc_id", "explode(shingles) AS shingle")
     sizes = sh.selectExpr("doc_id", "size(shingles) AS n_sh")
     # document-frequency cut: shingles shared by >50 docs carry no dedup
@@ -276,7 +282,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= 50)
         .select("shingle")
     )
-    exploded = exploded.join(rare, "shingle")
+    exploded = exploded.join(rare, "shingle").cache()
     a = exploded.alias("a")
     b = exploded.alias("b")
     common = (
@@ -358,7 +364,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hashes", F.expr(f"transform(shingles, s -> {spark_charfold('s')})")
         )
         .selectExpr("doc_id", f"{_spark_sig()} AS sig")
-    )
+    ).cache()  # 8 bigints/doc; read by both self-join sides AND reused
+    # verbatim by dedup_components' edge build (plan-keyed cache hit)
     bands = sigs.selectExpr(
         "doc_id", "sig",
         f"explode(transform(sequence(0, {_N_BANDS - 1}), "
@@ -449,7 +456,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash = " + ".join(
         f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SIM_BITS)
     )
-    sh = bit_sums.selectExpr("doc_id", f"CAST({simhash} AS BIGINT) AS simhash")
+    # one 64-bit row per doc; caching stops the token-hash explode +
+    # 32-way conditional-sum groupBy from running once per join side
+    sh = bit_sums.selectExpr(
+        "doc_id", f"CAST({simhash} AS BIGINT) AS simhash"
+    ).cache()
     bands = sh.selectExpr(
         "doc_id", "simhash",
         "explode(transform(sequence(0, 3), "
