@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -83,7 +84,10 @@ def _decode_payload(payload: bytes) -> tuple[int, int, float]:
     n = len(payload)
     width = 16 + n % 64
     height = max(1, n // max(width, 1))
-    mean = sum(payload) / n if n else 0.0
+    # exact integer byte-sum via numpy (a pure-Python sum() over every
+    # byte dominated the whole decode pass), then one division — value
+    # identical to sum(payload)/n
+    mean = int(np.frombuffer(payload, np.uint8).sum(dtype=np.int64)) / n if n else 0.0
     return width, height, mean
 
 

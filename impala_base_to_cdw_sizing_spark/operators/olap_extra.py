@@ -213,12 +213,21 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group pass is the expensive exact form; ``percentile_approx`` in
     rel_approx_distinct is the sketch-based scale path.)"""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    # one percentile(array(...)) call: the exact aggregator buffers each
+    # group's values once for all four cut points, not once per point
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D))"
+            ).alias("ps"),
+        )
+        .select(
+            "l_returnflag", "n",
+            F.col("ps")[0].alias("p25"), F.col("ps")[1].alias("p50"),
+            F.col("ps")[2].alias("p75"), F.col("ps")[3].alias("p99"),
+        )
     )
 
 

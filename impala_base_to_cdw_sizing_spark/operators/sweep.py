@@ -141,6 +141,11 @@ def running_sums(
         return events.select(*out_cols, *_emit_run(run_micro, run_queries, pos))
 
     # --- segmented exact sweep (the scale path) ---
+    # approxQuantile is an eager action: without the cache it executes the
+    # whole upstream pipeline once for the bucket bounds, and the local /
+    # totals branches below re-execute it twice more. Events are 2 rows ×
+    # a handful of longs per query — the natural thing to materialize.
+    events = events.cache()
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = sorted(set(events.approxQuantile("ts_ms", probs, 0.001)))
     bucket = F.lit(0)
