@@ -52,7 +52,11 @@ def main() -> None:
 
     res = run_sizing(query_history_from_events(spark, sf_dir), DEFAULT_PARAMS)
     collect_report_values(res, DEFAULT_PARAMS)  # forces every branch
-    res.routed.kept.unpersist()
+    # unpersist the frames that actually hold the caches (kept is a
+    # filter over derived, unpersisting it was a no-op)
+    if res.routed.derived is not None:
+        res.routed.derived.unpersist()
+    res.summary.unpersist()
     if res.sweep_events is not None:
         res.sweep_events.unpersist()
     timings["ep2_full_pipeline"] = round(time.perf_counter() - t0, 3)

@@ -64,6 +64,9 @@ class RoutedPlan:
     skipped: DataFrame   # D1 diversions
     kept: DataFrame      # derived, within pod limit → aggregates + sweep
     pruned: DataFrame    # derived, over pod limit → pruned sink only
+    derived: DataFrame | None = None  # the cached pre-prune derived table
+    # (row-for-row with ``accepted``; G1 counts read it to stay on the
+    # cache instead of re-deriving the source)
 
 
 def route(df: DataFrame, params: SizingParams, derive_fn) -> RoutedPlan:
@@ -73,4 +76,7 @@ def route(df: DataFrame, params: SizingParams, derive_fn) -> RoutedPlan:
     with_metrics, skipped = skip_split(filtered)
     derived = derive_fn(with_metrics, params).cache()
     kept, pruned = prune_split(derived, params)
-    return RoutedPlan(accepted=with_metrics, skipped=skipped, kept=kept, pruned=pruned)
+    return RoutedPlan(
+        accepted=with_metrics, skipped=skipped, kept=kept, pruned=pruned,
+        derived=derived,
+    )

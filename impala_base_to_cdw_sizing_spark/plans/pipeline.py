@@ -60,7 +60,11 @@ def run_sizing(
 ) -> SizingResult:
     routed = route(query_history, params, derive)
     classified_kept = classify(routed.kept)
-    summary = summarize(routed.kept, routed.accepted)
+    # G1 counts the cached derived table (row-equal to accepted) so the
+    # count doesn't re-derive from source; the 1-row summary is itself
+    # cached because three consumers read it (reports, utilization,
+    # workload-size lookup)
+    summary = summarize(routed.kept, routed.derived).cache()
     # events feed both the running-sums output and the maxima (and, when
     # segmented, the quantile pass) — cache so the explode runs once
     events = explode_events(routed.kept).cache()
