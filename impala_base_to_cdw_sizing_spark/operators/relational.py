@@ -263,6 +263,117 @@ GROUP BY c_mktsegment
 """
 
 
+# --- q4: correlated EXISTS → semi join + agg ----------------------------------
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): a date-windowed orders
+    scan semi-joined against lineitems shipped after their order date.
+    The correlated EXISTS becomes a left-semi hash join — the right side
+    is never materialized into the output, the fact scan happens once.
+    Adapted to this corpus: no l_commitdate/l_receiptdate, so the lateness
+    predicate is ``l_shipdate > o_orderdate`` (a non-equi conjunct on the
+    semi join)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# --- q6: selective-filter aggregate (pushdown showcase) ------------------------
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): four conjunctive predicates
+    over one fact scan, one global aggregate. All four predicates reach
+    the parquet reader as PushedFilters and the scan prunes to 3 columns
+    — asserted in tests/test_relational (the plan-shape contract, not
+    just the numbers)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1994-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1995-01-01")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_Q6 = f"""
+SELECT
+  {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- q13: outer join + two-level aggregate -------------------------------------
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): LEFT OUTER join with an extra
+    join-side predicate (so zero-order customers survive with count 0),
+    then an aggregate OF the aggregate — the histogram-of-group-sizes
+    shape. Two shuffles by construction: one on the join/group key, one
+    tiny one on the count."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+SQL_Q13 = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
 # --- top-k per group -----------------------------------------------------------
 
 
@@ -433,6 +544,9 @@ def register_all() -> None:
     register("rel_tpch_q3_topk", q_tpch_q3, SQL_Q3)
     register("rel_tpch_q5_star", q_tpch_q5, SQL_Q5)
     register("rel_tpch_q7_volume", q_tpch_q7, SQL_Q7)
+    register("rel_tpch_q4_exists", q_tpch_q4, SQL_Q4)
+    register("rel_tpch_q6_pushdown", q_tpch_q6, SQL_Q6)
+    register("rel_tpch_q13_histogram", q_tpch_q13, SQL_Q13)
     register("rel_semi_anti", q_semi_anti, SQL_SEMI_ANTI)
     register("rel_topk_per_group", q_topk_per_group, SQL_TOPK)
     register("rel_setops", q_setops, SQL_SETOPS)
