@@ -70,3 +70,19 @@ def test_scrub_parity_spark_vs_duckdb_on_pii(spark):
             f"SELECT {expr} FROM (SELECT ? AS text)", [t]
         ).fetchone()[0]
         assert spark_out[i] == duck, f"case {i}: spark={spark_out[i]!r} duck={duck!r}"
+
+
+def test_curate_corpus_single_shuffle_and_nonvacuous(spark):
+    """The curation capstone must (a) keep a strict, nonempty subset —
+    every stage fires on the real corpus — and (b) plan exactly ONE
+    exchange: stats/langid/scrub fuse into one narrow projection and only
+    the fingerprint-dedup window shuffles."""
+    from impala_base_to_cdw_sizing_spark.operators.text import q_curate_corpus
+    from tests.conftest import SF_SMALL
+
+    df = q_curate_corpus(spark, SF_SMALL)
+    total = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    kept = df.count()
+    assert 0 < kept < total
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
