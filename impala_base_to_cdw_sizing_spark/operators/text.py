@@ -517,6 +517,67 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+# --- TF-IDF top terms ------------------------------------------------------------
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by a tf-idf-style score.
+
+    Shape: explode → per-(doc,term) counts → per-term document frequency
+    → join term stats back → ranked window top-k. The rarity factor is
+    the *rational* form ``(N+1)/(df+1)`` rather than its log: one IEEE
+    division of identical operands is bit-equal across engines, while
+    libm ``ln`` may differ in the last ulp (Spark↔DuckDB determinism
+    rule: prefer exact-op scores when ranking is all that matters).
+
+    Scale: both aggregations are map-side-combinable; the df table is
+    vocabulary-sized (≪ corpus) and broadcasts back onto the term rows.
+    """
+    tf = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"explode({SPARK_TOKENS}) AS term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    ).cache()  # read twice: df aggregation + the scored join
+    n_docs = _docs(spark, sf_dir).count()
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_tbl), "term").selectExpr(
+        "doc_id", "term", "tf",
+        f"tf * (CAST({n_docs} + 1 AS DOUBLE) / (df + 1)) AS score",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter("rank <= 3")
+        .select("doc_id", "rank", "term", "tf", "score")
+    )
+
+
+def _tfidf_sql() -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents
+),
+tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+scored AS (
+  SELECT doc_id, term, tf,
+    tf * (CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS score
+  FROM tfc JOIN dfc USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term, tf, score FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 # --- PII scrubbing ---------------------------------------------------------------
 
 # simple, dialect-portable patterns (Java regex ≡ RE2 for these forms);
@@ -761,6 +822,7 @@ def _components_sql() -> str:
 def register_all() -> None:
     register("text_pii_scrub", q_pii_scrub, _pii_sql())
     register("corpus_curate", q_curate_corpus, _curate_sql())
+    register("text_tfidf_topterms", q_tfidf_topterms, _tfidf_sql())
     register("dedup_components", q_dedup_components, _components_sql())
     register("text_stats", q_text_stats, SQL_TEXT_STATS)
     register("text_langid", q_text_langid, _langid_sql())
