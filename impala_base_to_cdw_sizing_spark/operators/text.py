@@ -578,6 +578,53 @@ SELECT doc_id, rank, term, tf, score FROM (
 """
 
 
+# --- sketch accuracy: MinHash estimate vs true Jaccard ---------------------------
+
+
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure the MinHash sketch against ground truth: join the banded
+    candidates' ``est_jaccard`` with the exact shingle-Jaccard on the
+    pairs both produce, and summarize the error. One row:
+    candidate count, matched count, mean/max absolute error.
+
+    This is the 'measure, don't guess' query for sketch parameters —
+    at scale you run it on a sample to pick bands/rows before the full
+    pass. Reuses both cached candidate pipelines.
+    """
+    from .aggregates import dsum
+
+    est = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b", "est_jaccard")
+    true = q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    joined = est.join(true, ["doc_a", "doc_b"])
+    err = F.abs(F.col("est_jaccard") - F.col("jaccard"))
+    matched = joined.agg(
+        F.count("*").alias("n_matched"),
+        (dsum(err) / F.count("*")).alias("mean_abs_err"),
+        F.max(err).alias("max_abs_err"),
+    )
+    n_cand = est.agg(F.count("*").alias("n_candidates"))
+    return n_cand.crossJoin(matched)
+
+
+def _minhash_accuracy_sql() -> str:
+    from .aggregates import dsum_sql
+
+    return f"""
+WITH cand AS ({_minhash_sql().strip()}),
+truth AS ({SQL_NGRAM_JACCARD.strip()}),
+joined AS (
+  SELECT c.est_jaccard, t.jaccard
+  FROM cand c JOIN truth t USING (doc_a, doc_b)
+)
+SELECT
+  (SELECT COUNT(*) FROM cand) AS n_candidates,
+  COUNT(*) AS n_matched,
+  {dsum_sql('abs(est_jaccard - jaccard)')} / COUNT(*) AS mean_abs_err,
+  MAX(abs(est_jaccard - jaccard)) AS max_abs_err
+FROM joined
+"""
+
+
 # --- PII scrubbing ---------------------------------------------------------------
 
 # simple, dialect-portable patterns (Java regex ≡ RE2 for these forms);
@@ -823,6 +870,7 @@ def register_all() -> None:
     register("text_pii_scrub", q_pii_scrub, _pii_sql())
     register("corpus_curate", q_curate_corpus, _curate_sql())
     register("text_tfidf_topterms", q_tfidf_topterms, _tfidf_sql())
+    register("dedup_minhash_accuracy", q_minhash_accuracy, _minhash_accuracy_sql())
     register("dedup_components", q_dedup_components, _components_sql())
     register("text_stats", q_text_stats, SQL_TEXT_STATS)
     register("text_langid", q_text_langid, _langid_sql())
