@@ -35,6 +35,7 @@ def _load_providers() -> None:
         multimodal,
         olap_extra,
         relational,
+        sampling,
         similarity,
         text,
     )
@@ -49,6 +50,7 @@ def _load_providers() -> None:
     similarity.register_all()
     kmeans.register_all()
     multimodal.register_all()
+    sampling.register_all()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,120 @@
+"""Training-data sampling and sequence packing (SURVEY.md §7.1 M8 family).
+
+Two corpus-preparation operators a pretraining pipeline needs beyond
+dedup/curation:
+
+- **stratified sampling**: a deterministic per-class subsample. The
+  "randomness" is a Knuth multiplicative hash of the key — identical
+  integer arithmetic on both engines, so the sample is reproducible
+  anywhere (no RNG, no seed plumbing), yet uncorrelated with ingest
+  order. Plan: one window per class partition, rank ≤ k.
+- **sequence packing**: greedy token-budget binning — documents are
+  ordered pseudo-randomly within each language, the running token count
+  assigns each doc to ``pack_id = floor(prior_cum / budget)``. This is
+  the standard scalable approximation of bin packing (one ordered window
+  per class, no quadratic matching), exactly reproducible via integer
+  window sums.
+
+Scale: both are a single shuffle on the class key. A skewed class (one
+language dominating a 100 TB corpus) would salt the partition key and
+re-offset pack ids by salt bucket — same carry-in trick as the segmented
+sweep (SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries_ext import register
+from .text import DUCK_TOKENS, SPARK_TOKENS
+
+# Knuth multiplicative hash, 32-bit: deterministic pseudo-shuffle key
+_KNUTH = 2654435761
+_M32 = 4294967296
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_sample_stratified(
+    spark: SparkSession, sf_dir: str, per_class: int = 50
+) -> DataFrame:
+    """At most ``per_class`` docs per language, deterministically
+    pseudo-random via the Knuth hash of doc_id."""
+    w = Window.partitionBy("lang").orderBy("shuffle_key", "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr(
+            "doc_id", "lang",
+            f"(doc_id * {_KNUTH}) % {_M32} AS shuffle_key",
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= per_class)
+        .select("doc_id", "lang", "shuffle_key", "rn")
+    )
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, shuffle_key, rn FROM (
+  SELECT doc_id, lang, shuffle_key,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY shuffle_key, doc_id) AS rn
+  FROM (
+    SELECT doc_id, lang, (doc_id * {_KNUTH}) % {_M32} AS shuffle_key
+    FROM documents
+  )
+) WHERE rn <= 50
+"""
+
+
+def q_pack_sequences(
+    spark: SparkSession, sf_dir: str, budget: int = 2048
+) -> DataFrame:
+    """Greedy token-budget packing: per language, documents in
+    pseudo-random order are assigned ``pack_id = floor(prior_cum /
+    budget)`` from an exact integer running token count."""
+    order = [F.col("shuffle_key").asc(), F.col("doc_id").asc()]
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr(
+            "doc_id", "lang",
+            f"CAST(size({SPARK_TOKENS}) AS BIGINT) AS n_tokens",
+            f"(doc_id * {_KNUTH}) % {_M32} AS shuffle_key",
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .selectExpr(
+            "doc_id", "lang", "n_tokens", "cum_tokens",
+            f"CAST(floor((cum_tokens - n_tokens) / {budget}) AS BIGINT)"
+            " AS pack_id",
+        )
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+SELECT doc_id, lang, n_tokens, cum_tokens,
+  CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, lang, n_tokens,
+    CAST(SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY shuffle_key, doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM (
+    SELECT doc_id, lang,
+      len({DUCK_TOKENS}) AS n_tokens,
+      (doc_id * {_KNUTH}) % {_M32} AS shuffle_key
+    FROM documents
+  )
+)
+"""
+
+
+def register_all() -> None:
+    register("sample_stratified", q_sample_stratified, SQL_SAMPLE_STRATIFIED)
+    register("pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES)
