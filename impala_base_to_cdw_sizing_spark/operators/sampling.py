@@ -115,6 +115,54 @@ FROM (
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share any word
+    3-gram with a held-out eval set (here: every 97th doc), with the
+    overlap count as evidence.
+
+    Plan: the eval side's distinct shingles are tiny relative to the
+    corpus — broadcast them and count matches per training doc; no
+    training-side self-join, one aggregation shuffle. This is the shape a
+    100 TB decontamination pass wants: eval benchmarks are megabytes,
+    the corpus is the only big side and it streams once.
+    """
+    from .text import SPARK_SHINGLES
+
+    docs = _docs(spark, sf_dir)
+    shingled = docs.selectExpr(
+        "doc_id",
+        "split(text, ' ') AS tokens",
+    ).selectExpr("doc_id", f"explode(array_distinct({SPARK_SHINGLES})) AS shingle")
+    ev = (
+        shingled.filter("doc_id % 97 = 0")
+        .select("shingle")
+        .distinct()
+    )
+    train = shingled.filter("doc_id % 97 != 0")
+    return (
+        train.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap_shingles"))
+    )
+
+
+def _decontaminate_sql() -> str:
+    from .text import DUCK_SHINGLES
+
+    return f"""
+WITH shingled AS (
+  SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES})) AS shingle
+  FROM (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents)
+),
+ev AS (SELECT DISTINCT shingle FROM shingled WHERE doc_id % 97 = 0)
+SELECT doc_id, COUNT(*) AS n_overlap_shingles
+FROM shingled JOIN ev USING (shingle)
+WHERE doc_id % 97 != 0
+GROUP BY doc_id
+"""
+
+
 def register_all() -> None:
     register("sample_stratified", q_sample_stratified, SQL_SAMPLE_STRATIFIED)
     register("pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES)
+    register("corpus_decontaminate", q_decontaminate, _decontaminate_sql())
