@@ -38,20 +38,15 @@ def main(argv: list[str]) -> int:
         return 1
 
     spark = build_spark("sizing-replay")
-    qh = read_query_history_csv(spark, params.input_file)
-    # replay rows use ISO string timestamps; project to the engine's
-    # epoch-millis interval columns
     from pyspark.sql import functions as F
 
-    qh = qh.withColumns(
-        {
-            "seq": F.monotonically_increasing_id(),
-            "start_ms": F.unix_millis(F.to_timestamp("start_time")),
-            "end_ms": F.unix_millis(F.to_timestamp("end_time")),
-            "admission_wait": F.col("admission_wait").cast("long"),
-            "num_backends": F.col("num_backends").cast("long"),
-        }
-    )
+    from .plans.pipeline import prepare_query_history
+
+    # replay rows use ISO string timestamps; the shared boundary adapter
+    # projects the engine's epoch-millis interval columns and a
+    # deterministic shuffle-free seq (xxhash64(query_id)) so replay and
+    # API ingest order ties identically regardless of input partitioning
+    qh = prepare_query_history(read_query_history_csv(spark, params.input_file))
     result = run_sizing(qh, params)
 
     if params.output_file:

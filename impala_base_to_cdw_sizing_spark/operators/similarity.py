@@ -352,7 +352,8 @@ _NEAR_DUP_TAU = 0.3
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup detection: candidate pairs from the LSH bucket
-    equi-join (no cross join), exact cosine filter at τ=0.95. The
+    equi-join (no cross join), exact cosine filter at τ=0.3 (a realistic
+    0.95 bar is vacuous on this synthetic corpus — see _NEAR_DUP_TAU). The
     all-pairs analog of `sim_lsh_ann` — the 5th dedup modality alongside
     exact/MinHash/SimHash/n-gram."""
     emb = (

@@ -173,17 +173,27 @@ def running_sums(
         F.sum(F.col("sign").cast("long")).alias("tot_queries"),
         F.count("*").alias("tot_rows"),
     )
-    wcarry = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    carry = totals.select(
-        "bucket",
-        *[
-            F.coalesce(F.sum(f"tot_{m}").over(wcarry), F.lit(0).cast(DEC0)).alias(
-                f"carry_{m}"
-            )
-            for m in MEASURES
-        ],
-        F.coalesce(F.sum("tot_queries").over(wcarry), F.lit(0)).alias("carry_queries"),
-        F.coalesce(F.sum("tot_rows").over(wcarry), F.lit(0)).alias("carry_rows"),
+    # carry-in for bucket b = Σ totals of buckets < b. The frame is tiny
+    # (n_buckets rows) but a partition-less Window here would still log
+    # Spark's single-partition warning on every run — a triangular
+    # left self-join aggregate computes the same prefix sums with no
+    # window at all (≤ n_buckets² = 4096 pairs).
+    t, p = totals.alias("t"), totals.alias("p")
+    carry = (
+        t.join(F.broadcast(p), F.col("p.bucket") < F.col("t.bucket"), "left")
+        .groupBy(F.col("t.bucket").alias("bucket"))
+        .agg(
+            *[
+                F.coalesce(F.sum(F.col(f"p.tot_{m}")), F.lit(0).cast(DEC0)).alias(
+                    f"carry_{m}"
+                )
+                for m in MEASURES
+            ],
+            F.coalesce(F.sum(F.col("p.tot_queries")), F.lit(0)).alias(
+                "carry_queries"
+            ),
+            F.coalesce(F.sum(F.col("p.tot_rows")), F.lit(0)).alias("carry_rows"),
+        )
     )
 
     joined = local.join(F.broadcast(carry), "bucket")

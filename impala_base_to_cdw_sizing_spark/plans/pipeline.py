@@ -38,8 +38,13 @@ def prepare_query_history(flat: DataFrame) -> DataFrame:
     """Boundary adapter: ISO-string timestamps (API/replay form) → the
     engine's epoch-millis interval columns + a deterministic ``seq``
     ordering key (SURVEY §7.3.3: one canonical internal schema, two
-    boundary adapters)."""
-    from pyspark.sql import Window
+    boundary adapters).
+
+    ``seq`` only has to be a deterministic total tie-break for the sweep
+    and argmax — it is derived per-row as ``xxhash64(query_id)``
+    (query_id is unique), NOT a global ``row_number()`` window, which
+    would collapse every ingest to a single partition. Shuffle-free and
+    partitioning-independent."""
     from pyspark.sql import functions as F
 
     return flat.withColumns(
@@ -48,7 +53,7 @@ def prepare_query_history(flat: DataFrame) -> DataFrame:
             "end_ms": F.unix_millis(F.to_timestamp("end_time")),
             "admission_wait": F.col("admission_wait").cast("long"),
             "num_backends": F.col("num_backends").cast("long"),
-            "seq": F.row_number().over(Window.orderBy("query_id")).cast("long"),
+            "seq": F.xxhash64("query_id"),
         }
     )
 
@@ -56,7 +61,7 @@ def prepare_query_history(flat: DataFrame) -> DataFrame:
 def run_sizing(
     query_history: DataFrame,
     params: SizingParams,
-    segmented_sweep: bool = False,
+    segmented_sweep: bool = True,
 ) -> SizingResult:
     routed = route(query_history, params, derive)
     classified_kept = classify(routed.kept)
