@@ -149,6 +149,30 @@ def q_sizing_summary_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(kept, accepted)
 
 
+def q_sizing_derive_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 as the generic broadcast non-equi range join (the reference's
+    only "join" analog, ``impala_query_sizing.py:71-84``): all five
+    t-shirt labels come from ``classify_range_join`` against the
+    ``size_buckets`` dimension instead of the when-chain. Same oracle as
+    ``sizing_derive`` — the two classifier formulations must agree on
+    every row. Catalyst broadcasts the 5-row bucket dim, so each join is
+    one comparison chain per row (scale-safe)."""
+    from impala_base_to_cdw_sizing_spark.operators.classify import (
+        classify_range_join,
+    )
+
+    df = derive(_accepted(spark, sf_dir), P)
+    for col, out in [
+        ("min_exec_pod_cache", "tsize_cache"),
+        ("min_exec_pod_mem", "tsize_mem"),
+        ("min_exec_pod_cpu", "tsize_cpu"),
+        ("min_exec_pod_spill", "tsize_spill"),
+        ("min_executor_pod_raw", "recommended_tsize"),
+    ]:
+        df = classify_range_join(df, col, out)
+    return df.select(*SIZING_OUTPUT_COLS)
+
+
 def q_sizing_size_matrix_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship expressed as ONE pure Spark-SQL statement — assembled
     from the SAME SQL generators the oracle uses (derive/classify/matrix
@@ -185,10 +209,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sizing_derive": q_sizing_derive,
+        "sizing_derive_rangejoin": q_sizing_derive_rangejoin,
         "sizing_route_pruned": q_sizing_route_pruned,
         "sizing_skipped": q_sizing_skipped,
         "sizing_size_matrix": q_sizing_size_matrix,
-        "sizing_size_matrix_sql": q_sizing_size_matrix_sql,
         "sizing_summary": q_sizing_summary,
         "sizing_summary_pool": q_sizing_summary_pool,
         "sizing_argmax": q_sizing_argmax,
@@ -200,12 +224,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return base
 
 
+_DERIVE_ORACLE = oracle_with(
+    ACCEPTED_CTE, DERIVED_CTE, CLASSIFIED_CTE,
+    body="SELECT " + ", ".join(SIZING_OUTPUT_COLS) + " FROM classified",
+)
+
+
 def oracle_sql() -> dict[str, str]:
     base = {
-        "sizing_derive": oracle_with(
-            ACCEPTED_CTE, DERIVED_CTE, CLASSIFIED_CTE,
-            body="SELECT " + ", ".join(SIZING_OUTPUT_COLS) + " FROM classified",
-        ),
+        "sizing_derive": _DERIVE_ORACLE,
+        # the range-join classifier must land on the identical table
+        "sizing_derive_rangejoin": _DERIVE_ORACLE,
         "sizing_route_pruned": oracle_with(
             ACCEPTED_CTE, DERIVED_CTE, CLASSIFIED_CTE,
             body=(
@@ -221,12 +250,6 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "sizing_size_matrix": oracle_with(
-            ACCEPTED_CTE, DERIVED_CTE, CLASSIFIED_CTE,
-            body=size_matrix_sql(P),
-        ),
-        # same oracle as the DataFrame form — the SQL formulation must
-        # land on identical results
-        "sizing_size_matrix_sql": oracle_with(
             ACCEPTED_CTE, DERIVED_CTE, CLASSIFIED_CTE,
             body=size_matrix_sql(P),
         ),
@@ -275,4 +298,30 @@ FROM summary
         ),
     }
     base.update(queries_ext.oracle_sql())
+    return base
+
+
+# --- pytest-verified extra tier (NOT part of the driver contract) -------------
+# The driver's correctness report holds at most 50 rows; near-duplicate
+# formulations live here and are oracle-checked by tests/test_extra_tier.py
+# with the same Spark-vs-DuckDB comparator (tools/compare_oracle.py).
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # pure-SQL twin of sizing_size_matrix (same oracle, same results)
+        "sizing_size_matrix_sql": q_sizing_size_matrix_sql,
+    }
+    base.update(queries_ext.extra_queries())
+    return base
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    base = {
+        "sizing_size_matrix_sql": oracle_with(
+            ACCEPTED_CTE, DERIVED_CTE, CLASSIFIED_CTE,
+            body=size_matrix_sql(P),
+        ),
+    }
+    base.update(queries_ext.extra_oracle_sql())
     return base

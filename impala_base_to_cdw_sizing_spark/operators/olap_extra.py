@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .aggregates import dsum, dsum_sql
-from .queries_ext import register
+from .queries_ext import register, register_extra
 
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
@@ -164,16 +164,42 @@ FROM customer
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct + approximate quantiles. Values are
-    estimator-specific, so the driver records a rows-only check; the
-    pytest asserts the estimates sit within tolerance of exact values."""
+    """HLL++ distinct + approximate quantiles, made oracle-checkable: the
+    exact distinct counts are compared value-for-value against DuckDB,
+    and the sketch estimates are pinned as within-tolerance booleans
+    (HLL++ and KLL are deterministic for a fixed dataset, so the flags
+    are stable across runs/partitionings — the oracle asserts literal 1).
+    The previous rows-only form hid the estimates from the gate entirely."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("approx_p99_price"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("_approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_approx_median"),
+        F.expr("percentile(l_extendedprice, CAST(0.5 AS DOUBLE))").alias(
+            "_exact_median"
+        ),
+    ).selectExpr(
+        "exact_parts",
+        "exact_orders",
+        "CAST(abs(_approx_parts - exact_parts) <= 0.05 * exact_parts AS BIGINT)"
+        " AS parts_within_5pct",
+        "CAST(abs(_approx_orders - exact_orders) <= 0.05 * exact_orders AS BIGINT)"
+        " AS orders_within_5pct",
+        "CAST(abs(_approx_median - _exact_median) <= 0.02 * _exact_median AS BIGINT)"
+        " AS median_within_2pct",
     )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+  COUNT(DISTINCT l_orderkey) AS exact_orders,
+  CAST(1 AS BIGINT) AS parts_within_5pct,
+  CAST(1 AS BIGINT) AS orders_within_5pct,
+  CAST(1 AS BIGINT) AS median_within_2pct
+FROM lineitem
+"""
 
 
 # --- explicit grouping sets -----------------------------------------------------
@@ -347,12 +373,17 @@ WHERE c_acctbal > (
 
 def register_all() -> None:
     register("rel_correlated_subquery", q_correlated_subquery, SQL_CORRELATED)
-    register("rel_window_navigation", q_window_navigation, SQL_WINDOW_NAVIGATION)
-    register("rel_array_agg", q_array_agg, SQL_ARRAY_AGG)
     register("rel_exact_percentiles", q_exact_percentiles, SQL_EXACT_PERCENTILES)
     register("rel_grouping_sets", q_grouping_sets, SQL_GROUPING_SETS)
-    register("rel_pivot", q_pivot, SQL_PIVOT)
-    register("rel_cube", q_cube, SQL_CUBE)
     register("rel_window_suite", q_window_suite, SQL_WINDOW_SUITE)
     register("rel_scalar_funcs", q_scalar_funcs, SQL_SCALAR_FUNCS)
-    register("rel_approx_distinct", q_approx_distinct, None)  # rows-only
+    register("rel_approx_distinct", q_approx_distinct, SQL_APPROX_DISTINCT)
+    # pytest-verified tier (driver report caps at 50 rows): navigation
+    # functions are a subset of rel_window_suite, CUBE is the special
+    # case of rel_grouping_sets, PIVOT is demonstrated end-to-end by the
+    # flagship sizing_size_matrix, array_agg by rel_scalar_funcs'
+    # collection functions + text's collect paths
+    register_extra("rel_window_navigation", q_window_navigation, SQL_WINDOW_NAVIGATION)
+    register_extra("rel_array_agg", q_array_agg, SQL_ARRAY_AGG)
+    register_extra("rel_pivot", q_pivot, SQL_PIVOT)
+    register_extra("rel_cube", q_cube, SQL_CUBE)

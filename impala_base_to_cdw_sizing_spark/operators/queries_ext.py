@@ -13,11 +13,28 @@ from pyspark.sql import DataFrame, SparkSession
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 
+# Secondary tier: oracle-verified by pytest (tests/test_extra_tier.py runs
+# the same Spark-vs-DuckDB comparator), but NOT part of the declared
+# driver contract — the driver's correctness report holds at most 50
+# entries, so near-duplicate formulations (a second dialect of the same
+# oracle, metric companions of an operator already checked) live here to
+# keep every *distinct* operator family inside the driver-checked set.
+_EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_EXTRA_ORACLES: dict[str, str] = {}
+
 
 def register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None) -> None:
     _QUERIES[name] = fn
     if sql is not None:
         _ORACLES[name] = sql
+
+
+def register_extra(
+    name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None
+) -> None:
+    _EXTRA_QUERIES[name] = fn
+    if sql is not None:
+        _EXTRA_ORACLES[name] = sql
 
 
 _LOADED = False
@@ -42,15 +59,19 @@ def _load_providers() -> None:
 
     from . import rollup_cascade
 
-    relational.register_all()
-    olap_extra.register_all()
-    rollup_cascade.register_all()
-    asof.register_all()
-    text.register_all()
+    # Registration order IS driver-report order (the report caps at 50
+    # rows): the LLM-pipeline families that fell past the cap in round 1
+    # (similarity, kmeans, multimodal, sampling) register first, the
+    # twice-verified relational/OLAP gap-coverage extras last.
     similarity.register_all()
     kmeans.register_all()
     multimodal.register_all()
     sampling.register_all()
+    text.register_all()
+    rollup_cascade.register_all()
+    asof.register_all()
+    relational.register_all()
+    olap_extra.register_all()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -61,3 +82,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     _load_providers()
     return dict(_ORACLES)
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_providers()
+    return dict(_EXTRA_QUERIES)
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    _load_providers()
+    return dict(_EXTRA_ORACLES)

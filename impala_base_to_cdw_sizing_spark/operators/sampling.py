@@ -69,12 +69,21 @@ SELECT doc_id, lang, shuffle_key, rn FROM (
 """
 
 
-def q_pack_sequences(
+def _docs_with_pack_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id", "lang",
+        f"CAST(size({SPARK_TOKENS}) AS BIGINT) AS n_tokens",
+        f"(doc_id * {_KNUTH}) % {_M32} AS shuffle_key",
+    )
+
+
+def q_pack_sequences_plain(
     spark: SparkSession, sf_dir: str, budget: int = 2048
 ) -> DataFrame:
-    """Greedy token-budget packing: per language, documents in
-    pseudo-random order are assigned ``pack_id = floor(prior_cum /
-    budget)`` from an exact integer running token count."""
+    """Unsalted form: ONE ordered window per language. Correct, but a
+    100 TB corpus dominated by one language funnels that language's
+    entire running sum through a single partition — kept as the oracle
+    twin and the property-test baseline for the salted form below."""
     order = [F.col("shuffle_key").asc(), F.col("doc_id").asc()]
     w = (
         Window.partitionBy("lang")
@@ -82,13 +91,65 @@ def q_pack_sequences(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        _docs(spark, sf_dir)
-        .selectExpr(
-            "doc_id", "lang",
-            f"CAST(size({SPARK_TOKENS}) AS BIGINT) AS n_tokens",
-            f"(doc_id * {_KNUTH}) % {_M32} AS shuffle_key",
-        )
+        _docs_with_pack_keys(spark, sf_dir)
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .selectExpr(
+            "doc_id", "lang", "n_tokens", "cum_tokens",
+            f"CAST(floor((cum_tokens - n_tokens) / {budget}) AS BIGINT)"
+            " AS pack_id",
+        )
+    )
+
+
+# number of salt buckets per class; shuffle_key is uniform on [0, 2^32),
+# so fixed equal-width ranges of the hash space segment each language's
+# pseudo-random order without a quantile pass
+_PACK_SALTS = 8
+_SALT_WIDTH = _M32 // _PACK_SALTS
+
+
+def q_pack_sequences(
+    spark: SparkSession, sf_dir: str, budget: int = 2048
+) -> DataFrame:
+    """Greedy token-budget packing, **salted** (the registered 100 TB
+    path, bit-equal to the unsalted oracle): each language's
+    pseudo-random order is range-segmented into ``_PACK_SALTS`` salt
+    buckets on the uniform shuffle_key, running token sums are computed
+    per (lang, salt bucket) in parallel, and a tiny per-language
+    triangular self-join supplies each bucket's carry-in offset — the
+    same two-phase trick as the segmented concurrency sweep. A skewed
+    class now spreads over ``_PACK_SALTS`` window partitions instead of
+    funneling through one."""
+    order = [F.col("shuffle_key").asc(), F.col("doc_id").asc()]
+    docs = _docs_with_pack_keys(spark, sf_dir).withColumn(
+        "salt", (F.col("shuffle_key") / _SALT_WIDTH).cast("int")
+    )
+    w = (
+        Window.partitionBy("lang", "salt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = docs.withColumn("loc_cum", F.sum("n_tokens").over(w))
+    totals = docs.groupBy("lang", "salt").agg(
+        F.sum("n_tokens").alias("tot_tokens")
+    )
+    t, p = totals.alias("t"), totals.alias("p")
+    carry = (
+        t.join(
+            F.broadcast(p),
+            (F.col("p.lang") == F.col("t.lang"))
+            & (F.col("p.salt") < F.col("t.salt")),
+            "left",
+        )
+        .groupBy(F.col("t.lang").alias("lang"), F.col("t.salt").alias("salt"))
+        .agg(F.coalesce(F.sum("p.tot_tokens"), F.lit(0)).alias("carry_tokens"))
+    )
+    return (
+        local.join(F.broadcast(carry), ["lang", "salt"])
+        .selectExpr(
+            "doc_id", "lang", "n_tokens",
+            "loc_cum + carry_tokens AS cum_tokens",
+        )
         .selectExpr(
             "doc_id", "lang", "n_tokens", "cum_tokens",
             f"CAST(floor((cum_tokens - n_tokens) / {budget}) AS BIGINT)"

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries_ext import register
+from .queries_ext import register, register_extra
 
 _MOD = 1_000_000_000_000_000  # 1e15: keeps acc*31+x < 2^63
 
@@ -142,15 +142,19 @@ FROM (
 # --- text_langid -----------------------------------------------------------------
 
 
-def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hit_cols = {
+def _langid_hit_cols() -> dict[str, object]:
+    return {
         f"hits_{lang}": F.expr(
             f"CAST(size(filter(tokens, t -> array_contains({_arr(m)}, t))) AS BIGINT)"
         )
         for lang, m in LANG_MARKERS.items()
     }
+
+
+def _langid_case() -> str:
+    """Deterministic argmax CASE over the hits_<lang> columns: first
+    language (in declared order) with max hits. Dialect-portable."""
     langs = list(LANG_MARKERS)
-    # deterministic argmax: first language (in declared order) with max hits
     pred = "CASE "
     for lang in langs:
         conds = " AND ".join(
@@ -158,6 +162,13 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pred += f"WHEN {conds} THEN '{lang}' "
     pred += "END"
+    return pred
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hit_cols = _langid_hit_cols()
+    langs = list(LANG_MARKERS)
+    pred = _langid_case()
     return (
         _docs(spark, sf_dir)
         .withColumn("tokens", F.expr(SPARK_TOKENS))
@@ -177,11 +188,7 @@ def _langid_sql() -> str:
         f"len(list_filter(tokens, t -> list_contains({_lst(m)}, t))) AS hits_{lang}"
         for lang, m in LANG_MARKERS.items()
     )
-    pred = "CASE "
-    for lang in langs:
-        conds = " AND ".join(f"hits_{lang} >= hits_{o}" for o in langs if o != lang)
-        pred += f"WHEN {conds} THEN '{lang}' "
-    pred += "END"
+    pred = _langid_case()
     return f"""
 SELECT doc_id, lang, {', '.join(f'hits_{lang}' for lang in langs)},
   {pred} AS predicted_lang,
@@ -236,6 +243,71 @@ SELECT doc_id,
   {duck_charfold('lower(substring(text, 1, 64))')} AS fp_prefix64,
   {duck_charfold('lower(text)')} AS fp_full
 FROM documents
+"""
+
+
+# --- text_profile: the four text-analysis ops in ONE pass -----------------------
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality stats + language-ID + token counts + fingerprint as a
+    single zero-shuffle map over ``documents`` — the shape a 100 TB
+    per-document profiling pass wants (one scan, all features, pure
+    codegen expressions). The four standalone formulations remain in the
+    pytest-verified extra tier; this query is their driver-checked
+    umbrella (same expression constants, so they cannot drift)."""
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(SPARK_TOKENS))
+        .withColumns(_langid_hit_cols())
+        .withColumn("predicted_lang", F.expr(_langid_case()))
+        .selectExpr(
+            "doc_id", "lang",
+            "CAST(size(tokens) AS BIGINT) AS n_tokens",
+            "CAST(size(array_distinct(tokens)) AS BIGINT) AS n_distinct",
+            "aggregate(transform(tokens, t -> length(t)), cast(0 as bigint),"
+            " (acc, x) -> acc + x) AS total_token_chars",
+            f"CAST(size(filter(tokens, t -> array_contains({_arr(STOPWORDS)}, t)))"
+            " AS BIGINT) AS n_stopwords",
+            "CAST(regexp_count(text, '[a-z]+') AS BIGINT) AS n_alpha_runs",
+            "CAST(regexp_count(text, '[0-9]+') AS BIGINT) AS n_digit_runs",
+            "CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_subword_est",
+            "predicted_lang",
+            "CAST(predicted_lang = lang AS BIGINT) AS is_correct",
+            f"{spark_charfold('lower(substring(text, 1, 64))')} AS fp_prefix64",
+        )
+        .selectExpr(
+            "doc_id", "lang", "n_tokens", "n_distinct", "total_token_chars",
+            "total_token_chars / n_tokens AS avg_token_len",
+            "n_stopwords / n_tokens AS stopword_ratio",
+            "n_distinct / n_tokens AS distinct_ratio",
+            "CAST(0.4 AS DOUBLE) * (n_stopwords / n_tokens)"
+            " + CAST(0.3 AS DOUBLE) * (n_distinct / n_tokens)"
+            " + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),"
+            " n_tokens / CAST(100.0 AS DOUBLE)) AS quality_score",
+            "n_alpha_runs", "n_digit_runs", "n_subword_est",
+            "predicted_lang", "is_correct", "fp_prefix64",
+        )
+    )
+
+
+def _profile_sql() -> str:
+    """Oracle: join of the four standalone oracles on doc_id (the oracle
+    only has to produce identical VALUES; its plan shape is irrelevant)."""
+    langid = _langid_sql()
+    return f"""
+WITH s AS ({SQL_TEXT_STATS}),
+l AS ({langid}),
+t AS ({SQL_TOKEN_COUNT}),
+f AS ({SQL_FINGERPRINT})
+SELECT s.doc_id, l.lang, s.n_tokens, s.n_distinct, s.total_token_chars,
+  s.avg_token_len, s.stopword_ratio, s.distinct_ratio, s.quality_score,
+  t.n_alpha_runs, t.n_digit_runs, t.n_subword_est,
+  l.predicted_lang, l.is_correct, f.fp_prefix64
+FROM s
+JOIN l ON s.doc_id = l.doc_id
+JOIN t ON s.doc_id = t.doc_id
+JOIN f ON s.doc_id = f.doc_id
 """
 
 
@@ -839,6 +911,54 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+def cc_labels_converged(
+    edges: DataFrame, nodes: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Runtime connected components: min-label propagation iterated **to
+    convergence** (stop when zero labels change), not a fixed unrolled
+    horizon. ``q_dedup_components`` keeps the 4-iteration unrolled form
+    because the DuckDB oracle replays it exactly; that form splits any
+    duplicate chain whose graph diameter exceeds 4 — real 100 TB corpora
+    have long chains, so production clustering uses this variant.
+
+    ``edges`` must be symmetric (doc_a, doc_b); ``nodes`` one doc_id per
+    vertex. Each iteration is one join + one aggregation; the label frame
+    is localCheckpoint-ed to truncate lineage (on a real cluster, set a
+    checkpoint dir and use ``checkpoint()``). Propagating min labels
+    converges within the graph diameter; ``max_iters`` is a runaway
+    bound, not a correctness horizon."""
+    edges = edges.cache()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def _components_sql() -> str:
     pairs_sql = _minhash_sql().strip()
     # reuse the full minhash pair query as a CTE, then unroll propagation
@@ -867,16 +987,21 @@ def _components_sql() -> str:
 
 
 def register_all() -> None:
+    register("text_profile", q_text_profile, _profile_sql())
     register("text_pii_scrub", q_pii_scrub, _pii_sql())
     register("corpus_curate", q_curate_corpus, _curate_sql())
     register("text_tfidf_topterms", q_tfidf_topterms, _tfidf_sql())
-    register("dedup_minhash_accuracy", q_minhash_accuracy, _minhash_accuracy_sql())
     register("dedup_components", q_dedup_components, _components_sql())
-    register("text_stats", q_text_stats, SQL_TEXT_STATS)
-    register("text_langid", q_text_langid, _langid_sql())
-    register("text_token_count", q_token_count, SQL_TOKEN_COUNT)
-    register("text_fingerprint", q_fingerprint, SQL_FINGERPRINT)
     register("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT)
     register("dedup_ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD)
     register("dedup_minhash", q_dedup_minhash, _minhash_sql())
     register("dedup_simhash", q_dedup_simhash, _simhash_sql())
+    # pytest-verified tier (driver report caps at 50 rows): the four
+    # standalone text-analysis formulations are the per-op views of
+    # text_profile (same expression constants); minhash_accuracy is a
+    # metric companion of the driver-checked dedup_minhash
+    register_extra("text_stats", q_text_stats, SQL_TEXT_STATS)
+    register_extra("text_langid", q_text_langid, _langid_sql())
+    register_extra("text_token_count", q_token_count, SQL_TOKEN_COUNT)
+    register_extra("text_fingerprint", q_fingerprint, SQL_FINGERPRINT)
+    register_extra("dedup_minhash_accuracy", q_minhash_accuracy, _minhash_accuracy_sql())

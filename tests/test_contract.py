@@ -16,10 +16,10 @@ def test_every_oracle_key_has_a_query():
     qs, oracles = ent.queries(), ent.oracle_sql()
     assert set(oracles) <= set(qs), set(oracles) - set(qs)
     assert all(callable(fn) for fn in qs.values())
-    # the two deliberate rows-only entries, and no accidental ones
-    assert sorted(set(qs) - set(oracles)) == [
-        "mm_decode_stub", "rel_approx_distinct",
-    ]
+    # the one deliberate rows-only entry (Python decode kernel), and no
+    # accidental ones; rel_approx_distinct gained an exact+tolerance
+    # oracle in round 2
+    assert sorted(set(qs) - set(oracles)) == ["mm_decode_stub"]
 
 
 def test_oracle_sql_parses_in_duckdb():

@@ -1,0 +1,41 @@
+"""Extra-tier parity: the driver's correctness report caps at 50 rows, so
+near-duplicate formulations (second dialects of an already-checked oracle,
+metric companions, the per-op views of text_profile) are registered via
+``register_extra`` and oracle-verified HERE with the exact comparator the
+declared tier uses (tools/compare_oracle.compare_frames)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tests.conftest import SF_SMALL  # noqa: E402
+from tools.compare_oracle import compare_frames, duck_connection  # noqa: E402
+
+import __spark_entry__ as ent  # noqa: E402
+
+
+def _cases():
+    qs, oracles = ent.extra_queries(), ent.extra_oracle_sql()
+    return [(name, fn, oracles.get(name)) for name, fn in qs.items()]
+
+
+def test_extra_tier_is_nonempty_and_fully_oracled():
+    qs, oracles = ent.extra_queries(), ent.extra_oracle_sql()
+    assert set(qs) == set(oracles)  # nothing hides in the extra tier
+    # the declared contract stays within the driver's 50-row report
+    assert len(ent.queries()) <= 50
+    assert not set(qs) & set(ent.queries())
+
+
+@pytest.mark.parametrize("name,fn,sql", _cases(), ids=[c[0] for c in _cases()])
+def test_extra_query_matches_oracle(spark, name, fn, sql):
+    spark_pdf = fn(spark, SF_SMALL).toPandas()
+    con = duck_connection(SF_SMALL)
+    duck_pdf = con.execute(sql).fetch_df()
+    issues = compare_frames(name, spark_pdf, duck_pdf)
+    assert not issues, f"{name}: " + "; ".join(issues)

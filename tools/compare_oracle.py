@@ -6,7 +6,9 @@ row count, column names, and exact values (column-name-sorted,
 row-sorted) — strictly stronger than the driver's order-insensitive
 value hash, so passing here implies passing there.
 
-Usage: python tools/compare_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/compare_oracle.py [--extra] [sf_dir] [query_name ...]
+``--extra`` checks the pytest-verified extra tier (extra_queries()) instead
+of the declared contract.
 """
 
 from __future__ import annotations
@@ -85,15 +87,20 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--extra"]
+    extra = "--extra" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as ent
     from impala_base_to_cdw_sizing_spark.session import build_spark
 
     spark = build_spark("oracle-parity")
     con = duck_connection(sf_dir)
-    qs, oracles = ent.queries(), ent.oracle_sql()
+    if extra:
+        qs, oracles = ent.extra_queries(), ent.extra_oracle_sql()
+    else:
+        qs, oracles = ent.queries(), ent.oracle_sql()
 
     failures = 0
     for name, fn in qs.items():
