@@ -391,9 +391,47 @@ WHERE {DUCK_DOT.format(a='a.v', b='b.v')} / sqrt(a.norm2 * b.norm2)
 """
 
 
+# --- embedding normalization + int8 quantization ----------------------------
+
+
+def q_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize every embedding and symmetric-quantize each component
+    to int8 (round-half-up of unit·127) — the storage/transfer form a
+    serving or training pipeline writes after embedding. Long-form output
+    (vec_id, dim, unit, q8) so the oracle compares scalar-by-scalar.
+    Pure map stage: posexplode + arithmetic in codegen, no shuffle; at
+    100 TB this pipelines with the parquet scan."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "norm2", F.expr(SPARK_DOT.format(a="v", b="v"))
+    )
+    return emb.select(
+        "vec_id", "norm2", F.posexplode("v").alias("dim", "x")
+    ).selectExpr(
+        "vec_id",
+        "CAST(dim AS BIGINT) AS dim",
+        "x / sqrt(norm2) AS unit",
+        "CAST(floor(x / sqrt(norm2) * 127 + 0.5) AS BIGINT) AS q8",
+    )
+
+
+SQL_EMB_NORMALIZE = f"""
+WITH emb AS ({DUCK_EMB}),
+normed AS (
+  SELECT vec_id, v, {DUCK_DOT.format(a='v', b='v')} AS norm2 FROM emb
+)
+SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+  v[i] / sqrt(norm2) AS unit,
+  CAST(floor(v[i] / sqrt(norm2) * 127 + 0.5) AS BIGINT) AS q8
+FROM normed, (SELECT unnest(range(1, 65)) AS i)
+"""
+
+
 def register_all() -> None:
+    from .queries_ext import register_extra
+
     register("dedup_embedding_cosine", q_dedup_embedding_cosine, SQL_DEDUP_EMB_COSINE)
     register("sim_cosine_topk", q_cosine_topk, SQL_COSINE_TOPK)
     register("sim_lsh_ann", q_lsh_ann, SQL_LSH_ANN)
     register("sim_ivf_ann", q_ivf_ann, SQL_IVF_ANN)
     register("emb_label_centroids", q_label_centroids, SQL_LABEL_CENTROIDS)
+    register_extra("emb_normalize", q_emb_normalize, SQL_EMB_NORMALIZE)

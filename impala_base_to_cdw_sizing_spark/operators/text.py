@@ -986,6 +986,150 @@ def _components_sql() -> str:
     return "WITH " + ",\n".join(parts) + f"\nSELECT doc_id, cluster FROM {prev}"
 
 
+# --- Gopher-style repetition / quality filters ------------------------------
+
+# thresholds adapted from the public Gopher corpus-filtering rules
+# (Rae et al. 2021, "Scaling Language Models", appendix A): doc length
+# bounds, mean-word-length band, symbol-to-word and repetition caps.
+_GOPHER_MIN_TOKENS = 5
+_GOPHER_MAX_TOKENS = 100_000
+_GOPHER_MIN_WORD_LEN = 2.0
+_GOPHER_MAX_WORD_LEN = 12.0
+_GOPHER_MAX_SYMBOL_RATIO = 0.3
+_GOPHER_MAX_DUP_3GRAM = 0.5
+_GOPHER_MAX_TOP_2GRAM = 0.3
+
+_SPARK_2GRAMS = (
+    "CASE WHEN size(tokens) < 2 THEN array(concat_ws(' ', tokens)) "
+    "ELSE transform(sequence(1, size(tokens) - 1), "
+    "i -> concat_ws(' ', slice(tokens, i, 2))) END"
+)
+_DUCK_2GRAMS = (
+    "CASE WHEN len(tokens) < 2 THEN [array_to_string(tokens, ' ')] "
+    "ELSE list_transform(range(1, len(tokens)), "
+    "i -> array_to_string(tokens[i:i+1], ' ')) END"
+)
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering in the style of the public
+    Gopher rules: duplicate word-3-gram fraction, most-frequent-2-gram
+    mass, symbol-to-word ratio, numeric-token fraction, mean word
+    length, and a combined pass/fail flag. Entirely higher-order array
+    expressions inside codegen — at 100 TB this is a pure map over the
+    corpus, no shuffle at all. The top-2-gram count is O(distinct×total)
+    per document, bounded by document length — not a corpus-wide
+    aggregation."""
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(SPARK_TOKENS))
+        .withColumn("grams3", F.expr(SPARK_SHINGLES))
+        .withColumn("grams2", F.expr(_SPARK_2GRAMS))
+        .selectExpr(
+            "doc_id",
+            "CAST(size(tokens) AS BIGINT) AS n_tokens",
+            "CAST(1 AS DOUBLE) - size(array_distinct(grams3)) / size(grams3)"
+            " AS dup_3gram_frac",
+            "array_max(transform(array_distinct(grams2),"
+            " g -> size(filter(grams2, x -> x = g)))) / size(grams2)"
+            " AS top_2gram_frac",
+            "size(filter(tokens, t -> t rlike '[^a-zA-Z0-9]')) / size(tokens)"
+            " AS symbol_ratio",
+            "size(filter(tokens, t -> t rlike '^[0-9]+$')) / size(tokens)"
+            " AS numeric_frac",
+            "aggregate(transform(tokens, t -> length(t)), cast(0 as bigint),"
+            " (acc, x) -> acc + x) / size(tokens) AS mean_word_len",
+        )
+        .selectExpr(
+            "*",
+            f"n_tokens >= {_GOPHER_MIN_TOKENS}"
+            f" AND n_tokens <= {_GOPHER_MAX_TOKENS}"
+            f" AND mean_word_len >= {_GOPHER_MIN_WORD_LEN}"
+            f" AND mean_word_len <= {_GOPHER_MAX_WORD_LEN}"
+            f" AND symbol_ratio <= {_GOPHER_MAX_SYMBOL_RATIO}"
+            f" AND dup_3gram_frac <= {_GOPHER_MAX_DUP_3GRAM}"
+            f" AND top_2gram_frac <= {_GOPHER_MAX_TOP_2GRAM}"
+            " AS gopher_pass",
+        )
+    )
+
+
+SQL_QUALITY_GOPHER = f"""
+SELECT *,
+  n_tokens >= {_GOPHER_MIN_TOKENS}
+    AND n_tokens <= {_GOPHER_MAX_TOKENS}
+    AND mean_word_len >= {_GOPHER_MIN_WORD_LEN}
+    AND mean_word_len <= {_GOPHER_MAX_WORD_LEN}
+    AND symbol_ratio <= {_GOPHER_MAX_SYMBOL_RATIO}
+    AND dup_3gram_frac <= {_GOPHER_MAX_DUP_3GRAM}
+    AND top_2gram_frac <= {_GOPHER_MAX_TOP_2GRAM}
+  AS gopher_pass
+FROM (
+  SELECT doc_id,
+    len(tokens) AS n_tokens,
+    CAST(1 AS DOUBLE) - len(list_distinct(grams3)) / len(grams3)
+      AS dup_3gram_frac,
+    list_max(list_transform(list_distinct(grams2),
+      g -> len(list_filter(grams2, x -> x = g)))) / len(grams2)
+      AS top_2gram_frac,
+    len(list_filter(tokens, t -> regexp_matches(t, '[^a-zA-Z0-9]')))
+      / len(tokens) AS symbol_ratio,
+    len(list_filter(tokens, t -> regexp_matches(t, '^[0-9]+$')))
+      / len(tokens) AS numeric_frac,
+    list_reduce([CAST(0 AS BIGINT)] ||
+      list_transform(tokens, t -> CAST(length(t) AS BIGINT)),
+      (acc, x) -> acc + x) / len(tokens) AS mean_word_len
+  FROM (
+    SELECT doc_id, tokens, {DUCK_SHINGLES} AS grams3, {_DUCK_2GRAMS} AS grams2
+    FROM (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents)
+  )
+)
+"""
+
+
+# --- duplicate-cluster representative selection -----------------------------
+
+
+def q_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection over the near-dup clusters: within
+    each :func:`q_dedup_components` cluster keep the longest document
+    (token count; doc_id breaks ties) — the "which copy survives dedup"
+    decision a corpus pipeline makes after clustering. One window over
+    the cluster key on top of the components labels; clusters are small
+    (near-dup groups), so no skew concern."""
+    from pyspark.sql import Window
+
+    labels = q_dedup_components(spark, sf_dir)
+    sized = labels.join(
+        _docs(spark, sf_dir).selectExpr(
+            "doc_id", f"CAST(size({SPARK_TOKENS}) AS BIGINT) AS n_tokens"
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return sized.withColumn("is_rep", F.row_number().over(w) == 1).select(
+        "doc_id", "cluster", "n_tokens", "is_rep"
+    )
+
+
+def _cluster_rep_sql() -> str:
+    return f"""
+WITH comp AS (
+{_components_sql()}
+), sized AS (
+  SELECT c.doc_id, c.cluster,
+    CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT doc_id, cluster, n_tokens,
+  ROW_NUMBER() OVER (
+    PARTITION BY cluster ORDER BY n_tokens DESC, doc_id ASC) = 1 AS is_rep
+FROM sized
+"""
+
+
 def register_all() -> None:
     register("text_profile", q_text_profile, _profile_sql())
     register("text_pii_scrub", q_pii_scrub, _pii_sql())
@@ -1005,3 +1149,5 @@ def register_all() -> None:
     register_extra("text_token_count", q_token_count, SQL_TOKEN_COUNT)
     register_extra("text_fingerprint", q_fingerprint, SQL_FINGERPRINT)
     register_extra("dedup_minhash_accuracy", q_minhash_accuracy, _minhash_accuracy_sql())
+    register_extra("text_quality_gopher", q_quality_gopher, SQL_QUALITY_GOPHER)
+    register_extra("dedup_cluster_rep", q_cluster_rep, _cluster_rep_sql())
