@@ -1011,18 +1011,16 @@ _DUCK_2GRAMS = (
 )
 
 
-def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition-based quality filtering in the style of the public
-    Gopher rules: duplicate word-3-gram fraction, most-frequent-2-gram
-    mass, symbol-to-word ratio, numeric-token fraction, mean word
-    length, and a combined pass/fail flag. Entirely higher-order array
-    expressions inside codegen — at 100 TB this is a pure map over the
-    corpus, no shuffle at all. The top-2-gram count is O(distinct×total)
-    per document, bounded by document length — not a corpus-wide
-    aggregation."""
+def gopher_signals(docs: DataFrame) -> DataFrame:
+    """Apply the quality signals + pass flag to any (doc_id, text) frame.
+
+    The synthetic test corpus is clean — every document passes the
+    published thresholds (measured: 500/500 at sf0.01, worst
+    dup_3gram_frac 0.27) — so non-vacuity of each rule is pinned by
+    ``tests/test_quality_gopher.py`` over synthesized degenerate
+    documents (same pattern as the PII-scrub non-vacuity test)."""
     return (
-        _docs(spark, sf_dir)
-        .withColumn("tokens", F.expr(SPARK_TOKENS))
+        docs.withColumn("tokens", F.expr(SPARK_TOKENS))
         .withColumn("grams3", F.expr(SPARK_SHINGLES))
         .withColumn("grams2", F.expr(_SPARK_2GRAMS))
         .selectExpr(
@@ -1052,6 +1050,18 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS gopher_pass",
         )
     )
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering in the style of the public
+    Gopher rules: duplicate word-3-gram fraction, most-frequent-2-gram
+    mass, symbol-to-word ratio, numeric-token fraction, mean word
+    length, and a combined pass/fail flag. Entirely higher-order array
+    expressions inside codegen — at 100 TB this is a pure map over the
+    corpus, no shuffle at all. The top-2-gram count is O(distinct×total)
+    per document, bounded by document length — not a corpus-wide
+    aggregation."""
+    return gopher_signals(_docs(spark, sf_dir))
 
 
 SQL_QUALITY_GOPHER = f"""
