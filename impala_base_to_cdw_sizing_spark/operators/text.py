@@ -866,102 +866,102 @@ FROM dedup WHERE rn = 1
 
 # --- duplicate clustering: connected components over the near-dup graph -----
 
+# retained for the property-test twin (tests/test_round2.py) that pins
+# the fixed-horizon form's chain-splitting behavior against the
+# convergent declared path
 _CC_ITERS = 4
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster near-duplicates into duplicate groups via ``_CC_ITERS``
-    unrolled min-label-propagation iterations — connected components as
-    pure DataFrame joins (the distributed CC kernel; iterations = graph
-    diameter bound, fixed so the DuckDB oracle replays the computation
-    exactly). Edges are the *MinHash* candidate pairs at est_jaccard ≥
-    0.5 — a sparse, meaningful near-dup graph (the SimHash graph
-    degenerates to a near-clique on this shared-vocabulary corpus: ~2M
-    edges at sf0.1, measured). Output: doc_id → cluster id (the minimum
-    doc_id reachable within the horizon).
+    """Cluster near-duplicates into duplicate groups: min-label
+    propagation iterated **to convergence** (:func:`cc_labels_converged`)
+    over the MinHash candidate graph — connected components as pure
+    DataFrame joins. Edges are the candidate pairs at est_jaccard ≥ 0.5;
+    a sparse, meaningful near-dup graph (the SimHash graph degenerates to
+    a near-clique on this shared-vocabulary corpus: ~2M edges at sf0.1,
+    measured). Output: doc_id → cluster id (the minimum doc_id in the
+    connected component — the DuckDB oracle computes the same fixpoint
+    via a recursive reachability CTE, so convergence is oracle-checked,
+    not assumed).
+
+    Only edge endpoints can ever change label, so propagation runs over
+    the (much smaller) endpoint set; isolated docs join back at the end
+    with their own id as cluster. At corpus scale the iteration frames
+    shrink from |corpus| to |near-dup endpoints| (orders of magnitude).
     """
     pairs = (
         q_dedup_minhash(spark, sf_dir)
-        .filter(F.col("n_equal") >= 4)
+        .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b")
     )
     # every propagation iteration joins the edge list; cache it so the
-    # SimHash candidate pipeline (explode + band join) runs once, not
+    # MinHash candidate pipeline (explode + band join) runs once, not
     # once per iteration
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()
-    # Only edge endpoints can ever change label — iterate over the (much
-    # smaller) endpoint set and left-join the isolated docs back at the
-    # end with their own id as cluster. Identical output; at corpus scale
-    # the iteration frames shrink from |corpus| to |near-dup endpoints|
-    # (orders of magnitude). Measured 11.2 s → ~8 s at sf0.1 even with
-    # this tiny corpus.
-    endpoints = edges.select(F.col("doc_a").alias("doc_id")).distinct().cache()
-    labels = endpoints.select("doc_id", F.col("doc_id").alias("cluster"))
-    for _ in range(_CC_ITERS):
-        nbr = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("cluster").alias("nbr_min"))
-        )
-        labels = (
-            labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
-                ).alias("cluster"),
-            )
-        )
+    endpoints = edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    labels = cc_labels_converged(edges, endpoints)
     docs = _docs(spark, sf_dir).select("doc_id")
-    return docs.join(F.broadcast(labels), "doc_id", "left").select(
+    # plain left join: the endpoint label frame can exceed broadcast
+    # limits on a real corpus, so no broadcast hint — AQE broadcasts at
+    # runtime when the frame is actually small
+    return docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster")
     )
 
 
 def cc_labels_converged(
-    edges: DataFrame, nodes: DataFrame, max_iters: int = 50
+    edges: DataFrame, nodes: DataFrame, max_iters: int = 50, n_salts: int = 16
 ) -> DataFrame:
-    """Runtime connected components: min-label propagation iterated **to
+    """Connected components: min-label propagation iterated **to
     convergence** (stop when zero labels change), not a fixed unrolled
-    horizon. ``q_dedup_components`` keeps the 4-iteration unrolled form
-    because the DuckDB oracle replays it exactly; that form splits any
-    duplicate chain whose graph diameter exceeds 4 — real 100 TB corpora
-    have long chains, so production clustering uses this variant.
+    horizon — a fixed horizon splits any duplicate chain whose graph
+    diameter exceeds it, and real 100 TB corpora have long chains.
 
     ``edges`` must be symmetric (doc_a, doc_b); ``nodes`` one doc_id per
-    vertex. Each iteration is one join + one aggregation; the label frame
-    is localCheckpoint-ed to truncate lineage (on a real cluster, set a
-    checkpoint dir and use ``checkpoint()``). Propagating min labels
-    converges within the graph diameter; ``max_iters`` is a runaway
-    bound, not a correctness horizon."""
+    vertex. Each iteration is one join + one salted aggregation; the
+    label frame is localCheckpoint-ed to truncate lineage (on a real
+    cluster, set a checkpoint dir and use ``checkpoint()``). The
+    neighbor-min aggregation goes through :func:`~.skew.salted_agg`
+    because near-dup graphs have hub nodes (a boilerplate page linked to
+    everything): a hot ``doc_a`` would funnel its whole adjacency to one
+    reducer's final agg — salting spreads it over ``n_salts`` partials
+    first (min is associative, so partial-min-of-mins is exact).
+    Propagating min labels converges within the graph diameter;
+    ``max_iters`` is a runaway bound, not a correctness horizon."""
+    from .skew import salted_agg
+
     edges = edges.cache()
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iters):
-        nbr = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("cluster").alias("nbr_min"))
+        contrib = edges.join(labels, edges.doc_b == labels.doc_id).select(
+            "doc_a", "cluster"
         )
-        new_labels = (
+        nbr = salted_agg(
+            contrib,
+            "doc_a",
+            aggs=lambda d: [F.min("cluster").alias("part_min")],
+            combine=lambda d: [F.min("part_min").alias("nbr_min")],
+            n_salts=n_salts,
+        )
+        # one materialization per iteration carries both the new label and
+        # the previous one, so the convergence check is a cheap scan of
+        # the checkpointed frame — no extra join against the old labels
+        step = (
             labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
             .select(
                 "doc_id",
+                F.col("cluster").alias("prev_cluster"),
                 F.least(
                     F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
                 ).alias("cluster"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
+        changed = step.filter(F.col("cluster") != F.col("prev_cluster")).count()
+        labels = step.select("doc_id", "cluster")
         if changed == 0:
             break
     edges.unpersist()
@@ -970,29 +970,22 @@ def cc_labels_converged(
 
 def _components_sql() -> str:
     pairs_sql = _minhash_sql().strip()
-    # reuse the full minhash pair query as a CTE, then unroll propagation
-    parts = [
-        f"allpairs AS ({pairs_sql})",
-        "pairs AS (SELECT doc_a, doc_b FROM allpairs WHERE n_equal >= 4)",
-        "edges AS (SELECT doc_a, doc_b FROM pairs"
-        " UNION ALL SELECT doc_b, doc_a FROM pairs)",
-        "lab0 AS (SELECT doc_id, doc_id AS cluster FROM documents)",
-    ]
-    prev = "lab0"
-    for i in range(1, _CC_ITERS + 1):
-        parts.append(
-            f"""lab{i} AS (
-  SELECT l.doc_id,
-    least(l.cluster, coalesce(n.nbr_min, l.cluster)) AS cluster
-  FROM {prev} l LEFT JOIN (
-    SELECT e.doc_a, MIN(x.cluster) AS nbr_min
-    FROM edges e JOIN {prev} x ON e.doc_b = x.doc_id
-    GROUP BY e.doc_a
-  ) n ON l.doc_id = n.doc_a
-)"""
-        )
-        prev = f"lab{i}"
-    return "WITH " + ",\n".join(parts) + f"\nSELECT doc_id, cluster FROM {prev}"
+    # The oracle computes the same fixpoint the convergent propagation
+    # reaches, via recursive reachability: r(doc, x) = x reachable from
+    # doc, cluster = MIN(x). UNION (set) semantics terminate the
+    # recursion; isolated docs reach only themselves.
+    return f"""
+WITH RECURSIVE allpairs AS ({pairs_sql}),
+pairs AS (SELECT doc_a, doc_b FROM allpairs WHERE est_jaccard >= 0.5),
+edges AS (SELECT doc_a, doc_b FROM pairs
+ UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT t.doc_id, e.doc_b FROM reach t JOIN edges e ON t.r = e.doc_a
+)
+SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id
+"""
 
 
 # --- Gopher-style repetition / quality filters ------------------------------
