@@ -406,28 +406,56 @@ WHERE n_common >= 2
 
 # --- MinHash-LSH -------------------------------------------------------------------------
 
-_MH_PARAMS = [(2, 1), (3, 7), (5, 13), (7, 31), (11, 101), (13, 257), (17, 523), (19, 1019)]
 _MH_P = 1_000_000_007
-_N_BANDS = 4  # bands of 2 signature slots
 
 
-def _spark_sig() -> str:
+def _mh_params(n: int) -> list[tuple[int, int]]:
+    """``n`` deterministic (a, b) permutation coefficients via a small
+    LCG walk. ``a`` stays odd and < 8192 so ``a * h`` with ``h < 1e15``
+    never overflows BIGINT in either dialect."""
+    params: list[tuple[int, int]] = []
+    a, b = 1, 0
+    for _ in range(n):
+        a = ((a * 131 + 7) % 8191) | 1
+        b = (b * 137 + 31) % 999_983
+        params.append((a, b))
+    return params
+
+
+# Declared signature: 64 permutations in 16 bands of 4 — a production-
+# shaped sketch (est_jaccard granularity 1/64; band S-curve threshold
+# (1/16)^(1/4) ≈ 0.50, matched to the components edge cut at 0.5). The
+# round-1 8-perm / 4-band toy signature survives as the oracle-cheap
+# extra-tier twin `dedup_minhash_small`; dedup_minhash_accuracy
+# characterizes both S-curves against exact Jaccard.
+_MH_FULL = (_mh_params(64), 16)
+_MH_SMALL = ([(2, 1), (3, 7), (5, 13), (7, 31), (11, 101), (13, 257), (17, 523), (19, 1019)], 4)
+
+
+def _spark_sig(params: list[tuple[int, int]]) -> str:
     mins = ", ".join(
         f"array_min(transform(hashes, h -> ({a} * h + {b}) % {_MH_P}))"
-        for a, b in _MH_PARAMS
+        for a, b in params
     )
     return f"array({mins})"
 
 
-def _duck_sig() -> str:
+def _duck_sig(params: list[tuple[int, int]]) -> str:
     mins = ", ".join(
         f"list_min(list_transform(hashes, h -> ({a} * h + {b}) % {_MH_P}))"
-        for a, b in _MH_PARAMS
+        for a, b in params
     )
     return f"[{mins}]"
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    params: list[tuple[int, int]],
+    n_bands: int,
+) -> DataFrame:
+    n_perms = len(params)
+    rows = n_perms // n_bands  # signature slots per band
     sigs = (
         _docs(spark, sf_dir)
         .withColumn("tokens", F.expr(SPARK_TOKENS))
@@ -435,14 +463,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "hashes", F.expr(f"transform(shingles, s -> {spark_charfold('s')})")
         )
-        .selectExpr("doc_id", f"{_spark_sig()} AS sig")
-    ).cache()  # 8 bigints/doc; read by both self-join sides AND reused
-    # verbatim by dedup_components' edge build (plan-keyed cache hit)
+        .selectExpr("doc_id", f"{_spark_sig(params)} AS sig")
+    ).cache()  # n_perms bigints/doc; read by both self-join sides AND
+    # reused verbatim by dedup_components' edge build (plan-keyed cache hit)
     bands = sigs.selectExpr(
         "doc_id", "sig",
-        f"explode(transform(sequence(0, {_N_BANDS - 1}), "
+        f"explode(transform(sequence(0, {n_bands - 1}), "
         "j -> struct(j AS band_id, "
-        "concat(sig[j * 2], '_', sig[j * 2 + 1]) AS band_key))) AS band",
+        f"array_join(transform(slice(sig, j * {rows} + 1, {rows}),"
+        " x -> CAST(x AS STRING)), '_') AS band_key))) AS band",
     ).select("doc_id", "sig", "band.band_id", "band.band_key")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
@@ -464,16 +493,29 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.selectExpr(
         "doc_a", "doc_b", "n_equal",
-        f"n_equal / CAST({len(_MH_PARAMS)} AS DOUBLE) AS est_jaccard",
+        f"n_equal / CAST({n_perms} AS DOUBLE) AS est_jaccard",
     )
 
 
-def _minhash_sql() -> str:
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs(spark, sf_dir, *_MH_FULL)
+
+
+def q_dedup_minhash_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs(spark, sf_dir, *_MH_SMALL)
+
+
+def _minhash_sql_for(params: list[tuple[int, int]], n_bands: int) -> str:
+    n_perms = len(params)
+    rows = n_perms // n_bands
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, sig, {j} AS band_id, "
-        f"CAST(sig[{j * 2 + 1}] AS VARCHAR) || '_' || CAST(sig[{j * 2 + 2}] AS VARCHAR)"
-        f" AS band_key FROM sigs"
-        for j in range(_N_BANDS)
+        "SELECT doc_id, sig, {j} AS band_id, {key} AS band_key FROM sigs".format(
+            j=j,
+            key=" || '_' || ".join(
+                f"CAST(sig[{j * rows + i + 1}] AS VARCHAR)" for i in range(rows)
+            ),
+        )
+        for j in range(n_bands)
     )
     return f"""
 WITH sh AS (
@@ -484,19 +526,23 @@ hashed AS (
   SELECT doc_id, list_transform(shingles, s -> {duck_charfold('s')}) AS hashes
   FROM sh
 ),
-sigs AS (SELECT doc_id, {_duck_sig()} AS sig FROM hashed),
+sigs AS (SELECT doc_id, {_duck_sig(params)} AS sig FROM hashed),
 bands AS ({band_rows}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    len(list_filter(range(1, {len(_MH_PARAMS) + 1}),
+    len(list_filter(range(1, {n_perms + 1}),
         i -> a.sig[i] = b.sig[i])) AS n_equal
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, n_equal, n_equal / CAST({len(_MH_PARAMS)} AS DOUBLE) AS est_jaccard
+SELECT doc_a, doc_b, n_equal, n_equal / CAST({n_perms} AS DOUBLE) AS est_jaccard
 FROM pairs
 """
+
+
+def _minhash_sql() -> str:
+    return _minhash_sql_for(*_MH_FULL)
 
 
 # --- SimHash ---------------------------------------------------------------------------
@@ -654,46 +700,68 @@ SELECT doc_id, rank, term, tf, score FROM (
 
 
 def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measure the MinHash sketch against ground truth: join the banded
-    candidates' ``est_jaccard`` with the exact shingle-Jaccard on the
-    pairs both produce, and summarize the error. One row:
-    candidate count, matched count, mean/max absolute error.
+    """Measure both MinHash sketches against ground truth: join each
+    signature's banded candidates (``est_jaccard``) with the exact
+    shingle-Jaccard on the pairs both produce, and summarize the error.
+    One row: candidate/matched counts and mean/max absolute error for
+    the declared 64-perm/16-band signature (``_full``) and the 8-perm
+    toy twin (``_small``) side by side — the banding S-curve
+    characterization the sketch parameters are chosen from.
 
     This is the 'measure, don't guess' query for sketch parameters —
     at scale you run it on a sample to pick bands/rows before the full
-    pass. Reuses both cached candidate pipelines.
+    pass. Reuses the cached candidate pipelines.
     """
     from .aggregates import dsum
 
-    est = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b", "est_jaccard")
     true = q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
-    joined = est.join(true, ["doc_a", "doc_b"])
-    err = F.abs(F.col("est_jaccard") - F.col("jaccard"))
-    matched = joined.agg(
-        F.count("*").alias("n_matched"),
-        (dsum(err) / F.count("*")).alias("mean_abs_err"),
-        F.max(err).alias("max_abs_err"),
+
+    def _metrics(est: DataFrame, tag: str) -> DataFrame:
+        joined = est.join(true, ["doc_a", "doc_b"])
+        err = F.abs(F.col("est_jaccard") - F.col("jaccard"))
+        matched = joined.agg(
+            F.count("*").alias(f"n_matched_{tag}"),
+            (dsum(err) / F.count("*")).alias(f"mean_abs_err_{tag}"),
+            F.max(err).alias(f"max_abs_err_{tag}"),
+        )
+        n_cand = est.agg(F.count("*").alias(f"n_candidates_{tag}"))
+        return n_cand.crossJoin(matched)
+
+    full = _metrics(
+        q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b", "est_jaccard"),
+        "full",
     )
-    n_cand = est.agg(F.count("*").alias("n_candidates"))
-    return n_cand.crossJoin(matched)
+    small = _metrics(
+        q_dedup_minhash_small(spark, sf_dir).select("doc_a", "doc_b", "est_jaccard"),
+        "small",
+    )
+    return full.crossJoin(small)
 
 
 def _minhash_accuracy_sql() -> str:
     from .aggregates import dsum_sql
 
+    def _block(cand_sql: str, tag: str) -> str:
+        return f"""
+m_{tag} AS (
+  SELECT
+    (SELECT COUNT(*) FROM cand_{tag}) AS n_candidates_{tag},
+    COUNT(*) AS n_matched_{tag},
+    {dsum_sql('abs(est_jaccard - jaccard)')} / COUNT(*) AS mean_abs_err_{tag},
+    MAX(abs(est_jaccard - jaccard)) AS max_abs_err_{tag}
+  FROM (
+    SELECT c.est_jaccard, t.jaccard
+    FROM cand_{tag} c JOIN truth t USING (doc_a, doc_b)
+  )
+)"""
+
     return f"""
-WITH cand AS ({_minhash_sql().strip()}),
+WITH cand_full AS ({_minhash_sql_for(*_MH_FULL).strip()}),
+cand_small AS ({_minhash_sql_for(*_MH_SMALL).strip()}),
 truth AS ({SQL_NGRAM_JACCARD.strip()}),
-joined AS (
-  SELECT c.est_jaccard, t.jaccard
-  FROM cand c JOIN truth t USING (doc_a, doc_b)
-)
-SELECT
-  (SELECT COUNT(*) FROM cand) AS n_candidates,
-  COUNT(*) AS n_matched,
-  {dsum_sql('abs(est_jaccard - jaccard)')} / COUNT(*) AS mean_abs_err,
-  MAX(abs(est_jaccard - jaccard)) AS max_abs_err
-FROM joined
+{_block('cand_full', 'full')},
+{_block('cand_small', 'small')}
+SELECT * FROM m_full CROSS JOIN m_small
 """
 
 
@@ -1161,5 +1229,8 @@ def register_all() -> None:
     register_extra("text_token_count", q_token_count, SQL_TOKEN_COUNT)
     register_extra("text_fingerprint", q_fingerprint, SQL_FINGERPRINT)
     register_extra("dedup_minhash_accuracy", q_minhash_accuracy, _minhash_accuracy_sql())
+    register_extra(
+        "dedup_minhash_small", q_dedup_minhash_small, _minhash_sql_for(*_MH_SMALL)
+    )
     register_extra("text_quality_gopher", q_quality_gopher, SQL_QUALITY_GOPHER)
     register_extra("dedup_cluster_rep", q_cluster_rep, _cluster_rep_sql())
