@@ -23,11 +23,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries_ext import register
-from .similarity import DUCK_DOT, DUCK_EMB, SPARK_DOT
+from .similarity import DIM, DUCK_DOT, DUCK_EMB, SPARK_DOT
 
 K = 8
 N_ITERS = 2
-DIM = 64
 _NANO = 1_000_000_000.0
 
 

@@ -6,11 +6,13 @@ Three tiers:
   query set against all candidates; dot products are ordered folds over
   the arrays, evaluated inside codegen (no Python). This is the exact
   baseline; at 100 TB it is the *per-bucket* kernel, not the global plan.
-- :func:`q_lsh_ann` — the scale path: random-hyperplane LSH bucketing as
-  a pure per-row expression (sign bits of fixed dim contrasts), candidates
-  from an equi-join on bucket id, exact cosine re-rank inside buckets.
-  Same structure as ``BucketedRandomProjectionLSH.approxSimilarityJoin``
-  but oracle-checkable.
+- :func:`q_lsh_ann` — the scale path: random-hyperplane LSH as FOUR
+  band tables of 4 sign bits each (pure per-row expressions), candidates
+  from the UNION of per-band bucket collisions (OR-amplification) with a
+  per-bucket candidate cap, exact cosine re-rank of the deduplicated
+  set. Same structure as ``BucketedRandomProjectionLSH
+  .approxSimilarityJoin`` plus the banding/cap hardening it lacks;
+  recall measured by ``sim_lsh_recall``.
 - :func:`q_label_centroids` — vector aggregation: per-label mean vector
   via posexplode + integer micro-unit sums (long-form output).
 
@@ -100,51 +102,99 @@ SELECT q_id, rank, c_id AS neighbor_id, cosine FROM (
 """
 
 
-# --- LSH-bucketed ANN ------------------------------------------------------------
+# --- LSH-bucketed ANN: OR-banded multi-table form --------------------------------
 
-_N_BITS = 8
-# hyperplane j = contrast of four fixed dims: v[4j] - v[4j+1] + v[4j+2] - v[4j+3]
-# (0-based dims; every projection uses distinct dims, deterministic)
+# 16 hyperplanes (plane p = sign of the contrast over dims 4p..4p+3 —
+# every plane reads distinct dims, deterministic, covering all DIM=64
+# dims), grouped into 4 band tables of 4 bits (16 buckets each). A pair
+# is a candidate if it collides in ANY band (OR-amplification): one
+# band's recall miss needs all 4 bands to miss — the MinHash-style
+# S-curve the single 8-bit table lacked. Each band bucket additionally
+# caps its candidate list at _BUCKET_CAP rows (deterministic vec_id
+# order): a hot bucket contributes O(cap²) pairs instead of going
+# quadratic — the embedding-side analog of the n-gram df≤50 cut.
+DIM = 64
+_N_BANDS_EMB = 4
+_BITS_PER_BAND = 4
+_BUCKET_CAP = 64
 
 
-def _spark_bucket() -> str:
-    bits = " + ".join(
-        f"CASE WHEN v[{4 * j}] - v[{4 * j + 1}] + v[{4 * j + 2}] - v[{4 * j + 3}]"
-        f" > CAST(0 AS DOUBLE) THEN {1 << j} ELSE 0 END"
-        for j in range(_N_BITS)
+def _band_key(t: int, base: int) -> str:
+    """4-bit bucket key of band ``t``; ``base``: 0 Spark, 1 DuckDB."""
+    terms = []
+    for i in range(_BITS_PER_BAND):
+        p = t * _BITS_PER_BAND + i
+        d = 4 * p + base
+        terms.append(
+            f"CASE WHEN v[{d}] - v[{d + 1}] + v[{d + 2}] - v[{d + 3}]"
+            f" > CAST(0 AS DOUBLE) THEN {1 << i} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _banded_spark(emb: DataFrame) -> DataFrame:
+    """(vec_id, band_id, band_key) — one row per vector per band table."""
+    structs = ", ".join(
+        f"struct({t} AS band_id, {_band_key(t, 0)} AS band_key)"
+        for t in range(_N_BANDS_EMB)
     )
-    return f"CAST({bits} AS BIGINT)"
+    return emb.selectExpr(
+        "vec_id", f"explode(array({structs})) AS band"
+    ).select("vec_id", "band.band_id", "band.band_key")
 
 
-def _duck_bucket() -> str:
-    bits = " + ".join(
-        f"CASE WHEN v[{4 * j + 1}] - v[{4 * j + 2}] + v[{4 * j + 3}] - v[{4 * j + 4}]"
-        f" > CAST(0 AS DOUBLE) THEN {1 << j} ELSE 0 END"
-        for j in range(_N_BITS)
+def _capped_spark(banded: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_key").orderBy("vec_id")
+    return (
+        banded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BUCKET_CAP)
+        .drop("rn")
     )
-    return f"CAST({bits} AS BIGINT)"
+
+
+_DUCK_BANDS = " UNION ALL ".join(
+    f"SELECT vec_id, {t} AS band_id, {_band_key(t, 1)} AS band_key FROM normed"
+    for t in range(_N_BANDS_EMB)
+)
+
+_DUCK_CAPPED = f"""
+  SELECT vec_id, band_id, band_key FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY band_id, band_key ORDER BY vec_id) AS rn
+    FROM bands
+  ) WHERE rn <= {_BUCKET_CAP}
+"""
 
 
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = (
-        _emb(spark, sf_dir)
-        .withColumn("norm2", F.expr(SPARK_DOT.format(a="v", b="v")))
-        .withColumn("bucket", F.expr(_spark_bucket()))
+    """OR-banded ANN: candidates from a union of 4 band-table collisions
+    (queries uncapped, candidate side bucket-capped), exact cosine
+    re-rank of the deduplicated candidate set. ``n_bands_hit`` records
+    how many band tables voted for the pair — the multi-probe signal.
+    Recall vs exact top-k is measured by the extra-tier
+    ``sim_lsh_recall`` companion (the measure-don't-guess loop)."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "norm2", F.expr(SPARK_DOT.format(a="v", b="v"))
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).selectExpr(
-        "vec_id AS q_id", "v AS qv", "norm2 AS q_norm2", "bucket"
+    banded = _banded_spark(emb)
+    q = banded.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS q_id", "band_id", "band_key"
     )
-    cand = emb.selectExpr(
-        "vec_id AS c_id", "v AS cv", "norm2 AS c_norm2", "bucket"
-    )
-    scored = (
-        q.join(cand, "bucket")  # equi-join on bucket = the LSH candidate cut
+    cand = _capped_spark(banded).selectExpr("vec_id AS c_id", "band_id", "band_key")
+    hits = (
+        q.join(cand, ["band_id", "band_key"])
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn(
-            "cosine",
-            F.expr(SPARK_DOT.format(a="qv", b="cv"))
-            / F.sqrt(F.col("q_norm2") * F.col("c_norm2")),
-        )
+        .groupBy("q_id", "c_id")
+        .agg(F.count("*").alias("n_bands_hit"))
+    )
+    qv = emb.selectExpr("vec_id AS q_id", "v AS qv", "norm2 AS q_norm2")
+    cv = emb.selectExpr("vec_id AS c_id", "v AS cv", "norm2 AS c_norm2")
+    scored = hits.join(qv, "q_id").join(cv, "c_id").withColumn(
+        "cosine",
+        F.expr(SPARK_DOT.format(a="qv", b="cv"))
+        / F.sqrt(F.col("q_norm2") * F.col("c_norm2")),
     )
     from pyspark.sql import Window
 
@@ -154,28 +204,76 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
-        .select("q_id", "bucket", "rank", F.col("c_id").alias("neighbor_id"), "cosine")
+        .select(
+            "q_id", "rank", F.col("c_id").alias("neighbor_id"),
+            "n_bands_hit", "cosine",
+        )
     )
 
 
 SQL_LSH_ANN = f"""
 WITH emb AS ({DUCK_EMB}),
 normed AS (
-  SELECT vec_id, v, {DUCK_DOT.format(a='v', b='v')} AS norm2,
-    {_duck_bucket()} AS bucket
-  FROM emb
+  SELECT vec_id, v, {DUCK_DOT.format(a='v', b='v')} AS norm2 FROM emb
+),
+bands AS ({_DUCK_BANDS}),
+capped AS ({_DUCK_CAPPED}),
+hits AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, COUNT(*) AS n_bands_hit
+  FROM bands q JOIN capped c
+    ON q.band_id = c.band_id AND q.band_key = c.band_key
+   AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
 ),
 scored AS (
-  SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS c_id,
+  SELECT h.q_id, h.c_id, h.n_bands_hit,
     {DUCK_DOT.format(a='q.v', b='c.v')} / sqrt(q.norm2 * c.norm2) AS cosine
-  FROM normed q JOIN normed c ON q.bucket = c.bucket
-   AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+  FROM hits h
+  JOIN normed q ON q.vec_id = h.q_id
+  JOIN normed c ON c.vec_id = h.c_id
 )
-SELECT q_id, bucket, rank, c_id AS neighbor_id, cosine FROM (
-  SELECT q_id, bucket, c_id, cosine,
+SELECT q_id, rank, c_id AS neighbor_id, n_bands_hit, cosine FROM (
+  SELECT q_id, c_id, n_bands_hit, cosine,
     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 3
+"""
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall companion for the OR-banded ANN: fraction of the exact
+    cosine top-3 (from :func:`q_cosine_topk`) that the banded search
+    returns. One row: exact count, ANN hit count, recall@3 — the number
+    that justifies (or indicts) the band/cap parameters before a 100 TB
+    run (pattern: ``dedup_minhash_accuracy``)."""
+    exact3 = (
+        q_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "neighbor_id")
+    )
+    ann3 = q_lsh_ann(spark, sf_dir).select("q_id", "neighbor_id")
+    n_hits = exact3.join(ann3, ["q_id", "neighbor_id"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    n_exact = exact3.agg(F.count("*").alias("n_exact"))
+    return n_exact.crossJoin(n_hits).selectExpr(
+        "n_exact", "n_hits",
+        "CAST(n_hits AS DOUBLE) / n_exact AS recall_at3",
+    )
+
+
+SQL_LSH_RECALL = f"""
+WITH exact3 AS (
+  SELECT q_id, neighbor_id FROM ({SQL_COSINE_TOPK.strip()}) WHERE rank <= 3
+),
+ann3 AS (
+  SELECT q_id, neighbor_id FROM ({SQL_LSH_ANN.strip()})
+)
+SELECT
+  (SELECT COUNT(*) FROM exact3) AS n_exact,
+  COUNT(*) AS n_hits,
+  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM exact3) AS recall_at3
+FROM exact3 JOIN ann3 USING (q_id, neighbor_id)
 """
 
 
@@ -206,7 +304,7 @@ WITH emb AS ({DUCK_EMB}),
 exploded AS (
   SELECT label, CAST(i - 1 AS INTEGER) AS pos,
     CAST(floor(v[i] * {_NANO} + 0.5) AS BIGINT) AS x_nano
-  FROM emb, (SELECT unnest(range(1, 65)) AS i)
+  FROM emb, (SELECT unnest(range(1, {DIM + 1})) AS i)
 )
 SELECT label, pos, COUNT(*) AS n,
   CAST(SUM(CAST(x_nano AS DECIMAL(38,0))) AS DOUBLE) / {_NANO} / COUNT(*) AS mean_x
@@ -351,41 +449,59 @@ _NEAR_DUP_TAU = 0.3
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup detection: candidate pairs from the LSH bucket
-    equi-join (no cross join), exact cosine filter at τ=0.3 (a realistic
-    0.95 bar is vacuous on this synthetic corpus — see _NEAR_DUP_TAU). The
-    all-pairs analog of `sim_lsh_ann` — the 5th dedup modality alongside
-    exact/MinHash/SimHash/n-gram."""
-    emb = (
-        _emb(spark, sf_dir)
-        .withColumn("norm2", F.expr(SPARK_DOT.format(a="v", b="v")))
-        .withColumn("bucket", F.expr(_spark_bucket()))
+    """Embedding near-dup detection: candidate pairs from the OR-banded
+    LSH tables (both sides bucket-capped — a hot bucket yields O(cap²)
+    pairs, never quadratic), exact cosine filter at τ=0.3 (a realistic
+    0.95 bar is vacuous on this synthetic corpus — see _NEAR_DUP_TAU).
+    The all-pairs analog of `sim_lsh_ann` — the 5th dedup modality
+    alongside exact/MinHash/SimHash/n-gram. ``n_bands_hit`` = number of
+    band tables that proposed the pair."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "norm2", F.expr(SPARK_DOT.format(a="v", b="v"))
     )
-    a = emb.selectExpr("vec_id AS id_a", "v AS va", "norm2 AS na", "bucket")
-    b = emb.selectExpr("vec_id AS id_b", "v AS vb", "norm2 AS nb", "bucket")
-    return (
-        a.join(b, "bucket")
+    capped = _capped_spark(_banded_spark(emb))
+    a = capped.selectExpr("vec_id AS id_a", "band_id", "band_key")
+    b = capped.selectExpr("vec_id AS id_b", "band_id", "band_key")
+    hits = (
+        a.join(b, ["band_id", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands_hit"))
+    )
+    va = emb.selectExpr("vec_id AS id_a", "v AS va", "norm2 AS na")
+    vb = emb.selectExpr("vec_id AS id_b", "v AS vb", "norm2 AS nb")
+    return (
+        hits.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn(
             "cosine",
             F.expr(SPARK_DOT.format(a="va", b="vb"))
             / F.sqrt(F.col("na") * F.col("nb")),
         )
         .filter(F.col("cosine") >= _NEAR_DUP_TAU)
-        .select("id_a", "id_b", "bucket", "cosine")
+        .select("id_a", "id_b", "n_bands_hit", "cosine")
     )
 
 
 SQL_DEDUP_EMB_COSINE = f"""
 WITH emb AS ({DUCK_EMB}),
 normed AS (
-  SELECT vec_id, v, {DUCK_DOT.format(a='v', b='v')} AS norm2,
-    {_duck_bucket()} AS bucket
-  FROM emb
+  SELECT vec_id, v, {DUCK_DOT.format(a='v', b='v')} AS norm2 FROM emb
+),
+bands AS ({_DUCK_BANDS}),
+capped AS ({_DUCK_CAPPED}),
+hits AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, COUNT(*) AS n_bands_hit
+  FROM capped a JOIN capped b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+SELECT id_a, id_b, n_bands_hit,
   {DUCK_DOT.format(a='a.v', b='b.v')} / sqrt(a.norm2 * b.norm2) AS cosine
-FROM normed a JOIN normed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM hits
+JOIN normed a ON a.vec_id = id_a
+JOIN normed b ON b.vec_id = id_b
 WHERE {DUCK_DOT.format(a='a.v', b='b.v')} / sqrt(a.norm2 * b.norm2)
       >= {_NEAR_DUP_TAU}
 """
@@ -404,13 +520,17 @@ def q_emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).withColumn(
         "norm2", F.expr(SPARK_DOT.format(a="v", b="v"))
     )
+    # nullif guard: an all-zero embedding has norm2 = 0 — its unit/q8
+    # rows are NULL by explicit contract in both dialects, not by
+    # relying on matching divide-by-zero behavior
     return emb.select(
         "vec_id", "norm2", F.posexplode("v").alias("dim", "x")
     ).selectExpr(
         "vec_id",
         "CAST(dim AS BIGINT) AS dim",
-        "x / sqrt(norm2) AS unit",
-        "CAST(floor(x / sqrt(norm2) * 127 + 0.5) AS BIGINT) AS q8",
+        "x / sqrt(nullif(norm2, CAST(0 AS DOUBLE))) AS unit",
+        "CAST(floor(x / sqrt(nullif(norm2, CAST(0 AS DOUBLE))) * 127 + 0.5)"
+        " AS BIGINT) AS q8",
     )
 
 
@@ -420,9 +540,10 @@ normed AS (
   SELECT vec_id, v, {DUCK_DOT.format(a='v', b='v')} AS norm2 FROM emb
 )
 SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
-  v[i] / sqrt(norm2) AS unit,
-  CAST(floor(v[i] / sqrt(norm2) * 127 + 0.5) AS BIGINT) AS q8
-FROM normed, (SELECT unnest(range(1, 65)) AS i)
+  v[i] / sqrt(nullif(norm2, CAST(0 AS DOUBLE))) AS unit,
+  CAST(floor(v[i] / sqrt(nullif(norm2, CAST(0 AS DOUBLE))) * 127 + 0.5)
+    AS BIGINT) AS q8
+FROM normed, (SELECT unnest(range(1, {DIM + 1})) AS i)
 """
 
 
@@ -435,3 +556,4 @@ def register_all() -> None:
     register("sim_ivf_ann", q_ivf_ann, SQL_IVF_ANN)
     register("emb_label_centroids", q_label_centroids, SQL_LABEL_CENTROIDS)
     register_extra("emb_normalize", q_emb_normalize, SQL_EMB_NORMALIZE)
+    register_extra("sim_lsh_recall", q_lsh_recall, SQL_LSH_RECALL)
