@@ -74,12 +74,9 @@ def _decode_payload(payload: bytes) -> tuple[int, int, float]:
     """STUB decode kernel (no media libs in this container).
 
     Deterministic fake: dimensions derived from payload length, mean
-    byte value as the 'luma'. Swap for PIL/soundfile in production:
-
-        try:
-            from PIL import Image  # noqa
-        except ImportError:
-            ...  # this fake
+    byte value as the 'luma'. Pure arithmetic on the payload bytes, so
+    the DuckDB oracle replicates it exactly (SQL_MM_DECODE) — the
+    ``mapInPandas`` plumbing is the implementation under test.
     """
     n = len(payload)
     width = 16 + n % 64
@@ -91,12 +88,50 @@ def _decode_payload(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean
 
 
-def decode_media(with_payload_df: DataFrame) -> DataFrame:
+def _decode_payload_pil(payload: bytes) -> tuple[int, int, float]:
+    """Real image-decode kernel: PIL open → (width, height, mean gray
+    luma). Only reachable when PIL is importable (``kernel='pil'`` or
+    ``'auto'`` with PIL installed); the Spark contract — schema, Arrow
+    batches, one row per payload — is identical to the stub's."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    with Image.open(BytesIO(payload)) as im:
+        width, height = im.size
+        arr = np.asarray(im.convert("L"), dtype=np.int64)
+        mean = float(arr.sum()) / arr.size if arr.size else 0.0
+    return width, height, mean
+
+
+def pick_decode_kernel(kernel: str = "auto"):
+    """Kernel dispatch: ``'stub'`` (the oracle-pinned fake), ``'pil'``
+    (real decode; ImportError if PIL is absent), or ``'auto'`` (PIL when
+    importable, else the stub). The oracle path always pins ``'stub'``
+    so parity never depends on what's installed."""
+    if kernel == "stub":
+        return _decode_payload
+    if kernel == "pil":
+        from PIL import Image  # noqa: F401 — fail fast on the driver
+
+        return _decode_payload_pil
+    if kernel == "auto":
+        try:
+            from PIL import Image  # noqa: F401
+
+            return _decode_payload_pil
+        except ImportError:
+            return _decode_payload
+    raise ValueError(f"unknown decode kernel: {kernel!r}")
+
+
+def decode_media(with_payload_df: DataFrame, kernel: str = "stub") -> DataFrame:
     """binary payload → decoded metadata, one output row per input row."""
+    decode = pick_decode_kernel(kernel)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = pdf["payload"].map(_decode_payload)
+            decoded = pdf["payload"].map(decode)
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -199,12 +234,49 @@ def extract_features(with_payload_df: DataFrame) -> DataFrame:
 
 
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode metadata through the Pandas-UDF path (rows-only check: the
-    kernel is a Python stub, deliberately not SQL-expressible)."""
+    """Decode metadata through the Pandas-UDF path. The stub kernel is
+    pure arithmetic on the payload bytes, so the DuckDB oracle
+    reproduces it from the text's UTF-8 byte stream — what's under test
+    is the ``mapInPandas`` plumbing (schema, Arrow batching, one row per
+    payload), kernel-pinned to ``'stub'`` regardless of what media libs
+    are installed."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return decode_media(with_payload(docs)).drop("media_format")
+    return decode_media(with_payload(docs), kernel="stub").drop("media_format")
+
+
+# UTF-8 byte sum of one character from its code point (DuckDB ascii()
+# returns the code point): 1-byte cp; 2-byte (192 + cp//64) + (128 +
+# cp%64); 3-byte 224+128+128 prefix constants likewise; 4-byte ditto.
+_DUCK_CHAR_BYTES = (
+    "CASE WHEN ascii(c) < 128 THEN ascii(c) "
+    "WHEN ascii(c) < 2048 THEN 320 + ascii(c) // 64 + ascii(c) % 64 "
+    "WHEN ascii(c) < 65536 THEN 480 + ascii(c) // 4096"
+    " + (ascii(c) // 64) % 64 + ascii(c) % 64 "
+    "ELSE 624 + ascii(c) // 262144 + (ascii(c) // 4096) % 64"
+    " + (ascii(c) // 64) % 64 + ascii(c) % 64 END"
+)
+
+SQL_MM_DECODE = f"""
+WITH base AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+    list_reduce([CAST(0 AS BIGINT)] ||
+      list_transform(string_split(text, ''),
+        c -> CAST({_DUCK_CHAR_BYTES} AS BIGINT)),
+      (acc, x) -> acc + x) AS byte_sum
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, n, byte_sum, CAST(16 + n % 64 AS INTEGER) AS width
+  FROM base
+)
+SELECT doc_id, width,
+  CAST(greatest(1, n // width) AS INTEGER) AS height,
+  CAST(width AS BIGINT) * greatest(1, n // width) AS n_pixels,
+  CASE WHEN n = 0 THEN 0.0 ELSE CAST(byte_sum AS DOUBLE) / n END AS mean_byte
+FROM dims
+"""
 
 
 def register_all() -> None:
     register("mm_meta", q_mm_meta, SQL_MM_META)
-    register("mm_decode_stub", q_mm_decode, None)  # rows-only: Python kernel
+    register("mm_decode_stub", q_mm_decode, SQL_MM_DECODE)

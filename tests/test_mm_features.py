@@ -73,3 +73,69 @@ def test_pandas_udf_cosine_matches_expression_form(spark):
     )
     for r in both.collect():
         assert abs(r.expr_cos - r.udf_cos) < 1e-12, (r.a_id, r.b_id)
+
+
+def test_decode_kernel_dispatch_without_pil():
+    """With PIL absent: 'auto' falls back to the stub, 'stub' is the
+    stub, 'pil' fails fast on the driver, unknown names are rejected."""
+    import pytest
+
+    from impala_base_to_cdw_sizing_spark.operators import multimodal as mm
+
+    assert mm.pick_decode_kernel("stub") is mm._decode_payload
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        assert mm.pick_decode_kernel("auto") is mm._decode_payload_pil
+    else:
+        assert mm.pick_decode_kernel("auto") is mm._decode_payload
+        with pytest.raises(ImportError):
+            mm.pick_decode_kernel("pil")
+    with pytest.raises(ValueError):
+        mm.pick_decode_kernel("nope")
+
+
+def test_decode_kernel_pil_branch_via_fake_module(monkeypatch):
+    """Exercise the real-decode branch by injecting a minimal fake PIL:
+    dispatch must select _decode_payload_pil and the kernel must return
+    (width, height, mean-luma) from the fake image object — proving the
+    contract shape is identical to the stub's."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class _FakeImg:
+        size = (4, 2)
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return np.arange(8, dtype="int64").reshape(2, 4)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake_pil = types.ModuleType("PIL")
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda fp: _FakeImg()
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    from impala_base_to_cdw_sizing_spark.operators import multimodal as mm
+
+    kernel = mm.pick_decode_kernel("auto")
+    assert kernel is mm._decode_payload_pil
+    w, h, mean = kernel(b"anything")
+    assert (w, h) == (4, 2)
+    assert mean == np.arange(8).mean()
