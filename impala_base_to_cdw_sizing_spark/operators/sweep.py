@@ -141,17 +141,26 @@ def running_sums(
         return events.select(*out_cols, *_emit_run(run_micro, run_queries, pos))
 
     # --- segmented exact sweep (the scale path) ---
-    # approxQuantile is an eager action: without the cache it executes the
-    # whole upstream pipeline once for the bucket bounds, and the local /
-    # totals branches below re-execute it twice more. Events are 2 rows ×
-    # a handful of longs per query — the natural thing to materialize.
+    # The min/max agg is an eager action: without the cache it executes
+    # the whole upstream pipeline once for the bucket bounds, and the
+    # local / totals branches below re-execute it twice more. Events are
+    # 2 rows × a handful of longs per query — the natural materialization.
     events = events.cache()
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(events.approxQuantile("ts_ms", probs, 0.001)))
-    bucket = F.lit(0)
-    for i, b in enumerate(bounds):
-        bucket = F.when(F.col("ts_ms") > b, i + 1).otherwise(bucket)
-    ev = events.withColumn("bucket", bucket)
+    lo, hi = events.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    if lo is None:  # empty input: any constant bucketing is exact
+        lo, hi = 0, 0
+    span = max(1, (hi - lo) // n_buckets + 1)
+    # Uniform time-range buckets: assignment is ONE subtract + integer
+    # divide per row (plan size constant in n_buckets — the former
+    # chained-when form compiled n_buckets comparisons per row). The
+    # running sums are exact integer arithmetic, so ANY bucketization
+    # yields bit-identical output (test_segmented_equals_global); uniform
+    # slices only affect partition balance, and at 100 TB the same
+    # expression becomes calendar bucketing (fixed span = hour/day) with
+    # no bounds action at all. AQE re-splits oversized buckets at runtime.
+    ev = events.withColumn(
+        "bucket", F.expr(f"CAST((ts_ms - {lo}) DIV {span} AS INT)")
+    )
 
     wb = (
         Window.partitionBy("bucket")
