@@ -16,9 +16,16 @@ TABLES = [
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """One temp view per testdata table, plus the derived ``query_history``
     view the sizing pipeline consumes."""
+    from .sources.files import load_events
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        if t == "events":
+            # normalized ts (epoch-nanos bigint) — same frame every
+            # DataFrame-path operator sees, whatever the parquet type
+            load_events(spark, sf_dir).createOrReplaceTempView(t)
+        else:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
     from .sources.synthetic import query_history_from_events
 

@@ -79,8 +79,9 @@ def merge_asof(
 
 def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each purchase event ← most recent preceding view by the same user."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..sources.files import load_events
+
+    ev = load_events(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("event_id").alias("purchase_id"),

@@ -33,6 +33,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.files import load_events
+
+    return load_events(spark, sf_dir)
+
+
 # --- q1: pricing summary (scan + agg) ----------------------------------------
 
 
@@ -482,9 +488,8 @@ _GAP_NS = 30 * 60 * 1_000_000_000  # 30 min
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.ts arrives as raw nanos (nanosAsLong)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
+    # events.ts arrives normalized to raw epoch nanos (load_events)
+    ev = _load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         ev.withColumn("prev_ts", F.lag("ts").over(w))
@@ -521,8 +526,7 @@ GROUP BY user_id
 
 
 def q_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
+    ev = _load_events(spark, sf_dir)
     hour_ms = F.expr("(ts div 1000000) div 3600000 * 3600000")
     return (
         ev.withColumn("hour_ms", hour_ms)

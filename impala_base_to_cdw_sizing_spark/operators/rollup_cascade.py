@@ -60,8 +60,9 @@ def merge_to_daily(hourly: DataFrame) -> DataFrame:
 
 
 def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..sources.files import load_events
+
+    events = load_events(spark, sf_dir)
     return merge_to_daily(hourly_partials(events))
 
 

@@ -9,6 +9,7 @@ the default interchange format (pushdown + pruning for free).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import QUERY_HISTORY_SCHEMA
 
@@ -22,6 +23,29 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     """Read one testdata table. Column pruning + predicate pushdown reach
     the parquet scan because the schema is declared by the file itself."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the ``events`` table with ``ts`` normalized to epoch-NANOS
+    BIGINT, whatever the parquet physical type is.
+
+    Testdata generations have shipped ``ts`` as parquet TIMESTAMP(NANOS)
+    (readable only via ``spark.sql.legacy.parquet.nanosAsLong`` → raw
+    long) and as TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Downstream
+    operators do exact integer arithmetic on nanos, and the DuckDB
+    oracles use ``epoch_ns(ts)`` which handles either timestamp width —
+    so the one schema-dependent branch lives here. The session timezone
+    is pinned to UTC (session.py), making the NTZ→instant cast the
+    identity mapping DuckDB's naive-as-UTC ``epoch_ns`` applies.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(e.dtypes).get("ts")
+    if ts_type in ("timestamp", "timestamp_ntz"):
+        e = e.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return e
 
 
 def read_query_history_csv(spark: SparkSession, path: str) -> DataFrame:

@@ -38,10 +38,11 @@ _QH_MEMO: dict[tuple[str, str], DataFrame] = {}
 def query_history_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events(event_id, ts, user_id, event_type, …) → query_history.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects by
-    default; read it as a raw nanos long (dynamic SQL conf, safe to set in
-    any session) and floor-divide to epoch millis — exact integer
-    arithmetic, no double rounding at 1e18 magnitudes.
+    ``events.ts`` arrives normalized to epoch-nanos BIGINT by
+    :func:`..sources.files.load_events` (which absorbs the parquet
+    TIMESTAMP(NANOS)-vs-(MICROS) testdata difference); floor-divide to
+    epoch millis — exact integer arithmetic, no double rounding at 1e18
+    magnitudes.
 
     Memoized + cached per (application, sf_dir); the transform is pure,
     so consumers share one materialization.
@@ -50,8 +51,9 @@ def query_history_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo = _QH_MEMO.get(key)
     if memo is not None:
         return memo
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .files import load_events
+
+    e = load_events(spark, sf_dir)
     eid = F.col("event_id")
 
     duration_millis = (F.lit(500) + (eid * 7919 + F.col("user_id") * 104729) % 7200000)

@@ -16,10 +16,9 @@ def test_every_oracle_key_has_a_query():
     qs, oracles = ent.queries(), ent.oracle_sql()
     assert set(oracles) <= set(qs), set(oracles) - set(qs)
     assert all(callable(fn) for fn in qs.values())
-    # the one deliberate rows-only entry (Python decode kernel), and no
-    # accidental ones; rel_approx_distinct gained an exact+tolerance
-    # oracle in round 2
-    assert sorted(set(qs) - set(oracles)) == ["mm_decode_stub"]
+    # every declared query is oracle-bearing since round 3 (mm_decode's
+    # stub kernel is pure byte arithmetic DuckDB replays via blob funcs)
+    assert sorted(set(qs) - set(oracles)) == []
 
 
 def test_oracle_sql_parses_in_duckdb():
