@@ -1093,13 +1093,24 @@ def gopher_signals(docs: DataFrame) -> DataFrame:
         docs.withColumn("tokens", F.expr(SPARK_TOKENS))
         .withColumn("grams3", F.expr(SPARK_SHINGLES))
         .withColumn("grams2", F.expr(_SPARK_2GRAMS))
+        # max 2-gram frequency = longest equal run in the sorted gram
+        # array: O(n log n) sort + O(n) scan, vs the naive
+        # count-per-distinct-gram which is O(n²) per document and a
+        # straggler hazard on a pathological 100k-token doc
+        .withColumn("s2", F.expr("array_sort(grams2)"))
         .selectExpr(
             "doc_id",
             "CAST(size(tokens) AS BIGINT) AS n_tokens",
             "CAST(1 AS DOUBLE) - size(array_distinct(grams3)) / size(grams3)"
             " AS dup_3gram_frac",
-            "array_max(transform(array_distinct(grams2),"
-            " g -> size(filter(grams2, x -> x = g)))) / size(grams2)"
+            "CASE WHEN size(s2) < 2 THEN CAST(1 AS BIGINT) ELSE"
+            " aggregate(sequence(2, size(s2)),"
+            "  named_struct('run', CAST(1 AS BIGINT), 'best', CAST(1 AS BIGINT)),"
+            "  (acc, i) -> IF(element_at(s2, i) = element_at(s2, i - 1),"
+            "   named_struct('run', acc.run + 1,"
+            "    'best', greatest(acc.best, acc.run + 1)),"
+            "   named_struct('run', CAST(1 AS BIGINT), 'best', acc.best)),"
+            "  acc -> acc.best) END / size(grams2)"
             " AS top_2gram_frac",
             "size(filter(tokens, t -> t rlike '[^a-zA-Z0-9]')) / size(tokens)"
             " AS symbol_ratio",
@@ -1128,9 +1139,9 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass, symbol-to-word ratio, numeric-token fraction, mean word
     length, and a combined pass/fail flag. Entirely higher-order array
     expressions inside codegen — at 100 TB this is a pure map over the
-    corpus, no shuffle at all. The top-2-gram count is O(distinct×total)
-    per document, bounded by document length — not a corpus-wide
-    aggregation."""
+    corpus, no shuffle at all. The top-2-gram count is a sorted-run scan
+    (O(n log n) per document), so a pathological 100k-token document
+    costs ~10^6 comparisons in its task, not ~10^10."""
     return gopher_signals(_docs(spark, sf_dir))
 
 
