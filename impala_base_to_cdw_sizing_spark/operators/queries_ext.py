@@ -73,6 +73,10 @@ def _load_providers() -> None:
     relational.register_all()
     olap_extra.register_all()
 
+    from . import skew
+
+    skew.register_all()
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_providers()

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -61,3 +61,47 @@ def salted_join(
     )
     out = l_salted.join(r_exploded, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+# --- end-to-end oracle proof ----------------------------------------------------
+
+
+def q_skew_join_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join exercised against a genuinely hot key: ``events`` has a
+    handful of event types, so a plain repartition-by-key join lands every
+    row of a type on one reducer. Enrich each event with its per-type
+    totals via :func:`salted_join` — each left row matches exactly one
+    exploded right row (its salt), so the result set is salt-independent
+    and a plain SQL join is the oracle (the equality IS the proof that
+    salting changes the partitioning, never the answer)."""
+    from ..sources.files import load_events
+
+    from .aggregates import dsum
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(
+        F.count("*").alias("type_n"),
+        dsum(F.col("value")).alias("type_sum"),
+    )
+    return salted_join(ev, dim, key="event_type").select(
+        "event_id", "event_type", "value", "type_n", "type_sum"
+    )
+
+
+def _sql_skew_join_hot() -> str:
+    from .aggregates import dsum_sql
+
+    return f"""
+WITH dim AS (
+  SELECT event_type, COUNT(*) AS type_n, {dsum_sql("value")} AS type_sum
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value, d.type_n, d.type_sum
+FROM events e JOIN dim d USING (event_type)
+"""
+
+
+def register_all() -> None:
+    from .queries_ext import register_extra
+
+    register_extra("skew_join_hot", q_skew_join_hot, _sql_skew_join_hot())
