@@ -74,8 +74,12 @@ _RAW_MEASURES: dict[str, str] = {
 }
 
 
-def explode_events(kept: DataFrame) -> DataFrame:
-    """F1: one row per interval endpoint; measures signed, micro-quantized."""
+def explode_events(kept: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
+    """F1: one row per interval endpoint; measures signed, micro-quantized.
+
+    ``keys`` passes extra grouping columns (e.g. ``("pool",)``) through to
+    the endpoint rows for keyed downstream sweeps; the default (none)
+    keeps the global-sweep oracle path byte-identical."""
     quantized = kept.withColumns(
         {f"{m}_u": _micro(F.expr(expr)) for m, expr in _RAW_MEASURES.items()}
     )
@@ -89,7 +93,9 @@ def explode_events(kept: DataFrame) -> DataFrame:
         F.lit(-1).alias("sign"),
         *[(-F.col(f"{m}_u")).alias(f"{m}_u") for m in MEASURES],
     )
-    return quantized.select(F.col("seq"), F.inline(F.array(start, end)))
+    return quantized.select(
+        F.col("seq"), *[F.col(k) for k in keys], F.inline(F.array(start, end))
+    )
 
 
 _MICRO_COLS = ",\n      ".join(

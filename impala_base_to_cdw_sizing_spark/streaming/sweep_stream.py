@@ -92,6 +92,50 @@ def batch_equivalent(events: DataFrame) -> DataFrame:
     )
 
 
+def windowed_concurrency_by_pool(events: DataFrame) -> DataFrame:
+    """Per-pool keyed variant of :func:`windowed_concurrency` — the
+    reference sizes per resource pool (``sizing.conf:8`` pool filter), so
+    the streaming sweep must key the same dimension. Input adds a
+    ``pool`` column; the state key becomes (pool, window) — watermark
+    bounds state exactly as in the global form, scaled by the (small)
+    pool cardinality."""
+    with_ts = events.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    return (
+        with_ts.withWatermark("ts", WATERMARK)
+        .groupBy(F.col("pool"), F.window("ts", WINDOW).alias("win"))
+        .agg(
+            F.sum(F.when(F.col("sign") > 0, 1).otherwise(0)).alias("starts"),
+            F.sum(F.when(F.col("sign") < 0, 1).otherwise(0)).alias("ends"),
+            F.sum("sign").alias("net_queries"),
+            F.sum("pods_u").alias("net_pods_u"),
+        )
+        .select(
+            "pool",
+            F.col("win.start").alias("window_start"),
+            "starts", "ends", "net_queries", "net_pods_u",
+        )
+    )
+
+
+def batch_equivalent_by_pool(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`windowed_concurrency_by_pool`."""
+    with_ts = events.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    return (
+        with_ts.groupBy(F.col("pool"), F.window("ts", WINDOW).alias("win"))
+        .agg(
+            F.sum(F.when(F.col("sign") > 0, 1).otherwise(0)).alias("starts"),
+            F.sum(F.when(F.col("sign") < 0, 1).otherwise(0)).alias("ends"),
+            F.sum("sign").alias("net_queries"),
+            F.sum("pods_u").alias("net_pods_u"),
+        )
+        .select(
+            "pool",
+            F.col("win.start").alias("window_start"),
+            "starts", "ends", "net_queries", "net_pods_u",
+        )
+    )
+
+
 def session_bursts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session-window variant (SURVEY §2.J streaming row, 'session-window
     optional'): contiguous bursts of query activity separated by ``gap`` of

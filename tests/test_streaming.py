@@ -13,10 +13,12 @@ from impala_base_to_cdw_sizing_spark.sources.synthetic import (
 )
 from impala_base_to_cdw_sizing_spark.streaming.sweep_stream import (
     batch_equivalent,
+    batch_equivalent_by_pool,
     cumulative_concurrency,
     event_stream,
     run_stream_to_memory,
     windowed_concurrency,
+    windowed_concurrency_by_pool,
 )
 
 from tests.conftest import SF_SMALL
@@ -54,6 +56,63 @@ def test_stream_equals_batch(spark, tmp_path):
             and got[k].net_queries == want[k].net_queries
             and got[k].net_pods_u == want[k].net_pods_u
         ), f"window {k}"
+
+
+POOL_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("pool", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("sign", T.IntegerType()),
+        T.StructField("pods_u", T.LongType()),
+    ]
+)
+
+
+def _pool_event_files(spark, tmp_path):
+    qh = query_history_from_events(spark, SF_SMALL)
+    res = run_sizing(qh, DEFAULT_PARAMS)
+    ev = explode_events(res.routed.kept, keys=("pool",)).select(
+        "pool", "ts_ms", "sign", "pods_u"
+    )
+    path = str(tmp_path / "pool_events")
+    ev.repartition(4).write.mode("overwrite").parquet(path)
+    return path, ev
+
+
+def test_stream_equals_batch_per_pool(spark, tmp_path):
+    """The reference sizes per resource pool (sizing.conf:8): the keyed
+    streaming sweep must match its batch twin on every (pool, window),
+    and the per-pool nets must reconcile to the global windowed form."""
+    path, ev = _pool_event_files(spark, tmp_path)
+    stream = event_stream(spark, path, POOL_EVENT_SCHEMA)
+    result = run_stream_to_memory(
+        windowed_concurrency_by_pool(stream), "sweep_pool_test"
+    )
+    got = {(r.pool, r.window_start): r for r in result.collect()}
+    want = {(r.pool, r.window_start): r for r in batch_equivalent_by_pool(ev).collect()}
+    assert got.keys() == want.keys() and len(got) > 1
+    assert len({p for p, _ in got}) > 1  # the pool key is real, not constant
+    for k in want:
+        assert (
+            got[k].starts == want[k].starts
+            and got[k].ends == want[k].ends
+            and got[k].net_queries == want[k].net_queries
+            and got[k].net_pods_u == want[k].net_pods_u
+        ), f"pool-window {k}"
+    # per-pool nets sum to the global form's nets per window
+    by_window: dict = {}
+    for (_, w), r in got.items():
+        agg = by_window.setdefault(w, [0, 0])
+        agg[0] += r.net_queries
+        agg[1] += r.net_pods_u
+    global_want = {
+        r.window_start: r
+        for r in batch_equivalent(ev.select("ts_ms", "sign", "pods_u")).collect()
+    }
+    assert by_window.keys() == global_want.keys()
+    for w, (nq, npods) in by_window.items():
+        assert nq == global_want[w].net_queries
+        assert npods == global_want[w].net_pods_u
 
 
 def test_watermark_drops_late_events(spark, tmp_path):
