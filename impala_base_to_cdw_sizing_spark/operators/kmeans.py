@@ -22,12 +22,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .queries_ext import register
-from .similarity import DIM, DUCK_DOT, DUCK_EMB, SPARK_DOT
+from .queries_ext import register, register_extra
+from .similarity import DIM, DUCK_DOT, DUCK_EMB, N_QUERIES, SPARK_DOT
 
 K = 8
 N_ITERS = 2
 _NANO = 1_000_000_000.0
+
+
+def _emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .selectExpr(
+            "vec_id", "label",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        )
+        .withColumn("norm2", F.expr(SPARK_DOT.format(a="v", b="v")))
+    )
 
 
 def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -70,24 +81,23 @@ def _recompute(assigned: DataFrame) -> DataFrame:
     )
 
 
-def q_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means after ``N_ITERS`` unrolled Lloyd iterations: cluster sizes
-    and exact per-cluster inertia (micro-quantized for oracle parity)."""
-    emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .selectExpr(
-            "vec_id", "label",
-            "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
-        )
-        .withColumn("norm2", F.expr(SPARK_DOT.format(a="v", b="v")))
-    )
+def trained_centroids(emb: DataFrame) -> DataFrame:
+    """Centroids after ``N_ITERS`` unrolled Lloyd iterations from the
+    deterministic first-``K`` init — the trained coarse quantizer the IVF
+    search consumes."""
     centroids = emb.filter(F.col("vec_id") < K).selectExpr(
         "vec_id AS cluster", "v AS cv"
     )
-    assigned = None
     for _ in range(N_ITERS):
-        assigned = _assign(emb, centroids)
-        centroids = _recompute(assigned)
+        centroids = _recompute(_assign(emb, centroids))
+    return centroids
+
+
+def q_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means after ``N_ITERS`` unrolled Lloyd iterations: cluster sizes
+    and exact per-cluster inertia (micro-quantized for oracle parity)."""
+    emb = _emb_norm(spark, sf_dir)
+    centroids = trained_centroids(emb)
     final = _assign(emb, centroids)
     with_dist = final.join(centroids, "cluster").withColumn(
         "dist2",
@@ -129,7 +139,9 @@ cent{i} AS (
 )"""
 
 
-def _kmeans_sql() -> str:
+def _cte_chain() -> tuple[list[str], str]:
+    """The shared unrolled-Lloyd CTE chain ending in ``final`` (every
+    vector assigned to its trained cluster); returns (parts, last_cent)."""
     parts = [
         f"emb AS ({DUCK_EMB})",
         f"normed AS (SELECT vec_id, v, {DUCK_DOT.format(a='v', b='v')} AS norm2 FROM emb)",
@@ -150,6 +162,11 @@ final AS (
   ) WHERE r = 1
 )"""
     parts.append(final.strip())
+    return parts, prev
+
+
+def _kmeans_sql() -> str:
+    parts, prev = _cte_chain()
     return (
         "WITH " + ",\n".join(parts) + f"""
 SELECT f.cluster, COUNT(*) AS n_points,
@@ -162,5 +179,67 @@ GROUP BY f.cluster
     )
 
 
+def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the TRAINED coarse quantizer: the k-means centroids
+    (after ``N_ITERS`` Lloyd iterations) replace ``sim_ivf_ann``'s fixed
+    seed cells, then each query is answered by exact cosine re-rank
+    within its cell. Same plan shape as the fixed-seed IVF — broadcast-k
+    assignment join + equi-join on cell — which is the point: training
+    the quantizer changes recall, not the physical plan. The oracle
+    replays the identical Lloyd unroll (kmeans CTE chain) and in-cell
+    scoring."""
+    from pyspark.sql import Window
+
+    emb = _emb_norm(spark, sf_dir)
+    cells = _assign(emb, trained_centroids(emb))
+    q = cells.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS q_id", "v AS qv", "norm2 AS q_norm2", "cluster AS cell_id"
+    )
+    cand = cells.selectExpr(
+        "vec_id AS c_id", "v AS cv", "norm2 AS c_norm2", "cluster AS cell_id"
+    )
+    scored = (
+        q.join(cand, "cell_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cosine",
+            F.expr(SPARK_DOT.format(a="qv", b="cv"))
+            / F.sqrt(F.col("q_norm2") * F.col("c_norm2")),
+        )
+    )
+    wtop = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wtop).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "q_id", "cell_id", "rank",
+            F.col("c_id").alias("neighbor_id"), "cosine",
+        )
+    )
+
+
+def _ivf_trained_sql() -> str:
+    parts, _ = _cte_chain()
+    scored = f"""
+scored AS (
+  SELECT q.vec_id AS q_id, q.cluster AS cell_id, c.vec_id AS c_id,
+    {DUCK_DOT.format(a='q.v', b='c.v')} / sqrt(q.norm2 * c.norm2) AS cosine
+  FROM final q JOIN final c ON q.cluster = c.cluster
+   AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)"""
+    return (
+        "WITH " + ",\n".join(parts + [scored.strip()]) + """
+SELECT q_id, cell_id, rank, c_id AS neighbor_id, cosine FROM (
+  SELECT q_id, cell_id, c_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+    )
+
+
 def register_all() -> None:
     register("kmeans_clusters", q_kmeans_assignments, _kmeans_sql())
+    register_extra("sim_ivf_trained", q_ivf_trained, _ivf_trained_sql())
