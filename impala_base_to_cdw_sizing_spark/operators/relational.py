@@ -543,6 +543,95 @@ GROUP BY 1, 2
 """
 
 
+# --- semi-structured: schema'd JSON extraction -----------------------------------
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props is a JSON string column; parse it ONCE with a declared
+    schema (``from_json`` — a codegen'd parser producing a struct, so the
+    extraction stays JVM-side and column-pruned) and aggregate the typed
+    field. The anti-pattern at 100 TB is N ``get_json_object`` calls
+    re-parsing the string N times per row."""
+    ev = _load_events(spark, sf_dir)
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("p.k").alias("sum_k"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+        F.sum(F.when(F.col("p.k") > 50, 1).otherwise(0)).cast("long").alias("n_high"),
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  MIN(k) AS min_k, MAX(k) AS max_k,
+  CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+# --- time-series gap fill (resample to a dense hourly grid) ----------------------
+
+
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample: build the full (hour × event_type) grid with
+    ``sequence``+``explode`` off a 1-row min/max aggregate, left-join the
+    observed hourly counts, zero-fill the gaps. The grid side is tiny
+    (hours × types, not events), the join is an equi-join on the grid key
+    — the standard gap-filling shape time-series stores special-case,
+    expressed as two shuffles at any scale."""
+    ev = _load_events(spark, sf_dir)
+    hour_ms = F.expr("(ts div 1000000) div 3600000 * 3600000")
+    hourly = (
+        ev.withColumn("hour_ms", hour_ms)
+        .groupBy("hour_ms", "event_type")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    bounds = ev.agg(
+        F.min(hour_ms).alias("h_min"), F.max(hour_ms).alias("h_max")
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h_min", "h_max", F.lit(3_600_000).cast("long"))
+        ).alias("hour_ms")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)  # dense axis: |hours| × |types|, tiny
+    return grid.join(hourly, ["hour_ms", "event_type"], "left").select(
+        "hour_ms",
+        "event_type",
+        F.coalesce("n_obs", F.lit(0).cast("long")).alias("n"),
+    )
+
+
+SQL_GAPFILL_HOURLY = """
+WITH hourly AS (
+  SELECT (epoch_ns(ts) // 1000000) // 3600000 * 3600000 AS hour_ms,
+    event_type, COUNT(*) AS n_obs
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT MIN((epoch_ns(ts) // 1000000) // 3600000 * 3600000) AS h_min,
+    MAX((epoch_ns(ts) // 1000000) // 3600000 * 3600000) AS h_max
+  FROM events
+),
+hours AS (
+  SELECT unnest(range(h_min, h_max + 1, 3600000)) AS hour_ms FROM bounds
+),
+grid AS (
+  SELECT h.hour_ms, t.event_type
+  FROM hours h, (SELECT DISTINCT event_type FROM events) t
+)
+SELECT g.hour_ms, g.event_type,
+  CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n
+FROM grid g LEFT JOIN hourly o
+  ON g.hour_ms = o.hour_ms AND g.event_type = o.event_type
+"""
+
+
 def register_all() -> None:
     register("rel_tpch_q1", q_tpch_q1, SQL_Q1)
     register("rel_tpch_q3_topk", q_tpch_q3, SQL_Q3)
@@ -560,3 +649,5 @@ def register_all() -> None:
     # covered by events_rollup_cascade's cascading time grains
     register_extra("rel_rollup", q_rollup, SQL_ROLLUP)
     register_extra("rel_hourly_window", q_hourly, SQL_HOURLY)
+    register_extra("rel_json_props", q_json_props, SQL_JSON_PROPS)
+    register_extra("rel_gapfill_hourly", q_gapfill_hourly, SQL_GAPFILL_HOURLY)
