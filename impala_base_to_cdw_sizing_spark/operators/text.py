@@ -329,6 +329,110 @@ FROM documents GROUP BY 1
 """
 
 
+# --- incremental dedup: new crawl vs existing corpus ------------------------------
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus without re-clustering
+    the corpus — the steady-state shape of a production crawl pipeline
+    (the corpus's digests and band keys are precomputed artifacts; only
+    the new batch is tokenized/hashed fresh). Here the split is
+    deterministic (even doc_id = corpus, odd = new) so the oracle can
+    replay it. A new doc is rejected for an exact md5 match (semi join on
+    digest) or any MinHash band collision with a corpus doc at
+    est_jaccard >= 0.5 (band equi-join — the corpus side is the big one,
+    so the join is new-batch-sized per band, never corpus x corpus)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text_hash", F.md5(F.encode("text", "UTF-8"))
+    )
+    corpus_h = docs.filter(F.col("doc_id") % 2 == 0).select("text_hash").distinct()
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text_hash")
+
+    bands = _band_frame(spark, sf_dir, *_MH_FULL)
+    n_perms = len(_MH_FULL[0])
+    corpus_b = bands.filter(F.col("doc_id") % 2 == 0).selectExpr(
+        "doc_id AS c_id", "sig AS c_sig", "band_id", "band_key"
+    )
+    new_b = bands.filter(F.col("doc_id") % 2 == 1).selectExpr(
+        "doc_id AS n_id", "sig AS n_sig", "band_id", "band_key"
+    )
+    near = (
+        new_b.join(corpus_b, ["band_id", "band_key"])
+        .select(
+            "n_id", "c_id",
+            F.expr(
+                "CAST(size(filter(zip_with(n_sig, c_sig, (x, y) -> x = y),"
+                " v -> v)) AS BIGINT)"
+            ).alias("n_equal"),
+        )
+        .distinct()
+        .filter(F.col("n_equal") / F.lit(float(n_perms)) >= 0.5)
+        .groupBy("n_id")
+        .agg(F.count("*").alias("n_near_dups"))
+    )
+
+    exact = corpus_h.withColumn("_dup", F.lit(True))
+    out = (
+        new_docs.join(exact, "text_hash", "left")
+        .join(near, new_docs.doc_id == near.n_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("_dup", F.lit(False)).alias("is_exact_dup"),
+            F.coalesce("n_near_dups", F.lit(0).cast("long")).alias("n_near_dups"),
+        )
+        .withColumn(
+            "keep", ~F.col("is_exact_dup") & (F.col("n_near_dups") == 0)
+        )
+    )
+    return out
+
+
+def _incremental_sql() -> str:
+    params, n_bands = _MH_FULL
+    n_perms = len(params)
+    rows = n_perms // n_bands
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, sig, {j} AS band_id, {key} AS band_key FROM sigs".format(
+            j=j,
+            key=" || '_' || ".join(
+                f"CAST(sig[{j * rows + i + 1}] AS VARCHAR)" for i in range(rows)
+            ),
+        )
+        for j in range(n_bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({DUCK_SHINGLES}) AS shingles
+  FROM (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents)
+),
+hashed AS (
+  SELECT doc_id, list_transform(shingles, s -> {duck_charfold('s')}) AS hashes
+  FROM sh
+),
+sigs AS (SELECT doc_id, {_duck_sig(params)} AS sig FROM hashed),
+bands AS ({band_rows}),
+near AS (
+  SELECT n_id, COUNT(*) AS n_near_dups FROM (
+    SELECT DISTINCT n.doc_id AS n_id, c.doc_id AS c_id,
+      len(list_filter(range(1, {n_perms + 1}), i -> n.sig[i] = c.sig[i]))
+        AS n_equal
+    FROM bands n JOIN bands c
+      ON n.band_id = c.band_id AND n.band_key = c.band_key
+     AND n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+  ) WHERE n_equal / CAST({n_perms} AS DOUBLE) >= 0.5
+  GROUP BY n_id
+),
+corpus_h AS (SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 2 = 0)
+SELECT d.doc_id,
+  (h.text_hash IS NOT NULL) AS is_exact_dup,
+  CAST(COALESCE(nr.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+  (h.text_hash IS NULL AND COALESCE(nr.n_near_dups, 0) = 0) AS keep
+FROM (SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN corpus_h h ON d.text_hash = h.text_hash
+LEFT JOIN near nr ON d.doc_id = nr.n_id
+"""
+
+
 # --- n-gram Jaccard near-dup -----------------------------------------------------------
 
 
@@ -448,12 +552,15 @@ def _duck_sig(params: list[tuple[int, int]]) -> str:
     return f"[{mins}]"
 
 
-def _minhash_pairs(
+def _band_frame(
     spark: SparkSession,
     sf_dir: str,
     params: list[tuple[int, int]],
     n_bands: int,
 ) -> DataFrame:
+    """(doc_id, sig, band_id, band_key) — the LSH banding of every doc's
+    MinHash signature; shared by the self-join pair pipeline and the
+    incremental (new-vs-corpus) dedup."""
     n_perms = len(params)
     rows = n_perms // n_bands  # signature slots per band
     sigs = (
@@ -466,13 +573,23 @@ def _minhash_pairs(
         .selectExpr("doc_id", f"{_spark_sig(params)} AS sig")
     ).cache()  # n_perms bigints/doc; read by both self-join sides AND
     # reused verbatim by dedup_components' edge build (plan-keyed cache hit)
-    bands = sigs.selectExpr(
+    return sigs.selectExpr(
         "doc_id", "sig",
         f"explode(transform(sequence(0, {n_bands - 1}), "
         "j -> struct(j AS band_id, "
         f"array_join(transform(slice(sig, j * {rows} + 1, {rows}),"
         " x -> CAST(x AS STRING)), '_') AS band_key))) AS band",
     ).select("doc_id", "sig", "band.band_id", "band.band_key")
+
+
+def _minhash_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    params: list[tuple[int, int]],
+    n_bands: int,
+) -> DataFrame:
+    n_perms = len(params)
+    bands = _band_frame(spark, sf_dir, params, n_bands)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -1245,3 +1362,4 @@ def register_all() -> None:
     )
     register_extra("text_quality_gopher", q_quality_gopher, SQL_QUALITY_GOPHER)
     register_extra("dedup_cluster_rep", q_cluster_rep, _cluster_rep_sql())
+    register_extra("dedup_incremental", q_dedup_incremental, _incremental_sql())
