@@ -73,9 +73,10 @@ def _load_providers() -> None:
     relational.register_all()
     olap_extra.register_all()
 
-    from . import skew
+    from . import custom_agg, skew
 
     skew.register_all()
+    custom_agg.register_all()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
