@@ -27,15 +27,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-@pandas_udf("double")
-def lower_median(v: pd.Series) -> float:
-    s = v.sort_values(ignore_index=True)
-    return float(s.iloc[(len(s) - 1) // 2])
+def make_grouped_aggs():
+    """Build the grouped-agg UDFs lazily: ``pandas_udf`` parses its DDL
+    return type against the ACTIVE session at decoration time, so
+    module-import-time decoration breaks any import that happens before
+    a SparkSession exists (e.g. pytest collection)."""
 
+    @pandas_udf("double")
+    def lower_median(v: pd.Series) -> float:
+        s = v.sort_values(ignore_index=True)
+        return float(s.iloc[(len(s) - 1) // 2])
 
-@pandas_udf("long")
-def group_size(v: pd.Series) -> int:
-    return int(len(v))
+    @pandas_udf("long")
+    def group_size(v: pd.Series) -> int:
+        return int(len(v))
+
+    return lower_median, group_size
 
 
 def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,6 +53,7 @@ def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     same single shuffle."""
     from ..sources.files import load_events
 
+    lower_median, group_size = make_grouped_aggs()
     ev = load_events(spark, sf_dir).select("event_type", "value")
     return ev.groupBy("event_type").agg(
         group_size("value").alias("n"),

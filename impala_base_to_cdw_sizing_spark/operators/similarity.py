@@ -240,6 +240,19 @@ SELECT q_id, rank, c_id AS neighbor_id, n_bands_hit, cosine FROM (
 """
 
 
+def _recall_vs_exact(exact3: DataFrame, ann3: DataFrame) -> DataFrame:
+    """recall@3 of an ANN candidate set vs the exact top-3 (shared by the
+    LSH and IVF recall companions)."""
+    n_hits = exact3.join(ann3, ["q_id", "neighbor_id"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    n_exact = exact3.agg(F.count("*").alias("n_exact"))
+    return n_exact.crossJoin(n_hits).selectExpr(
+        "n_exact", "n_hits",
+        "CAST(n_hits AS DOUBLE) / n_exact AS recall_at3",
+    )
+
+
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall companion for the OR-banded ANN: fraction of the exact
     cosine top-3 (from :func:`q_cosine_topk`) that the banded search
@@ -252,14 +265,21 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "neighbor_id")
     )
     ann3 = q_lsh_ann(spark, sf_dir).select("q_id", "neighbor_id")
-    n_hits = exact3.join(ann3, ["q_id", "neighbor_id"]).agg(
-        F.count("*").alias("n_hits")
+    return _recall_vs_exact(exact3, ann3)
+
+
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall companion for the fixed-seed IVF: an IVF search can only
+    ever see candidates in the query's own cell, so recall quantifies
+    the quantizer's cost directly (nprobe=1 equivalent). Compare against
+    ``sim_lsh_recall`` to choose the ANN plan for a given corpus."""
+    exact3 = (
+        q_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "neighbor_id")
     )
-    n_exact = exact3.agg(F.count("*").alias("n_exact"))
-    return n_exact.crossJoin(n_hits).selectExpr(
-        "n_exact", "n_hits",
-        "CAST(n_hits AS DOUBLE) / n_exact AS recall_at3",
-    )
+    ann3 = q_ivf_ann(spark, sf_dir).select("q_id", "neighbor_id")
+    return _recall_vs_exact(exact3, ann3)
 
 
 SQL_LSH_RECALL = f"""
@@ -268,6 +288,22 @@ WITH exact3 AS (
 ),
 ann3 AS (
   SELECT q_id, neighbor_id FROM ({SQL_LSH_ANN.strip()})
+)
+SELECT
+  (SELECT COUNT(*) FROM exact3) AS n_exact,
+  COUNT(*) AS n_hits,
+  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM exact3) AS recall_at3
+FROM exact3 JOIN ann3 USING (q_id, neighbor_id)
+"""
+
+# the IVF twin needs SQL_IVF_ANN, defined below — assembled lazily in
+# register_all to keep source order readable
+_SQL_IVF_RECALL_TEMPLATE = """
+WITH exact3 AS (
+  SELECT q_id, neighbor_id FROM ({topk}) WHERE rank <= 3
+),
+ann3 AS (
+  SELECT q_id, neighbor_id FROM ({ivf})
 )
 SELECT
   (SELECT COUNT(*) FROM exact3) AS n_exact,
@@ -557,3 +593,10 @@ def register_all() -> None:
     register("emb_label_centroids", q_label_centroids, SQL_LABEL_CENTROIDS)
     register_extra("emb_normalize", q_emb_normalize, SQL_EMB_NORMALIZE)
     register_extra("sim_lsh_recall", q_lsh_recall, SQL_LSH_RECALL)
+    register_extra(
+        "sim_ivf_recall",
+        q_ivf_recall,
+        _SQL_IVF_RECALL_TEMPLATE.format(
+            topk=SQL_COSINE_TOPK.strip(), ivf=SQL_IVF_ANN.strip()
+        ),
+    )
