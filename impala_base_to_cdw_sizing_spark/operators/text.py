@@ -1153,6 +1153,71 @@ def cc_labels_converged(
     return labels
 
 
+def cc_labels_star(
+    edges: DataFrame, nodes: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (the MapReduce CC algorithm of Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round hooks
+    every node's neighbors onto the minimum of its closed neighborhood,
+    which contracts the graph toward per-component stars in O(log)
+    rounds — versus min-label propagation's diameter-bounded rounds. On
+    a 100 TB crawl with duplicate chains thousands of links long, the
+    difference is ~12 rounds vs ~thousands.
+
+    ``edges`` symmetric (doc_a, doc_b), no self-loops; ``nodes`` one
+    doc_id per vertex. Each round is two groupBy+join passes over the
+    current edge frame, localCheckpoint-ed to truncate lineage.
+    Convergence = the (count, xxhash64-sum) edge digest repeating — an
+    O(1)-row action per round; the final stars give every node the
+    component minimum as its direct neighbor. Labels are property-tested
+    equal to :func:`cc_labels_converged` (and oracle-checked through
+    ``dedup_components``'s recursive-CTE fixpoint when registered)."""
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        m = e.groupBy("doc_a").agg(F.min("doc_b").alias("mnb")).select(
+            "doc_a", F.least("doc_a", "mnb").alias("m")
+        )
+        withm = e.join(m, "doc_a")
+        if large:
+            # attach strictly-larger neighbors to min(closed nbhd)
+            out = withm.filter(F.col("doc_b") > F.col("doc_a")).select(
+                F.col("doc_b").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            # attach not-larger neighbors AND the node itself to the min
+            out = withm.filter(F.col("doc_b") <= F.col("doc_a")).select(
+                F.col("doc_b").alias("u"), F.col("m").alias("v")
+            ).union(m.select(F.col("doc_a").alias("u"), F.col("m").alias("v")))
+        out = out.filter(F.col("u") != F.col("v")).distinct()
+        # re-symmetrize for the next round's per-node neighborhoods
+        return out.select(
+            F.col("u").alias("doc_a"), F.col("v").alias("doc_b")
+        ).union(out.select(F.col("v").alias("doc_a"), F.col("u").alias("doc_b")))
+
+    e = edges.localCheckpoint(eager=True)
+    prev_digest = None
+    for _ in range(max_iters):
+        e = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
+        digest = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(doc_a, doc_b))").alias("h"),
+        ).first()
+        digest = (digest["n"], digest["h"])
+        if digest == prev_digest:
+            break
+        prev_digest = digest
+    star_min = e.groupBy("doc_a").agg(F.min("doc_b").alias("nbr_min"))
+    return nodes.join(
+        star_min, nodes.doc_id == star_min.doc_a, "left"
+    ).select(
+        "doc_id",
+        F.least(
+            F.col("doc_id"), F.coalesce("nbr_min", F.col("doc_id"))
+        ).alias("cluster"),
+    )
+
+
 def _components_sql() -> str:
     pairs_sql = _minhash_sql().strip()
     # The oracle computes the same fixpoint the convergent propagation
