@@ -543,6 +543,137 @@ GROUP BY 1, 2
 """
 
 
+# --- TPC-H Q10/Q18/Q19 adaptations (columns limited to the testdata schema) ------
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 returned-item revenue: which customers returned the most value
+    in a quarter. Fact-fact join on orderkey, broadcast dims, decimal
+    revenue sum, deterministic top-20."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_Q10 = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume orders: the HAVING-on-aggregate shape — aggregate
+    lineitem once, filter on the aggregate, then enrich with order and
+    customer. The aggregate-then-join order matters at scale: the
+    having-filter shrinks the fact side before any dimension join."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_ms"
+            ),
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
+SQL_Q18 = f"""
+SELECT c_custkey, c_name, o_orderkey, epoch_ms(o_orderdate) AS orderdate_ms,
+  o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, {dsum_sql('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {dsum_sql('l_quantity')} > 150
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 disjunctive predicate revenue: OR-of-ANDs across both join
+    sides. Catalyst extracts the common conjuncts it can push to each
+    scan (brand set, quantity bounds) and evaluates the residual
+    disjunction post-join — the plan shape that distinguishes a pushdown
+    engine from a scan-everything one."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 35))
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & (F.col("p_size").between(20, 50))
+            & (F.col("l_quantity").between(20, 50))
+        )
+    )
+    return joined.filter(cond).agg(
+        F.count("*").alias("n_lines"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )
+
+
+SQL_Q19 = f"""
+SELECT COUNT(*) AS n_lines,
+  {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
 # --- semi-structured: schema'd JSON extraction -----------------------------------
 
 
@@ -651,3 +782,6 @@ def register_all() -> None:
     register_extra("rel_hourly_window", q_hourly, SQL_HOURLY)
     register_extra("rel_json_props", q_json_props, SQL_JSON_PROPS)
     register_extra("rel_gapfill_hourly", q_gapfill_hourly, SQL_GAPFILL_HOURLY)
+    register_extra("rel_tpch_q10_returns", q_tpch_q10, SQL_Q10)
+    register_extra("rel_tpch_q18_having", q_tpch_q18, SQL_Q18)
+    register_extra("rel_tpch_q19_disjunct", q_tpch_q19, SQL_Q19)
