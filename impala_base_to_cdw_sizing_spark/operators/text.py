@@ -329,6 +329,86 @@ FROM documents GROUP BY 1
 """
 
 
+# --- chunk-level dedup (paragraph dedup's shape on separator-free text) -----------
+
+_CHUNK_TOKENS = 8
+
+
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: drop text CHUNKS that repeat across documents
+    (boilerplate headers/footers/navigation in a real crawl) while
+    keeping the unique remainder — the paragraph-dedup pass of CCNet/
+    Dolma-style pipelines. The synthetic corpus has no separator
+    structure, so chunks are fixed 8-token windows (measured non-vacuous:
+    153/3434 distinct chunks shared at sf0.01); swapping the chunker for
+    a paragraph split changes one expression, not the pipeline.
+
+    Shape: chunk explode → md5 chunk key → document-frequency per key
+    (the same inverted-index-with-df-cut skeleton as dedup_ngram_jaccard)
+    → join back → per-doc keep stats. Per-doc output keeps this a
+    bounded, shuffle-twice plan at any corpus size."""
+    chunks = (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(SPARK_TOKENS))
+        .selectExpr(
+            "doc_id",
+            f"posexplode(transform("
+            f" sequence(0, CAST(ceil(size(tokens) / {_CHUNK_TOKENS}.0) AS INT) - 1),"
+            f" i -> struct("
+            f"  md5(encode(concat_ws(' ',"
+            f"   slice(tokens, i * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS})), 'utf-8')) AS ck,"
+            f"  size(slice(tokens, i * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS})) AS cn"
+            f" ))) AS (pos, ch)",
+        )
+        .select("doc_id", "ch.ck", "ch.cn")
+    )
+    df_tbl = chunks.groupBy("ck").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    return (
+        chunks.join(df_tbl, "ck")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("ndocs") <= 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("ndocs") <= 1, F.col("cn")).otherwise(0))
+            .cast("long")
+            .alias("n_tokens_kept"),
+        )
+        .selectExpr(
+            "doc_id", "n_chunks", "n_kept", "n_tokens_kept",
+            "CAST(1 AS DOUBLE) - n_kept / n_chunks AS boilerplate_frac",
+        )
+    )
+
+
+def _chunks_sql() -> str:
+    c = _CHUNK_TOKENS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+    unnest(list_transform(range(0, CAST(ceil(len(tokens) / {c}.0) AS BIGINT)),
+      i -> md5(array_to_string(tokens[i * {c} + 1:i * {c} + {c}], ' ')))) AS ck,
+    unnest(list_transform(range(0, CAST(ceil(len(tokens) / {c}.0) AS BIGINT)),
+      i -> len(tokens[i * {c} + 1:i * {c} + {c}]))) AS cn
+  FROM toks
+),
+df AS (SELECT ck, COUNT(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY ck)
+SELECT doc_id, COUNT(*) AS n_chunks,
+  CAST(SUM(CASE WHEN ndocs <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN ndocs <= 1 THEN cn ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+  CAST(1 AS DOUBLE) - SUM(CASE WHEN ndocs <= 1 THEN 1 ELSE 0 END) / COUNT(*)
+    AS boilerplate_frac
+FROM chunks JOIN df USING (ck)
+GROUP BY doc_id
+"""
+
+
 # --- incremental dedup: new crawl vs existing corpus ------------------------------
 
 
@@ -1428,3 +1508,4 @@ def register_all() -> None:
     register_extra("text_quality_gopher", q_quality_gopher, SQL_QUALITY_GOPHER)
     register_extra("dedup_cluster_rep", q_cluster_rep, _cluster_rep_sql())
     register_extra("dedup_incremental", q_dedup_incremental, _incremental_sql())
+    register_extra("dedup_chunks", q_dedup_chunks, _chunks_sql())
