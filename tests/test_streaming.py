@@ -115,6 +115,30 @@ def test_stream_equals_batch_per_pool(spark, tmp_path):
         assert npods == global_want[w].net_pods_u
 
 
+def test_session_bursts_stream_equals_batch(spark, tmp_path):
+    """session_window aggregation is the same declarative transform batch
+    or streaming; run it as an actual stream (complete mode) over the
+    per-pool event files and require identical sessions to the batch
+    form."""
+    path, ev = _pool_event_files(spark, tmp_path)
+    from impala_base_to_cdw_sizing_spark.streaming.sweep_stream import (
+        session_bursts,
+    )
+
+    stream = event_stream(spark, path, POOL_EVENT_SCHEMA)
+    result = run_stream_to_memory(session_bursts(stream), "session_stream_test")
+
+    def keyed(df):
+        return {
+            (r.pool, r.session_start): (r.session_end, r.n_events, r.n_starts)
+            for r in df.collect()
+        }
+
+    got, want = keyed(result), keyed(session_bursts(ev))
+    assert got == want
+    assert len(got) > 1
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Pin the semantics the batch path has no analog for: an event
     arriving after the watermark has passed its window is dropped; one
