@@ -386,6 +386,108 @@ WHERE c_acctbal > (
 """
 
 
+# --- RANGE window frame (value-range sliding aggregate) --------------------------
+
+_30D_MS = 30 * 86_400_000
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day per-customer order stats via a RANGE frame — the
+    frame boundary is a VALUE offset on the ordering column, not a row
+    count, so ties (same-day orders) are all peers of each other and the
+    result is deterministic without a tiebreak. The rolling sum runs in
+    DECIMAL so frame-internal addition order can't produce float drift
+    against the oracle."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+            "orderdate_ms"
+        ),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("orderdate_ms")
+        .rangeBetween(-_30D_MS, 0)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey", "orderdate_ms",
+        F.count("*").over(w).alias("n_orders_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
+SQL_WINDOW_RANGE_FRAME = f"""
+SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS orderdate_ms,
+  COUNT(*) OVER w AS n_orders_30d,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS spend_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+  RANGE BETWEEN {_30D_MS} PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- upsert / snapshot merge (SCD apply without a table format) -------------------
+
+
+def q_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a change batch (upserts + deletes) to a snapshot — the MERGE
+    INTO shape, expressed as a full outer join + per-row resolution so it
+    needs no transactional table format. Derived deterministically from
+    ``orders``: base = keys not ≡0 (mod 3); changes = keys ≡0 (mod 2)
+    with a 10% price bump, of which keys ≡0 (mod 7) are deletes. At
+    scale this is one co-partitioned shuffle join on the merge key (or
+    zero shuffles off bucketed tables — tests/test_bucketing.py)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    changes = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("new_price"),
+        (F.col("o_orderkey") % 7 == 0).alias("is_delete"),
+    )
+    merged = base.alias("b").join(
+        changes.alias("c"), "o_orderkey", "full_outer"
+    )
+    return (
+        merged.filter(~F.coalesce("is_delete", F.lit(False)))
+        .select(
+            "o_orderkey",
+            F.coalesce("new_price", F.col("o_totalprice")).alias("price"),
+            F.when(
+                F.col("new_price").isNotNull()
+                & F.col("o_totalprice").isNotNull(),
+                "updated",
+            )
+            .when(F.col("new_price").isNotNull(), "inserted")
+            .otherwise("unchanged")
+            .alias("row_state"),
+        )
+    )
+
+
+SQL_UPSERT_SNAPSHOT = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+),
+changes AS (
+  SELECT o_orderkey, o_totalprice * 1.1 AS new_price,
+    (o_orderkey % 7 = 0) AS is_delete
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+  COALESCE(c.new_price, b.o_totalprice) AS price,
+  CASE WHEN c.new_price IS NOT NULL AND b.o_totalprice IS NOT NULL THEN 'updated'
+       WHEN c.new_price IS NOT NULL THEN 'inserted'
+       ELSE 'unchanged' END AS row_state
+FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+WHERE NOT COALESCE(c.is_delete, FALSE)
+"""
+
+
 def register_all() -> None:
     register("rel_correlated_subquery", q_correlated_subquery, SQL_CORRELATED)
     register("rel_exact_percentiles", q_exact_percentiles, SQL_EXACT_PERCENTILES)
@@ -402,3 +504,7 @@ def register_all() -> None:
     register_extra("rel_array_agg", q_array_agg, SQL_ARRAY_AGG)
     register_extra("rel_pivot", q_pivot, SQL_PIVOT)
     register_extra("rel_cube", q_cube, SQL_CUBE)
+    register_extra(
+        "rel_window_range_frame", q_window_range_frame, SQL_WINDOW_RANGE_FRAME
+    )
+    register_extra("rel_upsert_snapshot", q_upsert_snapshot, SQL_UPSERT_SNAPSHOT)
