@@ -73,9 +73,10 @@ def _load_providers() -> None:
     relational.register_all()
     olap_extra.register_all()
 
-    from . import tpch_gap
+    from . import mixture, tpch_gap
 
     tpch_gap.register_all()
+    mixture.register_all()
 
     from . import custom_agg, skew
 
