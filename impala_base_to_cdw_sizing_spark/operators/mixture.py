@@ -222,11 +222,15 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "digest")
         .agg((F.sum("bit_set") == len(_BLOOM_HASHES)).alias("bloom_hit"))
     )
+    # The exact-dup join exists to MEASURE the Bloom filter's false
+    # positives; it is corpus-sized, so no broadcast hint (at 100 TB the
+    # whole point of the Bloom bitmap is to avoid this join — production
+    # probes would stop at bloom_hit and only verify hits)
     corpus_digests = corpus.select("digest").distinct().withColumn(
         "_present", F.lit(True)
     )
     return (
-        hits.join(F.broadcast(corpus_digests), "digest", "left")
+        hits.join(corpus_digests, "digest", "left")
         .select(
             "doc_id",
             "bloom_hit",

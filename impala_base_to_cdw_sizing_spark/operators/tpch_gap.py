@@ -85,8 +85,11 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_cost = eur_ps.groupBy("ps_partkey").agg(
         F.min("ps_supplycost").alias("min_cost")
     )
+    # no broadcast hint on min_cost: it is partkey-cardinality (grows
+    # with SF) — the equi-join shuffles on ps_partkey and AQE broadcasts
+    # at runtime only when the frame is actually small
     return (
-        eur_ps.join(F.broadcast(min_cost), "ps_partkey")
+        eur_ps.join(min_cost, "ps_partkey")
         .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .join(part, F.col("ps_partkey") == part.p_partkey)
         .select(

@@ -51,3 +51,33 @@ def test_q17_filtered_lines_nonzero(spark):
 def test_q14_promo_share_strictly_between_0_and_100(spark):
     row = tpch_gap.q_tpch_q14(spark, SF_SMALL).collect()[0]
     assert 0.0 < row["promo_pct"] < 100.0
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_products_in_gap_plans(spark):
+    # every crossJoin in the gap queries carries a 1-row scalar frame
+    # (broadcast nested loop); a real CartesianProduct would be a
+    # scale-breaking plan regression
+    for fn in _GAP_QUERIES:
+        assert "CartesianProduct" not in _plan(fn(spark, SF_SMALL)), fn.__name__
+
+
+def test_q19_disjunction_pushes_common_conjuncts(spark):
+    from impala_base_to_cdw_sizing_spark.operators.relational import q_tpch_q19
+
+    plan = _plan(q_tpch_q19(spark, SF_SMALL))
+    # the brand-set disjunction is extractable per side: the part scan
+    # must carry pushed filters (Catalyst's OR-of-ANDs extraction)
+    assert "PushedFilters: [" in plan
+
+
+def test_q21_aggregates_quantifiers_without_self_scan_explosion(spark):
+    # the EXISTS/NOT-EXISTS pair compiles to per-order aggregates — the
+    # lineitem scan appears a bounded number of times, not once per
+    # quantifier nesting level
+    plan = _plan(tpch_gap.q_tpch_q21(spark, SF_SMALL))
+    assert plan.count("FileScan parquet") <= 6
+    assert "CartesianProduct" not in plan
