@@ -488,6 +488,72 @@ WHERE NOT COALESCE(c.is_delete, FALSE)
 """
 
 
+# --- mergeable distinct-count sketches (HLL rollup) ------------------------------
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pattern that makes distinct counts SCALE: per-day HLL sketches
+    (``hll_sketch_agg``, Apache DataSketches) merged across days with
+    ``hll_union_agg`` — a re-aggregable distinct, unlike a raw
+    COUNT(DISTINCT) which cannot roll up (``sum_daily_exact`` in the
+    output deliberately shows the double-counting a naive daily-sum
+    commits; the sketch merge does not). At 100 TB the daily sketches are
+    a few KB per (day, type) — the rollup reads sketches, never re-scans
+    events.
+
+    Oracle-checkable the same way as ``rel_approx_distinct``: exact
+    distincts are value-matched, and the merged-sketch estimate is pinned
+    as a within-2% boolean (DataSketches HLL is insertion-order
+    independent, so the flag is deterministic for a fixed dataset)."""
+    from ..sources.files import load_events
+
+    ev = load_events(spark, sf_dir).selectExpr(
+        "event_type", "user_id", "(ts div 1000000000) div 86400 AS day"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.countDistinct("user_id").alias("daily_exact"),
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_merged_est"),
+        F.sum("daily_exact").alias("sum_daily_exact"),
+        F.count("*").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return rolled.join(exact, "event_type").selectExpr(
+        "event_type", "exact_users", "sum_daily_exact", "n_days",
+        "CAST(abs(_merged_est - exact_users) <= 0.02 * exact_users AS BIGINT)"
+        " AS merged_within_2pct",
+        # the lesson in one column: naive daily-sum double-counts
+        "CAST(sum_daily_exact >= exact_users AS BIGINT) AS daily_sum_overcounts",
+    )
+
+
+SQL_HLL_ROLLUP = """
+WITH ev AS (
+  SELECT event_type, user_id, (epoch_ns(ts) // 1000000000) // 86400 AS day
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, COUNT(DISTINCT user_id) AS daily_exact
+  FROM ev GROUP BY 1, 2
+),
+rolled AS (
+  SELECT event_type, CAST(SUM(daily_exact) AS BIGINT) AS sum_daily_exact,
+    COUNT(*) AS n_days
+  FROM daily GROUP BY 1
+)
+SELECT e.event_type, e.exact_users, r.sum_daily_exact, r.n_days,
+  CAST(1 AS BIGINT) AS merged_within_2pct,
+  CAST(r.sum_daily_exact >= e.exact_users AS BIGINT) AS daily_sum_overcounts
+FROM (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      FROM ev GROUP BY 1) e
+JOIN rolled r USING (event_type)
+"""
+
+
 def register_all() -> None:
     register("rel_correlated_subquery", q_correlated_subquery, SQL_CORRELATED)
     register("rel_exact_percentiles", q_exact_percentiles, SQL_EXACT_PERCENTILES)
@@ -508,3 +574,4 @@ def register_all() -> None:
         "rel_window_range_frame", q_window_range_frame, SQL_WINDOW_RANGE_FRAME
     )
     register_extra("rel_upsert_snapshot", q_upsert_snapshot, SQL_UPSERT_SNAPSHOT)
+    register_extra("rel_hll_rollup", q_hll_rollup, SQL_HLL_ROLLUP)
