@@ -73,10 +73,11 @@ def _load_providers() -> None:
     relational.register_all()
     olap_extra.register_all()
 
-    from . import mixture, tpch_gap
+    from . import mixture, surprisal, tpch_gap
 
     tpch_gap.register_all()
     mixture.register_all()
+    surprisal.register_all()
 
     from . import custom_agg, skew
 
