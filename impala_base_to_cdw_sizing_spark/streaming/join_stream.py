@@ -93,6 +93,47 @@ def batch_equivalent(events: DataFrame) -> DataFrame:
     return _joined(views, purchases)
 
 
+def _left_joined(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {JOIN_WINDOW_MS} MILLISECONDS")
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.unix_millis("view_ts").alias("view_ts_ms"),
+        F.unix_millis("purchase_ts").alias("purchase_ts_ms"),
+    )
+
+
+def view_purchase_left_join(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream join: every view, with its purchase if
+    one arrived within the hour, else nulls. The outer semantics are the
+    interesting part: an unmatched view CANNOT emit when first seen (its
+    purchase may still arrive) — it emits null-extended only once the
+    watermark passes ``view_ts + 1h``, i.e. when a match has become
+    impossible. Views too close to the end of the stream never emit
+    (their match window is still open) — pinned in tests, because this
+    is the semantic difference between a batch left join and a streaming
+    one that engineers trip over."""
+    views, purchases = _sides(events)
+    return _left_joined(views, purchases)
+
+
+def batch_left_equivalent(events: DataFrame) -> DataFrame:
+    """Batch left join — equivalence target for the CLOSED portion of
+    the stream (views whose match window the watermark has passed)."""
+    views, purchases = _sides(events)
+    return _left_joined(views, purchases)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str = "join_stream"
 ) -> DataFrame:

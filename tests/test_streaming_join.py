@@ -92,3 +92,47 @@ def test_stream_join_respects_the_interval_bound(spark, tmp_path):
     rows = batch_equivalent(static).collect()
     for r in rows:
         assert 0 <= r.purchase_ts_ms - r.view_ts_ms <= 3_600_000
+
+
+def test_stream_left_join_emits_closed_unmatched_views(spark, tmp_path):
+    """Outer-join streaming semantics: matched pairs emit eagerly;
+    unmatched views emit null-extended ONLY once the watermark closes
+    their 1-hour match window; views whose window is still open at
+    end-of-stream do not emit at all."""
+    from impala_base_to_cdw_sizing_spark.streaming.join_stream import (
+        batch_left_equivalent,
+        view_purchase_left_join,
+    )
+
+    path, static, _cuts = _event_files(spark, tmp_path)
+    got = run_stream_to_memory(
+        view_purchase_left_join(event_stream(spark, path, SCHEMA)),
+        "vp_left_join_test",
+    ).collect()
+    want = batch_left_equivalent(static).collect()
+
+    got_matched = {_key(r) for r in got if r.purchase_id is not None}
+    want_matched = {_key(r) for r in want if r.purchase_id is not None}
+    assert got_matched == want_matched  # inner portion identical
+
+    # the final watermark the stream reached: max event time - 2h delay
+    max_ts = max(r.view_ts_ms for r in want)
+    for r in want:
+        if r.purchase_ts_ms is not None:
+            max_ts = max(max_ts, r.purchase_ts_ms)
+    final_wm_closed = max_ts - 2 * 3_600_000 - 3_600_000  # wm delay + join window
+
+    got_unmatched = {r.view_id for r in got if r.purchase_id is None}
+    want_unmatched_closed = {
+        r.view_id
+        for r in want
+        if r.purchase_id is None and r.view_ts_ms < final_wm_closed
+    }
+    # every batch-unmatched view whose window provably closed must have
+    # emitted; stream may additionally emit some in the boundary zone
+    assert want_unmatched_closed <= got_unmatched
+    assert want_unmatched_closed, "fixture must close some unmatched views"
+    # and the stream never emits an unmatched row for a view the batch
+    # join matched
+    batch_matched_views = {r.view_id for r in want if r.purchase_id is not None}
+    assert not (got_unmatched & batch_matched_views)
