@@ -36,10 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries_ext import register_extra
+from .sampling import _KNUTH, _M32  # the one shared deterministic coin
 from .text import DUCK_TOKENS, SPARK_TOKENS
-
-_KNUTH = 2654435761
-_M32 = 4294967296
 
 SPARK_DIGEST = "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"
 DUCK_DIGEST = "CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)"
@@ -204,9 +202,14 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     probes = docs
 
+    # shiftleft/shiftright, not the << >> operators: the operator
+    # spellings only parse on Spark 4+, the functions since 1.5
     bloom = (
         corpus.selectExpr(f"explode({_spark_positions('digest')}) AS pos")
-        .selectExpr("pos div 32 AS word_idx", "CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) AS bit")
+        .selectExpr(
+            "pos div 32 AS word_idx",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)) AS bit",
+        )
         .groupBy("word_idx")
         .agg(F.expr("bit_or(bit)").alias("word"))
     )
@@ -217,7 +220,7 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_bits.join(F.broadcast(bloom), "word_idx", "left")
         .selectExpr(
             "doc_id", "digest",
-            "CAST(coalesce((word >> bit) % 2, 0) AS INT) AS bit_set",
+            "CAST(coalesce(shiftright(word, bit) % 2, 0) AS INT) AS bit_set",
         )
         .groupBy("doc_id", "digest")
         .agg((F.sum("bit_set") == len(_BLOOM_HASHES)).alias("bloom_hit"))

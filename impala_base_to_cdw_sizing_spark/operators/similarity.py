@@ -586,8 +586,6 @@ FROM normed, (SELECT unnest(range(1, {DIM + 1})) AS i)
 # --- random projection (Johnson-Lindenstrauss sign matrix) -----------------------
 
 RP_DIM = 16
-_RP_KNUTH = 2654435761
-_RP_M32 = 4294967296
 
 
 def _rp_signs(i: int) -> list[int]:
@@ -611,13 +609,14 @@ def _rp_signs(i: int) -> list[int]:
 
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project 64-dim embeddings to 16 dims with a deterministic ±1 sign
-    matrix scaled by 1/sqrt(RP_DIM) — the cheapest dimensionality
-    reduction that approximately preserves pairwise distances (JL). The
-    projection is a pure zero-shuffle map; each output dim is an ordered
-    left fold, so both engines accumulate in identical order and the
-    doubles hash-match exactly. Companion `sim_rp_cosines` quantifies the
-    distortion against exact cosines."""
-    scale = 1.0  # signs are ±1; scale folded into consumers if needed
+    matrix — the cheapest dimensionality reduction that approximately
+    preserves pairwise ANGLES (JL). Outputs are the raw unscaled sign
+    sums: cosine consumers are scale-invariant, and a distance consumer
+    applies its own 1/sqrt(RP_DIM). The projection is a pure
+    zero-shuffle map; each output dim is an ordered left fold, so both
+    engines accumulate in identical order and the doubles hash-match
+    exactly. Companion `sim_rp_cosines` quantifies the distortion
+    against exact cosines."""
     cols = ["vec_id", "label"]
     exprs = []
     for i in range(RP_DIM):
@@ -626,7 +625,7 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         exprs.append(
             f"aggregate(zip_with(v, array({signs}), (x, s) -> x * s),"
-            f" CAST(0 AS DOUBLE), (acc, x) -> acc + x) * {scale}"
+            f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
             f" AS r{i:02d}"
         )
     return _emb(spark, sf_dir).selectExpr(*cols, *exprs)
@@ -639,7 +638,7 @@ def _rp_sql() -> str:
         exprs.append(
             f"list_reduce([CAST(0 AS DOUBLE)] || "
             f"list_transform(range(1, {DIM + 1}), j -> v[j] * ([{signs}])[j]),"
-            f" (acc, x) -> acc + x) * 1.0 AS r{i:02d}"
+            f" (acc, x) -> acc + x) AS r{i:02d}"
         )
     return (
         f"WITH emb AS ({DUCK_EMB})\n"

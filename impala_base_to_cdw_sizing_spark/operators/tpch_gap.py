@@ -459,7 +459,9 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     the correlated-AVG-on-the-same-fact pattern. Decorrelated as a
     per-part aggregate joined back (what Catalyst produces for the SQL
     form); the per-part average runs as exact decimal-sum / count so the
-    0.2×avg threshold compares identically in both engines."""
+    0.3×avg threshold (widened from TPC-H's 0.2 so the fixture corpus
+    admits lines at every test scale) compares identically in both
+    engines."""
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#5") & (F.col("p_size") < 25)
     )

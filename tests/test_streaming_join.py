@@ -15,6 +15,7 @@ import sys
 import time
 from pathlib import Path
 
+import pytest
 from pyspark.sql import types as T
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -24,9 +25,11 @@ from tests.conftest import SF_SMALL  # noqa: E402
 from impala_base_to_cdw_sizing_spark.sources.files import load_events  # noqa: E402
 from impala_base_to_cdw_sizing_spark.streaming.join_stream import (  # noqa: E402
     batch_equivalent,
+    batch_left_equivalent,
     event_stream,
     run_stream_to_memory,
     view_purchase_join,
+    view_purchase_left_join,
 )
 
 SCHEMA = T.StructType(
@@ -38,8 +41,12 @@ SCHEMA = T.StructType(
     ]
 )
 
+_WM_DELAY_MS = 2 * 3_600_000  # join_stream.WATERMARK
+_JOIN_WINDOW_MS = 3_600_000
 
-def _event_files(spark, tmp_path):
+
+@pytest.fixture(scope="module")
+def event_fixture(spark, tmp_path_factory):
     """Write the events as time-ordered slices (oldest first, distinct
     mtimes) — a stream arrives roughly in event-time order; round-robin
     files would put the whole month in batch 1, advance the watermark to
@@ -47,11 +54,12 @@ def _event_files(spark, tmp_path):
     cut lands BETWEEN a known match's view and purchase so at least one
     pair must straddle micro-batches — the state-retention path (buffer
     the view until its purchase arrives) is exercised by construction,
-    not fixture luck."""
+    not fixture luck. Module-scoped: the slice writes (with their
+    mtime-separating sleeps) run once for all tests here."""
     ev = load_events(spark, SF_SMALL).selectExpr(
         "event_id", "user_id", "event_type", "ts div 1000000 AS ts_ms"
     )
-    path = str(tmp_path / "events")
+    path = str(tmp_path_factory.mktemp("stream_join") / "events")
     first = min(batch_equivalent(ev).collect(), key=lambda r: r.view_ts_ms)
     split_cut = float((first.view_ts_ms + first.purchase_ts_ms) // 2)
     cuts = sorted(
@@ -70,8 +78,8 @@ def _key(r):
     return (r.user_id, r.view_id, r.purchase_id)
 
 
-def test_stream_join_equals_batch_join(spark, tmp_path):
-    path, static, cuts = _event_files(spark, tmp_path)
+def test_stream_join_equals_batch_join(spark, event_fixture):
+    path, static, cuts = event_fixture
     got = run_stream_to_memory(
         view_purchase_join(event_stream(spark, path, SCHEMA)), "vp_join_test"
     ).collect()
@@ -85,26 +93,18 @@ def test_stream_join_equals_batch_join(spark, tmp_path):
     got_full = {_key(r): (r.view_ts_ms, r.purchase_ts_ms) for r in got}
     want_full = {_key(r): (r.view_ts_ms, r.purchase_ts_ms) for r in want}
     assert got_full == want_full
+    # the stream's emitted pairs all satisfy the interval bound (same
+    # rows as batch by the equality above, checked on the STREAM output)
+    for r in got:
+        assert 0 <= r.purchase_ts_ms - r.view_ts_ms <= _JOIN_WINDOW_MS
 
 
-def test_stream_join_respects_the_interval_bound(spark, tmp_path):
-    _path, static, _cuts = _event_files(spark, tmp_path)
-    rows = batch_equivalent(static).collect()
-    for r in rows:
-        assert 0 <= r.purchase_ts_ms - r.view_ts_ms <= 3_600_000
-
-
-def test_stream_left_join_emits_closed_unmatched_views(spark, tmp_path):
+def test_stream_left_join_emits_closed_unmatched_views(spark, event_fixture):
     """Outer-join streaming semantics: matched pairs emit eagerly;
     unmatched views emit null-extended ONLY once the watermark closes
     their 1-hour match window; views whose window is still open at
     end-of-stream do not emit at all."""
-    from impala_base_to_cdw_sizing_spark.streaming.join_stream import (
-        batch_left_equivalent,
-        view_purchase_left_join,
-    )
-
-    path, static, _cuts = _event_files(spark, tmp_path)
+    path, static, _cuts = event_fixture
     got = run_stream_to_memory(
         view_purchase_left_join(event_stream(spark, path, SCHEMA)),
         "vp_left_join_test",
@@ -115,18 +115,26 @@ def test_stream_left_join_emits_closed_unmatched_views(spark, tmp_path):
     want_matched = {_key(r) for r in want if r.purchase_id is not None}
     assert got_matched == want_matched  # inner portion identical
 
-    # the final watermark the stream reached: max event time - 2h delay
-    max_ts = max(r.view_ts_ms for r in want)
-    for r in want:
-        if r.purchase_ts_ms is not None:
-            max_ts = max(max_ts, r.purchase_ts_ms)
-    final_wm_closed = max_ts - 2 * 3_600_000 - 3_600_000  # wm delay + join window
+    # the stream's final global watermark is min over the PER-SIDE event
+    # maxima minus the delay (each side advances its own watermark; the
+    # join uses the min) — using a single global max would overestimate
+    # it and demand emissions the engine correctly withheld
+    from pyspark.sql import functions as F
+
+    maxima = (
+        static.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts_ms").alias("mx"))
+        .collect()
+    )
+    per_side_max = {r["event_type"]: r["mx"] for r in maxima}
+    final_wm = min(per_side_max["view"], per_side_max["purchase"]) - _WM_DELAY_MS
 
     got_unmatched = {r.view_id for r in got if r.purchase_id is None}
     want_unmatched_closed = {
         r.view_id
         for r in want
-        if r.purchase_id is None and r.view_ts_ms < final_wm_closed
+        if r.purchase_id is None and r.view_ts_ms + _JOIN_WINDOW_MS < final_wm
     }
     # every batch-unmatched view whose window provably closed must have
     # emitted; stream may additionally emit some in the boundary zone

@@ -42,7 +42,7 @@ def test_tpch_gap_query_is_nonvacuous(spark, fn):
 
 
 def test_q17_filtered_lines_nonzero(spark):
-    # q17 returns one row even when nothing passes the 0.2×avg filter
+    # q17 returns one row even when nothing passes the 0.3×avg filter
     # (a global agg over zero rows); pin that the filter admits lines.
     row = tpch_gap.q_tpch_q17(spark, SF_SMALL).collect()[0]
     assert row["n_lines"] > 0
@@ -69,9 +69,17 @@ def test_q19_disjunction_pushes_common_conjuncts(spark):
     from impala_base_to_cdw_sizing_spark.operators.relational import q_tpch_q19
 
     plan = _plan(q_tpch_q19(spark, SF_SMALL))
-    # the brand-set disjunction is extractable per side: the part scan
-    # must carry pushed filters (Catalyst's OR-of-ANDs extraction)
-    assert "PushedFilters: [" in plan
+    # the brand-set disjunction is extractable per side (Catalyst's
+    # OR-of-ANDs extraction): the part scan's PushedFilters must carry
+    # actual brand/size conjuncts — an empty "PushedFilters: []" means
+    # the extraction regressed. Parse every scan's bracket contents and
+    # require one non-empty set mentioning p_brand.
+    pushed_sets = []
+    rest = plan
+    while "PushedFilters: [" in rest:
+        rest = rest[rest.index("PushedFilters: [") + len("PushedFilters: [") :]
+        pushed_sets.append(rest.split("]", 1)[0])
+    assert any("p_brand" in p for p in pushed_sets), pushed_sets
 
 
 def test_q21_aggregates_quantifiers_without_self_scan_explosion(spark):
