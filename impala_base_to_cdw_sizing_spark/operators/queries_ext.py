@@ -73,11 +73,12 @@ def _load_providers() -> None:
     relational.register_all()
     olap_extra.register_all()
 
-    from . import mixture, surprisal, tpch_gap
+    from . import countmin, mixture, surprisal, tpch_gap
 
     tpch_gap.register_all()
     mixture.register_all()
     surprisal.register_all()
+    countmin.register_all()
 
     from . import custom_agg, skew
 
