@@ -349,6 +349,90 @@ GROUP BY label, pos
 """
 
 
+# --- embedding outlier mining (distance to own-label centroid) -------------------
+
+
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pass for labeled embeddings: flag the 5% of vectors
+    farthest from their OWN label's centroid — the review budget for
+    mislabeled or degenerate points that poison contrastive training.
+    (Budget-based, not sigma-based: high-dimensional distances
+    concentrate — a 2x-the-mean cut is ~6 sigma at 64 dims and never
+    fires — so production curation flags a fixed quantile.)
+
+    Determinism is engineered at every reduction: centroids come from
+    the integer nano-unit sums (`q_label_centroids` — the division is
+    then the same double in both engines), per-vector distances
+    quantize each dimension's squared residual to nano-units BEFORE the
+    per-vector sum (64 bigints add exactly in any order), and the 5%
+    cut is an integer rank over (d2, vec_id) — no float mean, no
+    tolerance.
+
+    Scale: centroids are |labels|×DIM rows (broadcast); the residual
+    join is a map-side broadcast join on (label, pos); the per-vector
+    sum is one shuffle keyed by vec_id. Nothing quadratic anywhere."""
+    cent = q_label_centroids(spark, sf_dir).select(
+        "label", "pos", F.col("mean_x").alias("c")
+    )
+    residuals = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "label", F.posexplode("v").alias("pos", "x"))
+        .join(F.broadcast(cent), ["label", "pos"])
+        .selectExpr(
+            "vec_id", "label",
+            f"CAST(floor((x - c) * (x - c) * {_NANO} + 0.5) AS BIGINT)"
+            " AS sq_nano",
+        )
+    )
+    per_vec = residuals.groupBy("vec_id", "label").agg(
+        F.sum("sq_nano").alias("d2_nano")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(
+        F.col("d2_nano").desc(), F.col("vec_id").asc()
+    )
+    wn = Window.partitionBy("label")
+    return (
+        per_vec.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_vecs", F.count("*").over(wn))
+        .selectExpr(
+            "vec_id", "label", "d2_nano",
+            "CAST(rk <= CAST(ceil(0.05 * n_vecs) AS INT) AS BIGINT)"
+            " AS is_outlier",
+        )
+    )
+
+
+SQL_EMB_OUTLIERS = f"""
+WITH emb AS ({DUCK_EMB}),
+cent AS (
+  SELECT label, pos, mean_x AS c FROM ({SQL_LABEL_CENTROIDS.strip()})
+),
+residuals AS (
+  SELECT e.vec_id, e.label,
+    CAST(floor((e.v[i] - c.c) * (e.v[i] - c.c) * {_NANO} + 0.5) AS BIGINT)
+      AS sq_nano
+  FROM emb e, (SELECT unnest(range(1, {DIM + 1})) AS i) dims
+  JOIN cent c ON c.label = e.label AND c.pos = i - 1
+),
+per_vec AS (
+  SELECT vec_id, label, CAST(SUM(sq_nano) AS BIGINT) AS d2_nano
+  FROM residuals GROUP BY 1, 2
+),
+ranked AS (
+  SELECT vec_id, label, d2_nano,
+    ROW_NUMBER() OVER (
+      PARTITION BY label ORDER BY d2_nano DESC, vec_id ASC) AS rk,
+    COUNT(*) OVER (PARTITION BY label) AS n_vecs
+  FROM per_vec
+)
+SELECT vec_id, label, d2_nano,
+  CAST(rk <= CAST(ceil(0.05 * n_vecs) AS INT) AS BIGINT) AS is_outlier
+FROM ranked
+"""
+
+
 # --- IVF-style ANN: coarse quantizer + in-cell search -------------------------------
 
 _N_CELLS = 8  # vec_id 0..7 double as fixed coarse centroids (deterministic)
@@ -729,4 +813,5 @@ def register_all() -> None:
         ),
     )
     register_extra("emb_random_projection", q_random_projection, _rp_sql())
+    register_extra("emb_outliers", q_emb_outliers, SQL_EMB_OUTLIERS)
     register_extra("sim_rp_cosines", q_rp_cosines, _rp_cosines_sql())
