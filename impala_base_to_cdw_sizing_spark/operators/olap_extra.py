@@ -488,6 +488,48 @@ WHERE NOT COALESCE(c.is_delete, FALSE)
 """
 
 
+# --- row provenance via metadata columns ----------------------------------------
+
+
+def q_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance without a lineage system: every scan exposes
+    its source file through the hidden ``_metadata`` struct (DuckDB:
+    ``filename=true``), so per-file row accounting — the audit a
+    quarantine/backfill pipeline starts from — is a plain aggregation.
+    The multi-file case (per-file counts over a partitioned write) is
+    exercised in tests/test_catalog_formats.py; this registered form
+    audits three tables in one union."""
+    parts = []
+    for name in ("lineitem", "orders", "customer"):
+        parts.append(
+            _t(spark, sf_dir, name)
+            .select(F.col("_metadata.file_name").alias("file_name"))
+            .groupBy("file_name")
+            .agg(F.count("*").alias("n_rows"))
+            .withColumn("table_name", F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("table_name", "file_name", "n_rows")
+
+
+def _provenance_sql() -> str:
+    # The comparator's pre-registered views hide the source path, so the
+    # oracle pins the fixture layout's known single file per table
+    # (<table>.parquet) and verifies the counts — the Spark side is the
+    # one genuinely reading the hidden ``_metadata`` column, which is
+    # the behavior under test.
+    blocks = " UNION ALL ".join(
+        f"""
+  SELECT '{name}' AS table_name, '{name}.parquet' AS file_name,
+    COUNT(*) AS n_rows
+  FROM {name}"""
+        for name in ("lineitem", "orders", "customer")
+    )
+    return f"SELECT * FROM ({blocks})"
+
+
 # --- mergeable distinct-count sketches (HLL rollup) ------------------------------
 
 
@@ -575,3 +617,4 @@ def register_all() -> None:
     )
     register_extra("rel_upsert_snapshot", q_upsert_snapshot, SQL_UPSERT_SNAPSHOT)
     register_extra("rel_hll_rollup", q_hll_rollup, SQL_HLL_ROLLUP)
+    register_extra("rel_file_provenance", q_file_provenance, _provenance_sql())

@@ -83,3 +83,41 @@ def test_sizing_derive_golden_hash(spark):
     if GOLDEN_SHA256 == "UNSET":
         pytest.skip(f"golden not pinned yet; current = {digest}")
     assert digest == GOLDEN_SHA256
+
+
+def test_multifile_provenance_counts(spark, tmp_path):
+    """_metadata.file_name accounts rows per source file of a
+    partitioned write — the audit a quarantine/backfill starts from."""
+    from pyspark.sql import functions as F
+
+    src = spark.range(1000).selectExpr("id", "id % 7 AS k")
+    path = str(tmp_path / "multi")
+    src.repartition(4).write.mode("overwrite").parquet(path)
+    per_file = (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_name").alias("f"))
+        .groupBy("f")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(per_file) == 4
+    assert sum(r["n"] for r in per_file) == 1000
+    assert all(r["f"].endswith(".parquet") for r in per_file)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Two batches with drifted schemas (a column added later) read back
+    as ONE table via mergeSchema: old rows null-fill the new column —
+    the lakehouse append-evolution contract."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None  # old batch null-fills the new column
+    assert rows[2]["score"] == 9.5
