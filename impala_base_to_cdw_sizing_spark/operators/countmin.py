@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .hashes import UHASH_COEFFS, uhash_expr
 from .queries_ext import register_extra
 from .text import (
     DUCK_SHINGLES,
@@ -43,10 +44,9 @@ from .text import (
 )
 
 _CM_W = 1024  # columns per row
-_CM_P = 1_000_000_007
-# d=4 row hashes over the charfold token hash (reduced mod P first, so
-# a * h never nears signed-64 overflow)
-_CM_ROWS = [(3, 17), (5, 101), (7, 523), (13, 2029)]
+# row hashes from the shared audited family (hashes.py) — same
+# coefficients as the Bloom filter by documented choice
+_CM_ROWS = UHASH_COEFFS
 _TOP_K = 20
 
 
@@ -54,12 +54,11 @@ def _cells(h: str, dialect: str) -> str:
     cells = ", ".join(
         (
             f"struct({r} AS row_id,"
-            f" CAST((({a} * ({h} % {_CM_P}) + {b}) % {_CM_P}) % {_CM_W}"
-            f" AS BIGINT) AS col_id)"
+            f" CAST({uhash_expr(h, a, b, _CM_W)} AS BIGINT) AS col_id)"
             if dialect == "spark"
             else
-            f"{{'row_id': {r}, 'col_id': CAST((({a} * ({h} % {_CM_P}) + {b})"
-            f" % {_CM_P}) % {_CM_W} AS BIGINT)}}"
+            f"{{'row_id': {r},"
+            f" 'col_id': CAST({uhash_expr(h, a, b, _CM_W)} AS BIGINT)}}"
         )
         for r, (a, b) in enumerate(_CM_ROWS)
     )
@@ -72,7 +71,8 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(f"{SPARK_TOKENS} AS tokens")
         .selectExpr(f"explode({SPARK_SHINGLES}) AS token")
         .withColumn("h", F.expr(spark_charfold("token")))
-    )
+    ).cache()  # read twice (sketch build + exact candidates): without
+    # the cache each pass re-explodes and re-hashes every shingle
     sketch = (
         toks.selectExpr(f"explode({_cells('h', 'spark')}) AS cell")
         .groupBy("cell.row_id", "cell.col_id")

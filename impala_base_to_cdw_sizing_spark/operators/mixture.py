@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries_ext import register_extra
+from .hashes import UHASH_COEFFS, uhash_expr
 from .sampling import _KNUTH, _M32  # the one shared deterministic coin
 from .text import DUCK_TOKENS, SPARK_TOKENS
 
@@ -67,8 +68,9 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts pin the whole per-doc selection, not just the rates."""
     # cached: the tokenized frame is read twice (rate derivation, then
     # the conditional-keep aggregation) — without the cache each pass
-    # re-tokenizes the whole corpus (measured 5 scans / 10 exchanges;
-    # 2 scans / 4 exchanges after)
+    # re-tokenizes the whole corpus (measured 5 scans / 10 exchanges
+    # before; 3 scans / 6 exchanges after — the remaining pair is the
+    # rate-derivation aggregates)
     docs = _docs(spark, sf_dir).selectExpr(
         "doc_id", "source",
         f"CAST(size({SPARK_TOKENS}) AS BIGINT) AS n_tokens",
@@ -165,17 +167,14 @@ FROM rates r LEFT JOIN kept k ON r.source = k.source
 # false_positive accounting is exercised, not vacuously zero.
 # Production sizing: m ≈ 10 bits per corpus digest.
 _BLOOM_M = 1 << 11  # bits in the filter
-_BLOOM_P = 1_000_000_007
-# k=4 independent position hashes; the 60-bit digest is reduced mod P
-# FIRST so a * (h % P) stays far below signed-64 overflow (a ≤ 13,
-# h % P < 2^30)
-_BLOOM_HASHES = [(3, 17), (5, 101), (7, 523), (13, 2029)]
+# position hashes come from the shared audited family (hashes.py) —
+# the overflow guard and coefficients live there once
+_BLOOM_HASHES = UHASH_COEFFS
 
 
 def _positions(h: str, wrap: str) -> str:
     pos = ", ".join(
-        f"CAST((({a} * ({h} % {_BLOOM_P}) + {b}) % {_BLOOM_P}) % {_BLOOM_M}"
-        " AS BIGINT)"
+        f"CAST({uhash_expr(h, a, b, _BLOOM_M)} AS BIGINT)"
         for a, b in _BLOOM_HASHES
     )
     return wrap.format(pos=pos)

@@ -21,6 +21,24 @@ from impala_base_to_cdw_sizing_spark.operators.countmin import (  # noqa: E402
 
 
 def test_countmin_one_sided_error(spark):
+    from pyspark.sql import functions as F
+
+    from impala_base_to_cdw_sizing_spark.operators.text import (
+        SPARK_SHINGLES,
+        SPARK_TOKENS,
+    )
+
+    # precondition: the item universe exceeds the sketch width, so
+    # collisions are structurally possible
+    n_distinct = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .selectExpr(f"{SPARK_TOKENS} AS tokens")
+        .selectExpr(f"explode({SPARK_SHINGLES}) AS s")
+        .agg(F.countDistinct("s"))
+        .collect()[0][0]
+    )
+    assert n_distinct > _CM_W
+
     rows = q_countmin_heavy_hitters(spark, SF_SMALL).collect()
     assert len(rows) == 20
     total_overest = 0
