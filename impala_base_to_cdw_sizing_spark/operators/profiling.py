@@ -1,0 +1,116 @@
+"""Table profiling — the ANALYZE/statistics-collection surface.
+
+Every optimizer and data-quality pipeline starts from per-column
+statistics and value histograms; these two queries implement that shape
+the way a 100 TB stats pass must:
+
+- ``rel_analyze_stats``: ONE scan computing per-column null counts,
+  min/max, and an NDV estimate for every profiled column simultaneously.
+  The NDV uses ``approx_count_distinct`` deliberately: N exact
+  ``COUNT(DISTINCT)``s in one aggregate trigger Catalyst's Expand (N×
+  the rows through the shuffle — the trap SCALE.md measures at 12×
+  cost), while N HLL buffers coexist in one two-phase partial agg —
+  this is WHY engines collect NDV approximately. Exact values
+  (counts, nulls, min/max) are oracle-matched; the NDV estimates are
+  pinned as within-10% booleans (HLL++ is deterministic for fixed
+  data, so the flags are stable).
+- ``rel_equidepth_histogram``: 8 equal-population buckets of
+  ``o_totalprice`` via NTILE with a deterministic tiebreak — per-bucket
+  count/min/max, the equi-depth histogram optimizers prefer over
+  equi-width for skewed value distributions. One sort-shuffle; at
+  100 TB the same histogram comes from ``approx_percentile`` bounds
+  instead of a full NTILE sort (the segmented-sweep bucketizer already
+  demonstrates that form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries_ext import register_extra
+
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+
+
+def q_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # the exact NDVs here exist ONLY to verify the estimates; they are
+    # computed per-column in separate 1-row aggregates (no shared Expand)
+    # — a production stats pass drops them and keeps one scan of approx
+    # buffers + min/max/null counters
+    wide_parts = []
+    for c in _PROFILE_COLS:
+        wide_parts.append(orders.agg(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"max_{c}"),
+            F.countDistinct(c).alias(f"exact_ndv_{c}"),
+            F.approx_count_distinct(c, 0.02).alias(f"approx_ndv_{c}"),
+        ))
+    wide = orders.agg(F.count("*").alias("n_rows"))
+    for p in wide_parts:
+        wide = wide.crossJoin(p)
+    stack = ", ".join(
+        f"'{c}', nulls_{c}, min_{c}, max_{c}, exact_ndv_{c},"
+        f" CAST(abs(approx_ndv_{c} - exact_ndv_{c})"
+        f" <= 0.1 * exact_ndv_{c} AS BIGINT)"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack})"
+        " AS (col_name, n_nulls, min_value, max_value, exact_ndv,"
+        " ndv_within_10pct)",
+    )
+
+
+def _analyze_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"""
+  SELECT (SELECT COUNT(*) FROM orders) AS n_rows, '{c}' AS col_name,
+    CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+    MIN(CAST({c} AS VARCHAR)) AS min_value,
+    MAX(CAST({c} AS VARCHAR)) AS max_value,
+    COUNT(DISTINCT {c}) AS exact_ndv,
+    CAST(1 AS BIGINT) AS ndv_within_10pct
+  FROM orders"""
+        for c in _PROFILE_COLS
+    )
+    return f"SELECT * FROM ({rows})"
+
+
+_N_BUCKETS = 8
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(_N_BUCKETS).over(w).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+SQL_EQUIDEPTH = f"""
+SELECT bucket, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM (
+  SELECT o_totalprice,
+    CAST(NTILE({_N_BUCKETS}) OVER (
+      ORDER BY o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+"""
+
+
+def register_all() -> None:
+    register_extra("rel_analyze_stats", q_analyze_stats, _analyze_sql())
+    register_extra("rel_equidepth_histogram", q_equidepth_histogram, SQL_EQUIDEPTH)
