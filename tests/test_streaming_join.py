@@ -144,3 +144,30 @@ def test_stream_left_join_emits_closed_unmatched_views(spark, event_fixture):
     # join matched
     batch_matched_views = {r.view_id for r in want if r.purchase_id is not None}
     assert not (got_unmatched & batch_matched_views)
+
+
+def test_stream_static_enrichment_equals_batch(spark, event_fixture):
+    """Stream-static join: the streaming side enriches against a STATIC
+    dimension (per-user lifetime profile computed once from history) —
+    no state, no watermark interplay; the static side re-resolves per
+    micro-batch. Every streamed event must carry its profile, equal to
+    the batch join."""
+    from pyspark.sql import functions as F
+
+    path, static, _cuts = event_fixture
+    profile = (
+        static.groupBy("user_id")
+        .agg(F.count("*").alias("n_events_ever"))
+    )
+    stream = event_stream(spark, path, SCHEMA)
+    enriched = stream.join(profile, "user_id").select(
+        "event_id", "user_id", "n_events_ever"
+    )
+    got = run_stream_to_memory(enriched, "stream_static_test").collect()
+    want = static.join(profile, "user_id").select(
+        "event_id", "user_id", "n_events_ever"
+    ).collect()
+    assert len(got) == len(want) > 0
+    assert {(r.event_id, r.n_events_ever) for r in got} == {
+        (r.event_id, r.n_events_ever) for r in want
+    }
