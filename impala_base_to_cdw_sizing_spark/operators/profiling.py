@@ -35,22 +35,29 @@ _PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"
 
 def q_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    # the exact NDVs here exist ONLY to verify the estimates; they are
-    # computed per-column in separate 1-row aggregates (no shared Expand)
-    # — a production stats pass drops them and keeps one scan of approx
-    # buffers + min/max/null counters
-    wide_parts = []
+    # THE one-scan stats pass: nulls, min/max, and every column's HLL
+    # buffer coexist in a single two-phase aggregate (approx distinct is
+    # a plain agg buffer — no Expand). min/max aggregate in the NATIVE
+    # type and cast to string only for the long-form output: casting
+    # before aggregating would make numeric bounds lexicographic
+    # ("99993" > "100279") — wrong statistics that a mirrored oracle
+    # happily agrees with.
+    one_scan_aggs = [F.count("*").alias("n_rows")]
     for c in _PROFILE_COLS:
-        wide_parts.append(orders.agg(
+        one_scan_aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"min_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"max_{c}"),
-            F.countDistinct(c).alias(f"exact_ndv_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"max_{c}"),
             F.approx_count_distinct(c, 0.02).alias(f"approx_ndv_{c}"),
-        ))
-    wide = orders.agg(F.count("*").alias("n_rows"))
-    for p in wide_parts:
-        wide = wide.crossJoin(p)
+        ]
+    wide = orders.agg(*one_scan_aggs)
+    # the exact NDVs exist ONLY to verify the estimates; each would
+    # force an Expand if merged into the shared aggregate, so they run
+    # as separate 1-row aggregates — a production stats pass drops them
+    for c in _PROFILE_COLS:
+        wide = wide.crossJoin(
+            orders.agg(F.countDistinct(c).alias(f"exact_ndv_{c}"))
+        )
     stack = ", ".join(
         f"'{c}', nulls_{c}, min_{c}, max_{c}, exact_ndv_{c},"
         f" CAST(abs(approx_ndv_{c} - exact_ndv_{c})"
@@ -70,8 +77,8 @@ def _analyze_sql() -> str:
         f"""
   SELECT (SELECT COUNT(*) FROM orders) AS n_rows, '{c}' AS col_name,
     CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-    MIN(CAST({c} AS VARCHAR)) AS min_value,
-    MAX(CAST({c} AS VARCHAR)) AS max_value,
+    CAST(MIN({c}) AS VARCHAR) AS min_value,
+    CAST(MAX({c}) AS VARCHAR) AS max_value,
     COUNT(DISTINCT {c}) AS exact_ndv,
     CAST(1 AS BIGINT) AS ndv_within_10pct
   FROM orders"""

@@ -19,6 +19,8 @@ import duckdb
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+_CON = duckdb.connect()  # one shared in-memory connection for all examples
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from impala_base_to_cdw_sizing_spark.operators.hashes import (  # noqa: E402
@@ -34,8 +36,7 @@ from impala_base_to_cdw_sizing_spark.operators.mixture import (  # noqa: E402
 @settings(max_examples=30, deadline=None)
 @given(st.text(min_size=0, max_size=200).filter(lambda s: "\x00" not in s))
 def test_duck_digest_matches_python_md5(text):
-    con = duckdb.connect()
-    got = con.execute(
+    got = _CON.execute(
         f"SELECT {DUCK_DIGEST} FROM (SELECT ? AS text)", [text]
     ).fetchone()[0]
     want = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:15], 16)
@@ -45,11 +46,10 @@ def test_duck_digest_matches_python_md5(text):
 @settings(max_examples=50, deadline=None)
 @given(st.integers(min_value=0, max_value=(1 << 60) - 1))
 def test_uhash_expr_matches_python_reference(h):
-    con = duckdb.connect()
     for a, b in UHASH_COEFFS:
         # CAST the literal: the operators always feed BIGINT columns,
         # but a bare small literal parses as INT32 and overflows
-        got = con.execute(
+        got = _CON.execute(
             f"SELECT {uhash_expr(f'CAST({h} AS BIGINT)', a, b, 2048)}"
         ).fetchone()[0]
         want = ((a * (h % UHASH_P) + b) % UHASH_P) % 2048
