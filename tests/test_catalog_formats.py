@@ -151,3 +151,35 @@ def test_corrupt_record_quarantine(spark, tmp_path):
     assert any("NOT_A_NUMBER" in r["raw_line"] for r in q_rows)
     assert any("BROKEN" in r["raw_line"] for r in q_rows)
     assert good.count() + quarantine.count() == 4
+
+
+def test_small_files_compaction_preserves_rows(spark, tmp_path):
+    """The small-files remedy: an over-fragmented dataset (64 tiny
+    files — the streaming-ingest pathology) compacts to a few
+    right-sized files with row-identical content. At 100 TB this is the
+    recurring maintenance job that keeps scan task counts sane."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    src = spark.range(10_000).selectExpr("id", "id % 13 AS k")
+    frag = str(tmp_path / "fragmented")
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+    n_frag = len(list(Path(frag).glob("part-*.parquet")))
+    assert n_frag == 64
+
+    compact = str(tmp_path / "compacted")
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+        compact
+    )
+    n_comp = len(list(Path(compact).glob("part-*.parquet")))
+    assert n_comp == 4
+
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(compact)
+    assert a.count() == b.count() == 10_000
+    # content identity, order-free: checksum over all rows
+    cks = lambda df: df.agg(
+        F.sum(F.col("id") * 2654435761 % 1000003).alias("c")
+    ).collect()[0]["c"]
+    assert cks(a) == cks(b)
