@@ -70,7 +70,15 @@ def read_query_history_with_quarantine(
     dropped. PERMISSIVE mode keeps the scan single-pass at any scale
     (FAILFAST dies on the first bad row; DROPMALFORMED loses data
     unaccountably)."""
-    schema = QUERY_HISTORY_SCHEMA.add("_corrupt_record", "string")
+    from pyspark.sql import types as T
+
+    # build a FRESH StructType: StructType.add() mutates the receiver,
+    # so calling it on the shared module constant would permanently grow
+    # every other reader's schema
+    schema = T.StructType(
+        list(QUERY_HISTORY_SCHEMA.fields)
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
     raw = (
         spark.read.schema(schema)
         .option("header", True)
