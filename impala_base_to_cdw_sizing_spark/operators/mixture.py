@@ -85,9 +85,13 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # CAST to DOUBLE before the fraction: both engines would otherwise
     # take bigint * 0.5 through DECIMAL with engine-specific scales
+    # floor() explicitly before the BIGINT cast: Spark's CAST(double AS
+    # BIGINT) truncates toward zero but DuckDB's rounds to nearest, so a
+    # fractional part >= 0.5 (e.g. 6767.6 at sf0.1) diverges without it.
+    # Values are non-negative, so floor == truncate on the Spark side.
     rates = avail.crossJoin(F.broadcast(total)).selectExpr(
         "source",
-        f"CAST(CAST(total_tokens AS DOUBLE) * {_BUDGET_FRAC} / n_sources"
+        f"CAST(floor(CAST(total_tokens AS DOUBLE) * {_BUDGET_FRAC} / n_sources)"
         " AS BIGINT) AS target_tokens",
         f"least(CAST(1.0 AS DOUBLE), (CAST(total_tokens AS DOUBLE)"
         f" * {_BUDGET_FRAC} / n_sources) / avail_tokens) AS keep_rate",
@@ -138,7 +142,10 @@ rates AS (
   -- CAST to DOUBLE before the fraction: DuckDB would otherwise run
   -- bigint * 0.5 in DECIMAL and round differently from Spark's double
   SELECT source, avail_tokens, n_docs,
-    CAST(CAST(total_tokens AS DOUBLE) * {_BUDGET_FRAC} / n_sources AS BIGINT)
+    -- explicit floor(): DuckDB's double->BIGINT cast rounds to nearest
+    -- while Spark's truncates; floor in both keeps them bit-equal for
+    -- any fractional part (values are non-negative)
+    CAST(floor(CAST(total_tokens AS DOUBLE) * {_BUDGET_FRAC} / n_sources) AS BIGINT)
       AS target_tokens,
     least(CAST(1.0 AS DOUBLE),
       (CAST(total_tokens AS DOUBLE) * {_BUDGET_FRAC} / n_sources)
