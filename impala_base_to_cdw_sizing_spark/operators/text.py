@@ -1177,7 +1177,11 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cc_labels_converged(
-    edges: DataFrame, nodes: DataFrame, max_iters: int = 50, n_salts: int = 16
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iters: int = 50,
+    n_salts: int = 16,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """Connected components: min-label propagation iterated **to
     convergence** (stop when zero labels change), not a fixed unrolled
@@ -1200,7 +1204,9 @@ def cc_labels_converged(
     edges = edges.cache()
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster"))
     labels = labels.localCheckpoint(eager=True)
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         contrib = edges.join(labels, edges.doc_b == labels.doc_id).select(
             "doc_a", "cluster"
         )
@@ -1230,11 +1236,16 @@ def cc_labels_converged(
         if changed == 0:
             break
     edges.unpersist()
+    if rounds_out is not None:
+        rounds_out.append(rounds)
     return labels
 
 
 def cc_labels_star(
-    edges: DataFrame, nodes: DataFrame, max_iters: int = 50
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iters: int = 50,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     rounds (the MapReduce CC algorithm of Kiveris et al., "Connected
@@ -1277,8 +1288,10 @@ def cc_labels_star(
 
     e = edges.localCheckpoint(eager=True)
     prev_digest = None
+    rounds = 0
     for _ in range(max_iters):
         e = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
+        rounds += 1
         digest = e.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(doc_a, doc_b))").alias("h"),
@@ -1287,6 +1300,8 @@ def cc_labels_star(
         if digest == prev_digest:
             break
         prev_digest = digest
+    if rounds_out is not None:
+        rounds_out.append(rounds)
     star_min = e.groupBy("doc_a").agg(F.min("doc_b").alias("nbr_min"))
     return nodes.join(
         star_min, nodes.doc_id == star_min.doc_a, "left"
@@ -1296,6 +1311,32 @@ def cc_labels_star(
             F.col("doc_id"), F.coalesce("nbr_min", F.col("doc_id"))
         ).alias("cluster"),
     )
+
+
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_components`` computed by the O(log)-rounds large-star /
+    small-star algorithm (:func:`cc_labels_star`) instead of
+    diameter-bounded min-label propagation — the variant a 100 TB crawl
+    with long duplicate chains actually needs (a 1000-link chain is ~10
+    star rounds vs ~1000 propagation rounds). Same edge cut
+    (est_jaccard ≥ 0.5 over the MinHash candidates), same output schema
+    (doc_id → component-min cluster), same recursive-CTE fixpoint
+    oracle — so the log-rounds path is oracle-checked, not just
+    property-tested against the convergent one."""
+    pairs = (
+        q_dedup_minhash(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    docs = _docs(spark, sf_dir).select("doc_id")
+    # star rounds contract the edge frame itself, so labels come straight
+    # from the final stars; isolated docs fall out of the left join
+    labels = cc_labels_star(edges, docs)
+    edges.unpersist()
+    return labels.select("doc_id", "cluster")
 
 
 def _components_sql() -> str:
@@ -1509,3 +1550,6 @@ def register_all() -> None:
     register_extra("dedup_cluster_rep", q_cluster_rep, _cluster_rep_sql())
     register_extra("dedup_incremental", q_dedup_incremental, _incremental_sql())
     register_extra("dedup_chunks", q_dedup_chunks, _chunks_sql())
+    # the log-rounds CC shares dedup_components' recursive-CTE oracle:
+    # both must reach the identical component-min fixpoint
+    register_extra("dedup_components_star", q_dedup_components_star, _components_sql())

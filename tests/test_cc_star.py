@@ -5,8 +5,10 @@ O(log) rounds instead of diameter-bounded rounds."""
 
 from __future__ import annotations
 
+import math
 import random
 
+import duckdb
 from pyspark.sql import functions as F
 
 from impala_base_to_cdw_sizing_spark.operators.text import (
@@ -50,6 +52,63 @@ def test_star_equals_converged_on_mixed_shapes(spark):
     conv = _labels(cc_labels_converged(edges, nodes))
     assert star == conv
     assert star[99] == 99
+
+
+def _duck_cc_oracle(pairs, node_ids):
+    """Independent fixpoint: DuckDB recursive reachability over the same
+    edge list — the exact oracle shape ``dedup_components`` is checked
+    against, re-run here on the synthetic fixture graph."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pairs (doc_a BIGINT, doc_b BIGINT)")
+    con.executemany("INSERT INTO pairs VALUES (?, ?)", [list(p) for p in pairs])
+    con.execute("CREATE TABLE nodes (doc_id BIGINT)")
+    con.executemany("INSERT INTO nodes VALUES (?)", [[i] for i in node_ids])
+    rows = con.execute(
+        """
+        WITH RECURSIVE edges AS (
+          SELECT doc_a, doc_b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(doc_id, r) AS (
+          SELECT doc_id, doc_id FROM nodes
+          UNION
+          SELECT t.doc_id, e.doc_b FROM reach t JOIN edges e ON t.r = e.doc_a
+        )
+        SELECT doc_id, MIN(r) FROM reach GROUP BY doc_id
+        """
+    ).fetchall()
+    return {doc_id: cluster for doc_id, cluster in rows}
+
+
+def test_star_log_rounds_on_high_diameter_chain(spark):
+    """The 100 TB long-chain case: a 65-node chain (diameter 64). Star,
+    convergent propagation, and the DuckDB recursive-CTE oracle must all
+    agree — and star must finish in ~log2(diameter) rounds while
+    propagation provably needs >= diameter rounds."""
+    diameter = 64
+    pairs = [(i, i + 1) for i in range(diameter)]
+    node_ids = list(range(diameter + 1))
+    edges, nodes = _sym(spark, pairs, node_ids)
+
+    star_rounds: list[int] = []
+    star = _labels(cc_labels_star(edges, nodes, rounds_out=star_rounds))
+    conv_rounds: list[int] = []
+    conv = _labels(
+        cc_labels_converged(
+            edges, nodes, max_iters=diameter + 8, rounds_out=conv_rounds
+        )
+    )
+    oracle = _duck_cc_oracle(pairs, node_ids)
+
+    assert star == conv == oracle
+    assert set(star.values()) == {0}
+    # star: ceil(log2(diameter)) + slack (the +2 covers the final
+    # digest-repeat detection round and the alternation constant)
+    assert star_rounds[0] <= math.ceil(math.log2(diameter)) + 2, star_rounds
+    # propagation: the min label walks one hop per round, so the chain
+    # forces >= diameter rounds — the measured gap that motivates star
+    assert conv_rounds[0] >= diameter
+    assert star_rounds[0] * 4 < conv_rounds[0]
 
 
 def test_star_equals_converged_on_random_graphs(spark):
