@@ -470,16 +470,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _incremental_sql() -> str:
     params, n_bands = _MH_FULL
     n_perms = len(params)
-    rows = n_perms // n_bands
-    band_rows = " UNION ALL ".join(
-        "SELECT doc_id, sig, {j} AS band_id, {key} AS band_key FROM sigs".format(
-            j=j,
-            key=" || '_' || ".join(
-                f"CAST(sig[{j * rows + i + 1}] AS VARCHAR)" for i in range(rows)
-            ),
-        )
-        for j in range(n_bands)
-    )
+    band_rows = _duck_band_rows(params, n_bands)
     return f"""
 WITH sh AS (
   SELECT doc_id, list_distinct({DUCK_SHINGLES}) AS shingles
@@ -653,12 +644,18 @@ def _band_frame(
         .selectExpr("doc_id", f"{_spark_sig(params)} AS sig")
     ).cache()  # n_perms bigints/doc; read by both self-join sides AND
     # reused verbatim by dedup_components' edge build (plan-keyed cache hit)
+    # band_key = xxhash64 of the band's signature slice: an 8-byte shuffle
+    # key instead of the ~40-80-byte '_'-joined string the slice would
+    # stringify to. The key only has to be injective WITHIN each engine
+    # (the band join never crosses engines), so Spark's xxhash64 and the
+    # oracle's DuckDB hash() need not agree; a cross-pair collision adds
+    # a spurious candidate with probability 2^-64 per colliding pair —
+    # and even then the exact n_equal re-rank keeps est_jaccard honest.
     return sigs.selectExpr(
         "doc_id", "sig",
         f"explode(transform(sequence(0, {n_bands - 1}), "
         "j -> struct(j AS band_id, "
-        f"array_join(transform(slice(sig, j * {rows} + 1, {rows}),"
-        " x -> CAST(x AS STRING)), '_') AS band_key))) AS band",
+        f"xxhash64(slice(sig, j * {rows} + 1, {rows})) AS band_key))) AS band",
     ).select("doc_id", "sig", "band.band_id", "band.band_key")
 
 
@@ -702,18 +699,22 @@ def q_dedup_minhash_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir, *_MH_SMALL)
 
 
-def _minhash_sql_for(params: list[tuple[int, int]], n_bands: int) -> str:
-    n_perms = len(params)
-    rows = n_perms // n_bands
-    band_rows = " UNION ALL ".join(
-        "SELECT doc_id, sig, {j} AS band_id, {key} AS band_key FROM sigs".format(
-            j=j,
-            key=" || '_' || ".join(
-                f"CAST(sig[{j * rows + i + 1}] AS VARCHAR)" for i in range(rows)
-            ),
-        )
+def _duck_band_rows(params: list[tuple[int, int]], n_bands: int) -> str:
+    """DuckDB banding rows: hash(list) mirrors the Spark side's
+    xxhash64(slice) — each dialect hashes its own band slice to an 8-byte
+    key (engines never compare keys with each other, only pairs — see
+    :func:`_band_frame`)."""
+    rows = len(params) // n_bands
+    return " UNION ALL ".join(
+        f"SELECT doc_id, sig, {j} AS band_id,"
+        f" hash(sig[{j * rows + 1}:{(j + 1) * rows}]) AS band_key FROM sigs"
         for j in range(n_bands)
     )
+
+
+def _minhash_sql_for(params: list[tuple[int, int]], n_bands: int) -> str:
+    n_perms = len(params)
+    band_rows = _duck_band_rows(params, n_bands)
     return f"""
 WITH sh AS (
   SELECT doc_id, list_distinct({DUCK_SHINGLES}) AS shingles
