@@ -1,9 +1,14 @@
 """Multimodal-column plumbing — opaque ``binary`` payloads with typed
 metadata, decoded via Arrow-batched ``mapInPandas`` (SURVEY.md §7.1 M8).
 
-The container has no image/audio libraries, so the *decode kernel* is a
-deterministic fake behind :func:`_decode_payload` (clearly marked; a real
-deployment swaps in PIL/ffmpeg there). Everything Spark-side is real and
+The container has no image/audio libraries, so the *declared oracle
+path* uses a deterministic arithmetic kernel behind
+:func:`_decode_payload` (clearly marked; a real deployment swaps in
+PIL/ffmpeg there). A REAL decode does execute in-sandbox though: the
+dependency-free 24-bit BMP codec (:func:`encode_bmp` /
+``kernel='bmp'``) parses genuine container bytes — little-endian
+headers, stride padding, bottom-up rows — through the identical
+``mapInPandas`` plumbing and schema. Everything Spark-side is real and
 tested: binary column creation, schema contracts, Arrow batch iteration,
 per-partition batching, and frame fan-out.
 
@@ -104,13 +109,82 @@ def _decode_payload_pil(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean
 
 
+# --- real BMP codec (dependency-free) ----------------------------------------
+#
+# The one decode kernel that RUNS end-to-end in this sandbox: a 24-bit
+# uncompressed Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER) parsed
+# byte-for-byte — little-endian header fields, 4-byte row stride padding,
+# bottom-up row order. No media libraries involved, so the mapInPandas
+# pipeline exercises REAL container parsing, not just the arithmetic stub.
+
+_BMP_HDR = 54  # 14-byte file header + 40-byte info header
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Serialize ``rgb`` (row-major top-down, 3 bytes/pixel, len ==
+    width*height*3) as a well-formed 24-bit uncompressed BMP: rows are
+    written bottom-up and padded to a 4-byte stride, exactly as a real
+    encoder would."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    body = b"".join(
+        rgb[y * width * 3 : (y + 1) * width * 3] + pad
+        for y in range(height - 1, -1, -1)  # bottom-up
+    )
+    size = _BMP_HDR + len(body)
+
+    def le(v: int, n: int) -> bytes:
+        return int(v).to_bytes(n, "little")
+
+    header = (
+        b"BM" + le(size, 4) + le(0, 4) + le(_BMP_HDR, 4)  # file header
+        + le(40, 4) + le(width, 4) + le(height, 4)  # info header
+        + le(1, 2) + le(24, 2) + le(0, 4) + le(len(body), 4)
+        + le(2835, 4) * 2 + le(0, 4) * 2  # 72 DPI, no palette
+    )
+    return header + body
+
+
+def _decode_payload_bmp(payload: bytes) -> tuple[int, int, float]:
+    """Real decode kernel: parse a 24-bit uncompressed BMP container.
+    Validates magic/bpp/compression, honors the pixel-array offset, the
+    4-byte row stride, and bottom-up row order, and returns (width,
+    height, mean over all R/G/B pixel bytes — padding excluded)."""
+    if len(payload) < _BMP_HDR or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+
+    def le(off: int, n: int) -> int:
+        return int.from_bytes(payload[off : off + n], "little")
+
+    pixel_off = le(10, 4)
+    width, height = le(18, 4), le(22, 4)
+    bpp, compression = le(28, 2), le(30, 4)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    stride = (width * 3 + 3) & ~3
+    if pixel_off + stride * height > len(payload):
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        payload, np.uint8, count=stride * height, offset=pixel_off
+    ).reshape(height, stride)[::-1, : width * 3]  # un-flip, drop padding
+    n = width * height * 3
+    mean = float(rows.sum(dtype=np.int64)) / n if n else 0.0
+    return width, height, mean
+
+
 def pick_decode_kernel(kernel: str = "auto"):
-    """Kernel dispatch: ``'stub'`` (the oracle-pinned fake), ``'pil'``
-    (real decode; ImportError if PIL is absent), or ``'auto'`` (PIL when
-    importable, else the stub). The oracle path always pins ``'stub'``
-    so parity never depends on what's installed."""
+    """Kernel dispatch: ``'stub'`` (the oracle-pinned fake), ``'bmp'``
+    (real dependency-free container parse — the kernel that actually
+    executes in this sandbox), ``'pil'`` (real decode via PIL;
+    ImportError if absent), or ``'auto'`` (PIL when importable, else the
+    stub). The oracle path always pins ``'stub'`` so parity never
+    depends on what's installed."""
     if kernel == "stub":
         return _decode_payload
+    if kernel == "bmp":
+        return _decode_payload_bmp
     if kernel == "pil":
         from PIL import Image  # noqa: F401 — fail fast on the driver
 
@@ -123,6 +197,32 @@ def pick_decode_kernel(kernel: str = "auto"):
         except ImportError:
             return _decode_payload
     raise ValueError(f"unknown decode kernel: {kernel!r}")
+
+
+BMP_PAYLOAD_SCHEMA = "doc_id long, payload binary, media_format string"
+
+
+def with_bmp_payload(docs: DataFrame) -> DataFrame:
+    """Synthetic-media source: one REAL (well-formed, parseable) BMP per
+    document — dimensions derived from ``doc_id``, pixels the document's
+    UTF-8 bytes tiled across the raster. Deterministic, dependency-free,
+    and built per Arrow batch (``mapInPandas``), so payload generation
+    scales exactly like decode does. Feed to
+    ``decode_media(..., kernel='bmp')`` for an end-to-end real decode."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                width = 4 + int(doc_id) % 13  # exercises every stride pad 0-3
+                height = 3 + int(doc_id) % 5
+                src = text.encode("utf-8") or b"\x00"
+                reps = -(-width * height * 3 // len(src))
+                rgb = (src * reps)[: width * height * 3]
+                rows.append((doc_id, encode_bmp(width, height, rgb), "bmp"))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "media_format"])
+
+    return docs.select("doc_id", "text").mapInPandas(_batches, BMP_PAYLOAD_SCHEMA)
 
 
 def decode_media(with_payload_df: DataFrame, kernel: str = "stub") -> DataFrame:

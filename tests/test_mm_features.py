@@ -75,6 +75,76 @@ def test_pandas_udf_cosine_matches_expression_form(spark):
         assert abs(r.expr_cos - r.udf_cos) < 1e-12, (r.a_id, r.b_id)
 
 
+def test_bmp_roundtrip_kernel_is_exact():
+    """The dependency-free REAL decode kernel: encode a known raster,
+    parse it back, and require exact dimensions + mean — including the
+    stride-padding widths (width % 4 != 0) and an all-zero image."""
+    from impala_base_to_cdw_sizing_spark.operators.multimodal import (
+        _decode_payload_bmp,
+        encode_bmp,
+    )
+
+    for width, height in [(4, 3), (5, 2), (6, 1), (7, 4), (1, 1)]:
+        n = width * height * 3
+        rgb = bytes((i * 37 + 11) % 256 for i in range(n))
+        payload = encode_bmp(width, height, rgb)
+        w, h, mean = _decode_payload_bmp(payload)
+        assert (w, h) == (width, height)
+        assert mean == sum(rgb) / n  # padding bytes must NOT leak in
+    w, h, mean = _decode_payload_bmp(encode_bmp(3, 3, b"\x00" * 27))
+    assert (w, h, mean) == (3, 3, 0.0)
+
+
+def test_bmp_kernel_rejects_malformed_payloads():
+    import pytest
+
+    from impala_base_to_cdw_sizing_spark.operators.multimodal import (
+        _decode_payload_bmp,
+        encode_bmp,
+    )
+
+    good = encode_bmp(4, 2, bytes(range(24)))
+    with pytest.raises(ValueError, match="not a BMP"):
+        _decode_payload_bmp(b"GIF89a" + good[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_payload_bmp(good[:-5])
+    bad_bpp = bytearray(good)
+    bad_bpp[28] = 8  # claim 8-bit palette image
+    with pytest.raises(ValueError, match="unsupported"):
+        _decode_payload_bmp(bytes(bad_bpp))
+
+
+def test_mm_decode_end_to_end_with_real_bmp_kernel(spark):
+    """End-to-end real decode through the same mapInPandas plumbing the
+    stub uses: synthetic BMP payloads (real container bytes) → decode
+    with kernel='bmp' → DECODE_SCHEMA rows whose values match a local
+    re-derivation from the generator's parameters."""
+    from impala_base_to_cdw_sizing_spark.operators.multimodal import (
+        decode_media,
+        with_bmp_payload,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(40)
+    decoded = decode_media(with_bmp_payload(docs), kernel="bmp")
+    # same column contract as the oracle-pinned stub path
+    assert decoded.schema.simpleString() == (
+        "struct<doc_id:bigint,media_format:string,width:int,height:int,"
+        "n_pixels:bigint,mean_byte:double>"
+    )
+    got = {r.doc_id: r for r in decoded.collect()}
+    for row in docs.select("doc_id", "text").collect():
+        width = 4 + row.doc_id % 13
+        height = 3 + row.doc_id % 5
+        src = row.text.encode("utf-8") or b"\x00"
+        n = width * height * 3
+        reps = -(-n // len(src))
+        rgb = (src * reps)[:n]
+        r = got[row.doc_id]
+        assert (r.width, r.height) == (width, height)
+        assert r.n_pixels == width * height
+        assert r.mean_byte == sum(rgb) / n
+
+
 def test_decode_kernel_dispatch_without_pil():
     """With PIL absent: 'auto' falls back to the stub, 'stub' is the
     stub, 'pil' fails fast on the driver, unknown names are rejected."""
@@ -83,6 +153,7 @@ def test_decode_kernel_dispatch_without_pil():
     from impala_base_to_cdw_sizing_spark.operators import multimodal as mm
 
     assert mm.pick_decode_kernel("stub") is mm._decode_payload
+    assert mm.pick_decode_kernel("bmp") is mm._decode_payload_bmp
     try:
         import PIL  # noqa: F401
 
