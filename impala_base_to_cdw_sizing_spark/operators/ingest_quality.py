@@ -1,0 +1,169 @@
+"""Ingest-quality maintenance ops as oracle-checked queries.
+
+Two operators that previously lived only in pytest now face the same
+DuckDB gate as everything else:
+
+- **corrupt-record quarantine** (``ingest_quarantine``): a CSV fixture
+  with deterministically injected malformed rows (rule keyed on
+  ``doc_id``) is round-tripped through a REAL file — written with
+  Spark's CSV writer, parsed back PERMISSIVE with a corrupt-record
+  column (``sources/files.py::read_query_history_with_quarantine``, the
+  accountable replacement for the reference's silent try/except at
+  ``impala_query_sizing.py:189-200``) — and summarized as
+  (status, reason, n). The oracle recomputes the expected breakdown
+  from the injection rule alone, so Spark's actual file-level parse
+  behavior (which rows a PERMISSIVE CSV scan quarantines, and why) is
+  what gets checked, not a mirrored reimplementation.
+- **small-files compaction** (``compaction_audit``): the recurring
+  100 TB maintenance job — fragment ``documents`` into 64 tiny parquet
+  files (the streaming-ingest pathology), compact to 4 right-sized
+  files, and prove content identity with order-independent checksums
+  the oracle recomputes straight from the source table. ``files_after``
+  pins the op's output contract (4 files).
+
+Scale notes: both fixtures are built DISTRIBUTED (Spark CSV/parquet
+writers; no driver-side row loops). The quarantine scan is single-pass
+PERMISSIVE — FAILFAST dies on the first bad row of a 100 TB backfill,
+DROPMALFORMED loses rows unaccountably; quarantine keeps both sides of
+every malformed record queryable. Compaction is one narrow
+``repartition`` job whose output file count is the knob.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.files import read_query_history_with_quarantine
+from .queries_ext import register_extra
+from .sampling import _KNUTH, _M32
+
+# injection rule (mirrored verbatim in the oracle SQL): one bigint-field
+# corruption class, one double-field class, disjoint by construction
+_BAD_LONG_MOD, _BAD_DOUBLE_MOD = 3, 7  # doc_id % 11
+
+
+def _fixture_dir(sf_dir: str, kind: str) -> str:
+    base = Path(tempfile.gettempdir()) / "ibs_spark_fixtures" / Path(sf_dir).name
+    base.mkdir(parents=True, exist_ok=True)
+    return str(base / kind)
+
+
+def _corrupted_replay_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-string replay-shaped frame with rule-injected corruption:
+    ``doc_id % 11 == 3`` poisons the BIGINT ``duration_millis``,
+    ``doc_id % 11 == 7`` poisons the DOUBLE ``cpu_time_sec``. Written as
+    real CSV text, these are exactly the malformed-row classes a
+    PERMISSIVE schema-enforced scan quarantines (token-count anomalies
+    are NOT corruption to the CSV reader — it pads/drops those)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.selectExpr(
+        "concat('q', doc_id) AS query_id",
+        "concat('root.', source) AS pool",
+        "'2021-01-01T00:00:00.000Z' AS start_time",
+        "'2021-01-01T00:00:01.000Z' AS end_time",
+        f"CASE WHEN doc_id % 11 = {_BAD_LONG_MOD} THEN 'NOT_A_LONG'"
+        " ELSE CAST(1000 + doc_id AS STRING) END AS duration_millis",
+        "'1.5' AS reqd_cache_gb",
+        "'2.0' AS reqd_agg_mem",
+        "'0.0' AS memory_spilled_gb",
+        f"CASE WHEN doc_id % 11 = {_BAD_DOUBLE_MOD} THEN 'NOT_A_DOUBLE'"
+        " ELSE '3.5' END AS cpu_time_sec",
+        "'QUERY' AS query_type",
+        "'10' AS admission_wait",
+        "'3' AS num_backends",
+    )
+
+
+def q_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(status, reason, n): clean row count plus the quarantined rows
+    broken down by corruption class, computed from a REAL CSV round-trip
+    through the PERMISSIVE quarantine reader. Reasons are classified
+    from the quarantined raw line itself (the repair/replay workflow:
+    the raw line is all you have at triage time)."""
+    path = _fixture_dir(sf_dir, "quarantine_csv")
+    _corrupted_replay_frame(spark, sf_dir).write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+
+    good, quarantine = read_query_history_with_quarantine(spark, path)
+    clean = good.agg(F.count("*").cast("long").alias("n")).select(
+        F.lit("clean").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        "n",
+    )
+    reasons = (
+        quarantine.select(
+            F.when(F.col("raw_line").contains("NOT_A_LONG"), "bad_long")
+            .when(F.col("raw_line").contains("NOT_A_DOUBLE"), "bad_double")
+            .otherwise("unknown")
+            .alias("reason")
+        )
+        .groupBy("reason")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("quarantined").alias("status"), "reason", "n")
+    )
+    return clean.unionByName(reasons)
+
+
+SQL_INGEST_QUARANTINE = f"""
+SELECT 'clean' AS status, CAST(NULL AS VARCHAR) AS reason,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM documents WHERE doc_id % 11 NOT IN ({_BAD_LONG_MOD}, {_BAD_DOUBLE_MOD})
+UNION ALL
+SELECT 'quarantined', 'bad_long', CAST(COUNT(*) AS BIGINT)
+FROM documents WHERE doc_id % 11 = {_BAD_LONG_MOD}
+UNION ALL
+SELECT 'quarantined', 'bad_double', CAST(COUNT(*) AS BIGINT)
+FROM documents WHERE doc_id % 11 = {_BAD_DOUBLE_MOD}
+"""
+
+
+_COMPACT_TARGET = 4
+
+
+def q_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment → compact → prove nothing changed. Writes ``documents``
+    as 64 tiny parquet files, compacts with one ``repartition(4)`` job,
+    and returns order-independent content checksums of the COMPACTED
+    dataset plus its real file count; the oracle recomputes the
+    checksums from the source table directly, so any row lost,
+    duplicated, or mangled by the round-trip breaks parity."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    frag = _fixture_dir(sf_dir, "fragmented")
+    compact = _fixture_dir(sf_dir, "compacted")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(_COMPACT_TARGET).write.mode(
+        "overwrite"
+    ).parquet(compact)
+    n_files = len(
+        [f for f in os.listdir(compact) if f.startswith("part-") and f.endswith(".parquet")]
+    )
+    return spark.read.parquet(compact).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum(F.length("text").cast("long")).alias("sum_text_len"),
+        F.sum((F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_M32)).alias("checksum"),
+        F.lit(n_files).cast("long").alias("files_after"),
+    )
+
+
+SQL_COMPACTION_AUDIT = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len,
+  CAST(SUM((doc_id * {_KNUTH}) % {_M32}) AS BIGINT) AS checksum,
+  CAST({_COMPACT_TARGET} AS BIGINT) AS files_after
+FROM documents
+"""
+
+
+def register_all() -> None:
+    register_extra("ingest_quarantine", q_ingest_quarantine, SQL_INGEST_QUARANTINE)
+    register_extra("compaction_audit", q_compaction_audit, SQL_COMPACTION_AUDIT)

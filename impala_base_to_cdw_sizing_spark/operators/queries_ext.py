@@ -81,10 +81,11 @@ def _load_providers() -> None:
     countmin.register_all()
     profiling.register_all()
 
-    from . import custom_agg, skew
+    from . import custom_agg, ingest_quality, skew
 
     skew.register_all()
     custom_agg.register_all()
+    ingest_quality.register_all()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
