@@ -1,10 +1,19 @@
 """Benchmark harness: runs every declared query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
-"sf"}.
+"sf", "reps"}.
 
 Each query is forced end-to-end with the noop sink (full column
 materialization — a bare count() would let Catalyst prune the work).
+
+Noise robustness (VERDICT r3 item 6): single-pass local timings showed
+up to 4.5x machine-noise spread on identical code, so the suite runs
+``--reps N`` full passes (default 3, or $SPARK_GRAFT_REPS) and reports
+the per-query MIN across passes — the comparable number BASELINE.md's
+r3 variance analysis had to reconstruct by hand. The cache is cleared
+between passes so every rep pays the same intra-pass plan-keyed cache
+sharing the single-pass numbers did (min-of-reps stays like-for-like
+with earlier rounds' best case, not an artifact of warm caches).
 """
 
 from __future__ import annotations
@@ -18,19 +27,17 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+def _reps_from_argv() -> int:
+    argv = sys.argv[1:]
+    if "--reps" in argv:
+        return max(1, int(argv[argv.index("--reps") + 1]))
+    for a in argv:
+        if a.startswith("--reps="):
+            return max(1, int(a.split("=", 1)[1]))
+    return max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
 
-    import __spark_entry__ as ent
-    from impala_base_to_cdw_sizing_spark.session import build_spark
 
-    spark = build_spark("bench")
-
-    # warm the JVM + parquet footers so per-query numbers measure the
-    # queries, not session startup
-    spark.read.parquet(f"{sf_dir}/events.parquet").count()
-
+def _run_pass(spark, sf_dir: str, ent) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name, fn in ent.queries().items():
         t0 = time.perf_counter()
@@ -60,7 +67,34 @@ def main() -> None:
     if res.sweep_events is not None:
         res.sweep_events.unpersist()
     timings["ep2_full_pipeline"] = round(time.perf_counter() - t0, 3)
+    return timings
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    reps = _reps_from_argv()
+
+    import __spark_entry__ as ent
+    from impala_base_to_cdw_sizing_spark.session import build_spark
+    from impala_base_to_cdw_sizing_spark.sources.synthetic import _QH_MEMO
+
+    spark = build_spark("bench")
+
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # queries, not session startup
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    passes = []
+    for _ in range(reps):
+        passes.append(_run_pass(spark, sf_dir, ent))
+        # reset cross-query cache sharing so every pass is like-for-like
+        spark.catalog.clearCache()
+        _QH_MEMO.clear()
+
+    timings = {
+        name: min(p[name] for p in passes) for name in passes[0]
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -70,6 +104,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
             }
         )
     )
