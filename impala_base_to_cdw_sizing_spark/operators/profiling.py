@@ -30,7 +30,20 @@ from pyspark.sql import functions as F
 
 from .queries_ext import register_extra
 
-_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+# (column, family): string bounds surface as min_value/max_value
+# VARCHAR, numeric bounds as min_num/max_num DOUBLE — typed per family
+# instead of one stringified pair, because the two engines' shortest-
+# round-trip double formatters disagree on scientific-notation
+# thresholds (Java Double.toString switches to E-notation at 1e7), so a
+# stringified double bound silently depends on the data staying small.
+# Doubles compare exactly in the comparator; bigint→double is exact
+# below 2^53.
+_PROFILE_COLS = [
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+]
 
 
 def q_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,53 +51,77 @@ def q_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # THE one-scan stats pass: nulls, min/max, and every column's HLL
     # buffer coexist in a single two-phase aggregate (approx distinct is
     # a plain agg buffer — no Expand). min/max aggregate in the NATIVE
-    # type and cast to string only for the long-form output: casting
-    # before aggregating would make numeric bounds lexicographic
-    # ("99993" > "100279") — wrong statistics that a mirrored oracle
-    # happily agrees with.
+    # type: casting to string before aggregating would make numeric
+    # bounds lexicographic ("99993" > "100279") — wrong statistics that
+    # a mirrored oracle happily agrees with.
     one_scan_aggs = [F.count("*").alias("n_rows")]
-    for c in _PROFILE_COLS:
+    for c, _fam in _PROFILE_COLS:
         one_scan_aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"max_{c}"),
+            F.min(F.col(c)).alias(f"min_{c}"),
+            F.max(F.col(c)).alias(f"max_{c}"),
             F.approx_count_distinct(c, 0.02).alias(f"approx_ndv_{c}"),
         ]
     wide = orders.agg(*one_scan_aggs)
     # the exact NDVs exist ONLY to verify the estimates; each would
     # force an Expand if merged into the shared aggregate, so they run
     # as separate 1-row aggregates — a production stats pass drops them
-    for c in _PROFILE_COLS:
+    for c, _fam in _PROFILE_COLS:
         wide = wide.crossJoin(
             orders.agg(F.countDistinct(c).alias(f"exact_ndv_{c}"))
         )
-    stack = ", ".join(
-        f"'{c}', nulls_{c}, min_{c}, max_{c}, exact_ndv_{c},"
-        f" CAST(abs(approx_ndv_{c} - exact_ndv_{c})"
-        f" <= 0.1 * exact_ndv_{c} AS BIGINT)"
-        for c in _PROFILE_COLS
-    )
+    rows = []
+    for c, fam in _PROFILE_COLS:
+        if fam == "str":
+            bounds = (
+                f"CAST(min_{c} AS STRING), CAST(max_{c} AS STRING),"
+                " CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+            )
+        else:
+            bounds = (
+                "CAST(NULL AS STRING), CAST(NULL AS STRING),"
+                f" CAST(min_{c} AS DOUBLE), CAST(max_{c} AS DOUBLE)"
+            )
+        rows.append(
+            f"'{c}', nulls_{c}, {bounds}, exact_ndv_{c},"
+            f" CAST(abs(approx_ndv_{c} - exact_ndv_{c})"
+            f" <= 0.1 * exact_ndv_{c} AS BIGINT)"
+        )
     return wide.selectExpr(
         "n_rows",
-        f"stack({len(_PROFILE_COLS)}, {stack})"
-        " AS (col_name, n_nulls, min_value, max_value, exact_ndv,"
-        " ndv_within_10pct)",
+        f"stack({len(_PROFILE_COLS)}, {', '.join(rows)})"
+        " AS (col_name, n_nulls, min_value, max_value, min_num, max_num,"
+        " exact_ndv, ndv_within_10pct)",
     )
 
 
 def _analyze_sql() -> str:
-    rows = " UNION ALL ".join(
-        f"""
+    selects = []
+    for c, fam in _PROFILE_COLS:
+        if fam == "str":
+            bounds = (
+                f"CAST(MIN({c}) AS VARCHAR) AS min_value,"
+                f" CAST(MAX({c}) AS VARCHAR) AS max_value,"
+                " CAST(NULL AS DOUBLE) AS min_num,"
+                " CAST(NULL AS DOUBLE) AS max_num"
+            )
+        else:
+            bounds = (
+                "CAST(NULL AS VARCHAR) AS min_value,"
+                " CAST(NULL AS VARCHAR) AS max_value,"
+                f" CAST(MIN({c}) AS DOUBLE) AS min_num,"
+                f" CAST(MAX({c}) AS DOUBLE) AS max_num"
+            )
+        selects.append(
+            f"""
   SELECT (SELECT COUNT(*) FROM orders) AS n_rows, '{c}' AS col_name,
     CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-    CAST(MIN({c}) AS VARCHAR) AS min_value,
-    CAST(MAX({c}) AS VARCHAR) AS max_value,
+    {bounds},
     COUNT(DISTINCT {c}) AS exact_ndv,
     CAST(1 AS BIGINT) AS ndv_within_10pct
   FROM orders"""
-        for c in _PROFILE_COLS
-    )
-    return f"SELECT * FROM ({rows})"
+        )
+    return f"SELECT * FROM ({' UNION ALL '.join(selects)})"
 
 
 _N_BUCKETS = 8

@@ -29,12 +29,16 @@ def test_numeric_bounds_are_true_min_max(spark):
         F.min("o_custkey"), F.max("o_custkey"),
     ).collect()[0]
     tp = rows["o_totalprice"]
-    assert float(tp["min_value"]) == truth[0]
-    assert float(tp["max_value"]) == truth[1]
-    assert float(tp["min_value"]) < float(tp["max_value"])
+    assert tp["min_num"] == truth[0]
+    assert tp["max_num"] == truth[1]
+    assert tp["min_num"] < tp["max_num"]
+    assert tp["min_value"] is None  # numeric bounds are typed, not strings
     ck = rows["o_custkey"]
-    assert int(float(ck["min_value"])) == truth[2]
-    assert int(float(ck["max_value"])) == truth[3]
+    assert int(ck["min_num"]) == truth[2]
+    assert int(ck["max_num"]) == truth[3]
+    # string-family bounds stay strings, numeric slots null
+    st = rows["o_orderstatus"]
+    assert isinstance(st["min_value"], str) and st["min_num"] is None
     # every profiled column verified its NDV estimate and counted rows
     for r in rows.values():
         assert r["ndv_within_10pct"] == 1

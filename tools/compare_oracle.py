@@ -94,6 +94,9 @@ def main() -> int:
 
     import __spark_entry__ as ent
     from impala_base_to_cdw_sizing_spark.session import build_spark
+    from impala_base_to_cdw_sizing_spark.sources.synthetic import (
+        _QH_MEMO as _qh_memo,
+    )
 
     spark = build_spark("oracle-parity")
     con = duck_connection(sf_dir)
@@ -112,6 +115,12 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # registered queries cache frames they read twice and cannot
+            # unpersist them before the caller's action; without this the
+            # caches of a 100+-query session accumulate in storage memory
+            spark.catalog.clearCache()
+            _qh_memo.clear()  # so the next sizing query re-derives AND re-caches
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows={len(spark_pdf)})")
             continue
