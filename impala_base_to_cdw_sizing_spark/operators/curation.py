@@ -1,0 +1,341 @@
+"""Corpus curation — the selection stage of a training-data pipeline.
+
+Four oracle-checked operators that decide WHICH documents make the
+training set once cleaning/dedup has run:
+
+- ``dedup_semantic``: SemDeDup-shaped semantic deduplication (Abbas et
+  al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+  semantic deduplication", arXiv:2303.09540 — public): cluster the
+  embedding space with the trained k-means quantizer, then drop any
+  vector whose cosine to a LOWER-id vector in the SAME cluster exceeds
+  τ. Pairwise comparison happens within clusters only — the paper's
+  point: O(Σ|cluster|²) ≪ O(n²), and each cluster's pairs are an
+  independent parallel task.
+- ``sample_importance``: DSIR-shaped importance resampling (Xie et al.
+  2023, "Data Selection for Language Models via Importance Resampling",
+  arXiv:2302.03169 — public): estimate target (here: lang='en' docs)
+  and raw unigram distributions over HASHED buckets, score every doc by
+  its summed bucket log-likelihood ratio, select the top quarter.
+  Bucket tables are tiny (B rows) and broadcast; the per-doc score is
+  one explode + broadcast-join + integer-sum pass.
+- ``corpus_select_budget``: token-budget greedy selection — rank docs
+  by quality score and admit while the cumulative token count fits the
+  budget (half the corpus tokens). The knapsack-by-ratio shape every
+  "we can afford N tokens" curation run ends with.
+- ``corpus_quality_strata``: quality-decile profile (NTILE 10) with
+  per-stratum doc/token mass — the diagnostic read before choosing a
+  selection threshold or curriculum order.
+
+Determinism notes: cosines/quality scores are the repo's proven
+bit-equal double expressions; DSIR's per-token log-ratio is quantized
+to integer micro-units BEFORE the per-doc sum (unordered double
+addition would be order-dependent); all ranks tie-break on doc_id.
+
+Scale notes: no operator self-joins the corpus — semantic dedup joins
+within cluster cells, DSIR joins tokens against a B-row broadcast
+table, budget selection is one global sort (the same single-ordering
+cost any top-k-by-value selection pays; segment it like the sweep
+bucketizer if the corpus outgrows one sort), strata is one NTILE pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .kmeans import _assign, _cte_chain, _emb_norm, trained_centroids
+from .queries_ext import register_extra
+from .similarity import DUCK_DOT, SPARK_DOT
+from .text import DUCK_TOKENS, SPARK_TOKENS, duck_charfold, spark_charfold
+
+# --- SemDeDup ---------------------------------------------------------------------
+
+# τ matched to the corpus's cosine geometry (see similarity._NEAR_DUP_TAU:
+# random 64-dim embeddings concentrate near 0, so 0.3 is already a strong
+# semantic-similarity signal on the fixtures; production text embeddings
+# use 0.95+ per the paper)
+_SEM_TAU = 0.3
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster, keep): keep=false iff a lower-id vector in the
+    same trained k-means cluster has cosine >= τ — the SemDeDup rule
+    (lowest id stands in for the paper's keep-one-per-group choice,
+    deterministic for the oracle)."""
+    emb = _emb_norm(spark, sf_dir)
+    assigned = _assign(emb, trained_centroids(emb)).select(
+        "vec_id", "cluster", "v", "norm2"
+    )
+    a = assigned.selectExpr(
+        "cluster", "vec_id AS a_id", "v AS av", "norm2 AS a_norm2"
+    )
+    b = assigned.selectExpr(
+        "cluster", "vec_id AS b_id", "v AS bv", "norm2 AS b_norm2"
+    )
+    dup_ids = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine",
+            F.expr(SPARK_DOT.format(a="av", b="bv"))
+            / F.sqrt(F.col("a_norm2") * F.col("b_norm2")),
+        )
+        .filter(F.col("cosine") >= _SEM_TAU)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return assigned.join(dup_ids, "vec_id", "left").select(
+        "vec_id", "cluster", F.coalesce("_dup", F.lit(False)).alias("is_dup")
+    )
+
+
+def _sql_dedup_semantic() -> str:
+    parts, _prev = _cte_chain()  # ends in final(vec_id, norm2, v, cluster)
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM final a JOIN final b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {DUCK_DOT.format(a='a.v', b='b.v')} / sqrt(a.norm2 * b.norm2)
+    >= CAST({_SEM_TAU} AS DOUBLE)
+)
+SELECT f.vec_id, f.cluster, (d.vec_id IS NOT NULL) AS is_dup
+FROM final f LEFT JOIN dups d ON f.vec_id = d.vec_id
+"""
+    )
+
+
+# --- DSIR importance resampling ---------------------------------------------------
+
+_DSIR_BUCKETS = 1024
+_TARGET_LANG = "en"
+_MICRO = 1_000_000.0
+_KEEP_FRAC = 0.25
+
+
+def _bucket(h: str) -> str:
+    return f"(({h}) % {_DSIR_BUCKETS})"
+
+
+def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR importance score and top-quarter selection.
+
+    Bucket b's weight is the add-one-smoothed log-likelihood ratio
+    ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)) of the target (lang='en')
+    versus raw unigram distributions over hashed buckets; a doc's score
+    is the sum of its tokens' bucket weights. Each per-token weight is
+    quantized to integer micro-units before the sum, so the per-doc
+    reduction is order-independent (raw double sums are not)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.selectExpr(
+        "doc_id", "lang", f"explode({SPARK_TOKENS}) AS token"
+    ).withColumn("bucket", F.expr(_bucket(spark_charfold("token"))))
+    raw = toks.groupBy("bucket").agg(F.count("*").alias("r"))
+    tgt = (
+        toks.filter(F.col("lang") == _TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("t"))
+    )
+    totals = toks.agg(
+        F.count("*").alias("total_r"),
+        F.sum((F.col("lang") == _TARGET_LANG).cast("long")).alias("total_t"),
+    )
+    weights = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "bucket",
+            f"CAST(floor((ln((coalesce(t, 0) + 1) / CAST(total_t + {_DSIR_BUCKETS} AS DOUBLE))"
+            f" - ln((r + 1) / CAST(total_r + {_DSIR_BUCKETS} AS DOUBLE))) * {_MICRO} + 0.5)"
+            " AS BIGINT) AS w_micro",
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("w_micro").alias("score_micro"),
+        )
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    wn = Window.partitionBy()
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_docs", F.count("*").over(wn))
+        .selectExpr(
+            "doc_id", "n_tokens", "score_micro",
+            f"rk <= CAST(ceil({_KEEP_FRAC} * n_docs) AS INT) AS selected",
+        )
+    )
+
+
+SQL_SAMPLE_IMPORTANCE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_bucket(duck_charfold('token'))} AS bucket
+  FROM (SELECT doc_id, lang, unnest({DUCK_TOKENS}) AS token FROM documents)
+),
+raw AS (SELECT bucket, COUNT(*) AS r FROM toks GROUP BY 1),
+tgt AS (SELECT bucket, COUNT(*) AS t FROM toks
+        WHERE lang = '{_TARGET_LANG}' GROUP BY 1),
+totals AS (
+  SELECT COUNT(*) AS total_r,
+    CAST(SUM(CASE WHEN lang = '{_TARGET_LANG}' THEN 1 ELSE 0 END) AS BIGINT)
+      AS total_t
+  FROM toks
+),
+weights AS (
+  SELECT raw.bucket,
+    CAST(floor((ln((COALESCE(t, 0) + 1) / CAST(total_t + {_DSIR_BUCKETS} AS DOUBLE))
+      - ln((r + 1) / CAST(total_r + {_DSIR_BUCKETS} AS DOUBLE))) * {_MICRO} + 0.5)
+      AS BIGINT) AS w_micro
+  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN totals
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(w_micro) AS BIGINT) AS score_micro
+  FROM toks JOIN weights USING (bucket)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, score_micro,
+  rk <= CAST(ceil({_KEEP_FRAC} * n_docs) AS INT) AS selected
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rk,
+    COUNT(*) OVER () AS n_docs
+  FROM scored
+)
+"""
+
+
+# --- token-budget greedy selection ------------------------------------------------
+
+_BUDGET_FRAC = 0.5
+
+_SPARK_QUALITY = (
+    "CAST(0.4 AS DOUBLE) * (n_stopwords / n_tokens)"
+    " + CAST(0.3 AS DOUBLE) * (n_distinct / n_tokens)"
+    " + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),"
+    " n_tokens / CAST(100.0 AS DOUBLE))"
+)
+
+
+def _spark_quality_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import STOPWORDS, _arr
+
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("tokens", F.expr(SPARK_TOKENS))
+        .selectExpr(
+            "doc_id",
+            "CAST(size(tokens) AS BIGINT) AS n_tokens",
+            "CAST(size(array_distinct(tokens)) AS BIGINT) AS n_distinct",
+            f"CAST(size(filter(tokens, t -> array_contains({_arr(STOPWORDS)}, t)))"
+            " AS BIGINT) AS n_stopwords",
+        )
+        .selectExpr("doc_id", "n_tokens", f"{_SPARK_QUALITY} AS quality_score")
+    )
+
+
+def q_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ranked selection under a token budget (half the
+    corpus's tokens): every doc with its rank, running token total, and
+    whether it made the cut. Integer cumulative sums — exact."""
+    scored = _spark_quality_frame(spark, sf_dir)
+    budget = scored.agg(
+        F.floor(F.sum("n_tokens") * _BUDGET_FRAC).cast("long").alias("budget")
+    )
+    w = Window.orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        scored.crossJoin(F.broadcast(budget))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .selectExpr(
+            "doc_id", "n_tokens", "quality_score", "cum_tokens",
+            "cum_tokens <= budget AS selected",
+        )
+    )
+
+
+def _duck_quality_cte() -> str:
+    from .text import STOPWORDS, _lst
+
+    return f"""
+quality AS (
+  SELECT doc_id, n_tokens,
+    CAST(0.4 AS DOUBLE) * (n_stopwords / n_tokens)
+      + CAST(0.3 AS DOUBLE) * (n_distinct / n_tokens)
+      + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+        n_tokens / CAST(100.0 AS DOUBLE)) AS quality_score
+  FROM (
+    SELECT doc_id,
+      len(tokens) AS n_tokens,
+      len(list_distinct(tokens)) AS n_distinct,
+      len(list_filter(tokens, t -> list_contains({_lst(STOPWORDS)}, t)))
+        AS n_stopwords
+    FROM (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents)
+  )
+)"""
+
+
+def _sql_select_budget() -> str:
+    return f"""
+WITH {_duck_quality_cte().strip()},
+budget AS (
+  SELECT CAST(floor(SUM(n_tokens) * {_BUDGET_FRAC}) AS BIGINT) AS budget
+  FROM quality
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score,
+  CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+  CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    <= budget AS selected
+FROM quality, budget
+"""
+
+
+# --- quality strata ---------------------------------------------------------------
+
+_N_STRATA = 10
+
+
+def q_quality_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile profile of the quality distribution: per stratum (1 = best)
+    the doc count, token mass, and quality bounds."""
+    scored = _spark_quality_frame(spark, sf_dir)
+    w = Window.orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("stratum", F.ntile(_N_STRATA).over(w).cast("long"))
+        .groupBy("stratum")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("quality_score").alias("q_lo"),
+            F.max("quality_score").alias("q_hi"),
+        )
+    )
+
+
+def _sql_quality_strata() -> str:
+    return f"""
+WITH {_duck_quality_cte().strip()}
+SELECT stratum, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  MIN(quality_score) AS q_lo, MAX(quality_score) AS q_hi
+FROM (
+  SELECT *, CAST(NTILE({_N_STRATA}) OVER (
+    ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS stratum
+  FROM quality
+)
+GROUP BY stratum
+"""
+
+
+def register_all() -> None:
+    register_extra("dedup_semantic", q_dedup_semantic, _sql_dedup_semantic())
+    register_extra("sample_importance", q_sample_importance, SQL_SAMPLE_IMPORTANCE)
+    register_extra("corpus_select_budget", q_select_budget, _sql_select_budget())
+    register_extra("corpus_quality_strata", q_quality_strata, _sql_quality_strata())

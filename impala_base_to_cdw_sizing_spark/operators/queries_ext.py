@@ -81,11 +81,12 @@ def _load_providers() -> None:
     countmin.register_all()
     profiling.register_all()
 
-    from . import custom_agg, ingest_quality, skew
+    from . import curation, custom_agg, ingest_quality, skew
 
     skew.register_all()
     custom_agg.register_all()
     ingest_quality.register_all()
+    curation.register_all()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,73 @@
+"""Behavioral pins for the curation operators (oracle parity runs in
+test_extra_tier): parity alone can't catch a vacuous query, so each
+operator must demonstrably DO its job on the fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from impala_base_to_cdw_sizing_spark.operators.curation import (
+    _KEEP_FRAC,
+    _TARGET_LANG,
+    q_dedup_semantic,
+    q_quality_strata,
+    q_sample_importance,
+    q_select_budget,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_semantic_dedup_finds_dups_and_keeps_cluster_minimum(spark):
+    rows = q_dedup_semantic(spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    dups = [r for r in rows if r.is_dup]
+    assert dups, "τ must bite on the fixture, else the query is vacuous"
+    assert len(dups) < len(rows)
+    # the lowest vec_id of every cluster can never be a dup (no lower
+    # partner exists) — the keep-lowest rule's invariant
+    best = {}
+    for r in rows:
+        best[r.cluster] = min(best.get(r.cluster, r.vec_id), r.vec_id)
+    for r in rows:
+        if r.vec_id == best[r.cluster]:
+            assert not r.is_dup
+
+
+def test_importance_resampling_prefers_target_language(spark):
+    sel = q_sample_importance(spark, SF_SMALL)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    joined = sel.join(docs, "doc_id").collect()
+    n = len(joined)
+    chosen = [r for r in joined if r.selected]
+    assert len(chosen) == -(-int(_KEEP_FRAC * n) // 1)  # ceil(frac * n)
+    frac_en_all = sum(r.lang == _TARGET_LANG for r in joined) / n
+    frac_en_sel = sum(r.lang == _TARGET_LANG for r in chosen) / len(chosen)
+    # DSIR's whole point: the selected set over-represents the target
+    assert frac_en_sel > frac_en_all
+
+
+def test_budget_selection_respects_budget_and_greedy_order(spark):
+    rows = q_select_budget(spark, SF_SMALL).collect()
+    total = sum(r.n_tokens for r in rows)
+    budget = total * 0.5
+    sel_tokens = sum(r.n_tokens for r in rows if r.selected)
+    assert 0 < sel_tokens <= budget
+    # greedy: the selected set is a prefix of the quality ordering —
+    # every selected doc's quality >= every rejected doc's (up to the
+    # doc_id tiebreak at the boundary)
+    worst_sel = min(r.quality_score for r in rows if r.selected)
+    best_rej = max(r.quality_score for r in rows if not r.selected)
+    assert worst_sel >= best_rej or abs(worst_sel - best_rej) < 1e-12
+
+
+def test_quality_strata_partition_the_corpus(spark):
+    rows = sorted(q_quality_strata(spark, SF_SMALL).collect(), key=lambda r: r.stratum)
+    assert [r.stratum for r in rows] == list(range(1, 11))
+    assert sum(r.n_docs for r in rows) == 500
+    # NTILE balance: sizes differ by at most 1
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # stratum 1 is the best-quality band; bounds must descend
+    assert rows[0].q_lo >= rows[-1].q_hi
