@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .queries_ext import register
+from .queries_ext import register, register_extra
 from .text import DUCK_TOKENS, SPARK_TOKENS
 
 # Knuth multiplicative hash, 32-bit: deterministic pseudo-shuffle key
@@ -223,7 +223,43 @@ GROUP BY doc_id
 """
 
 
+# --- train/val/test split ---------------------------------------------------------
+
+# 80/10/10 by hash bucket: the split is a pure function of doc_id, so it
+# is stable under corpus growth (a doc never migrates between splits when
+# new data arrives — the property a random split lacks) and reproducible
+# on any engine. Knuth-hash bucketing decorrelates from ingest order.
+_SPLIT_BOUNDS = (0.8, 0.9)  # [0, .8) train, [.8, .9) val, [.9, 1) test
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split, n_tokens): deterministic 80/10/10 assignment via
+    the shared Knuth coin — one narrow map, no shuffle for the
+    assignment itself (the same hash the stratified sampler and the
+    mixture resampler use, so splits compose consistently with them)."""
+    lo = int(_SPLIT_BOUNDS[0] * _M32)
+    hi = int(_SPLIT_BOUNDS[1] * _M32)
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"CASE WHEN (doc_id * {_KNUTH}) % {_M32} < {lo} THEN 'train' "
+        f"WHEN (doc_id * {_KNUTH}) % {_M32} < {hi} THEN 'val' "
+        "ELSE 'test' END AS split",
+        f"CAST(size({SPARK_TOKENS}) AS BIGINT) AS n_tokens",
+    )
+
+
+SQL_SAMPLE_SPLIT = f"""
+SELECT doc_id,
+  CASE WHEN (doc_id * {_KNUTH}) % {_M32} < {int(_SPLIT_BOUNDS[0] * _M32)} THEN 'train'
+       WHEN (doc_id * {_KNUTH}) % {_M32} < {int(_SPLIT_BOUNDS[1] * _M32)} THEN 'val'
+       ELSE 'test' END AS split,
+  CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
 def register_all() -> None:
     register("sample_stratified", q_sample_stratified, SQL_SAMPLE_STRATIFIED)
     register("pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES)
     register("corpus_decontaminate", q_decontaminate, _decontaminate_sql())
+    register_extra("sample_split", q_sample_split, SQL_SAMPLE_SPLIT)

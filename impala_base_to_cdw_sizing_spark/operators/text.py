@@ -227,6 +227,50 @@ FROM documents
 """
 
 
+# BPE-ish piece tokenizer: the standard pre-tokenization alternation
+# (letter runs | digit runs | single non-space symbol). The classes are
+# disjoint, so Java-regex (Spark) and RE2 (DuckDB) alternation agree
+# exactly — no leftmost-longest ambiguity to diverge on.
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piece-vocabulary head: tokenize every doc with the BPE-ish regex
+    pre-tokenizer and return the 20 most frequent pieces with counts and
+    document frequency — the first table a tokenizer-training run
+    materializes. One explode + one groupBy; deterministic (count desc,
+    piece asc) ordering."""
+    pieces = (
+        _docs(spark, sf_dir)
+        .selectExpr(
+            "doc_id",
+            f"explode(regexp_extract_all(text, '{_BPE_RE}', 0)) AS piece",
+        )
+    )
+    return (
+        pieces.groupBy("piece")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("n").desc(), F.col("piece").asc())
+        .limit(20)
+        .selectExpr("piece", "n", "doc_freq")
+    )
+
+
+SQL_BPE_VOCAB = f"""
+SELECT piece, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
+FROM (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_BPE_RE}')) AS piece
+  FROM documents
+)
+GROUP BY piece
+ORDER BY n DESC, piece ASC
+LIMIT 20
+"""
+
+
 # --- fingerprinting -----------------------------------------------------------------
 
 
@@ -1542,6 +1586,7 @@ def register_all() -> None:
     register_extra("text_stats", q_text_stats, SQL_TEXT_STATS)
     register_extra("text_langid", q_text_langid, _langid_sql())
     register_extra("text_token_count", q_token_count, SQL_TOKEN_COUNT)
+    register_extra("text_bpe_vocab", q_bpe_vocab, SQL_BPE_VOCAB)
     register_extra("text_fingerprint", q_fingerprint, SQL_FINGERPRINT)
     register_extra("dedup_minhash_accuracy", q_minhash_accuracy, _minhash_accuracy_sql())
     register_extra(
