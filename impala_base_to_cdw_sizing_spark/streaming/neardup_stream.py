@@ -1,0 +1,116 @@
+"""Streaming near-duplicate candidate generation — MinHash/LSH banding
+in its incremental, bounded-state form.
+
+The batch engine answers "which docs in this corpus are near-dups"
+(``dedup_minhash``) and "which docs of a NEW BATCH collide with an
+existing corpus" (``dedup_incremental``). This operator is the third
+shape a production crawl needs: candidates ON ARRIVAL, from an
+unbounded stream, with state that cannot grow past a per-bucket cap.
+
+Each arriving (doc, band) row is grouped by its LSH bucket
+(band_id, band_key) with ``applyInPandasWithState``: the state holds
+the first ``cap`` doc ids seen in that bucket; a new arrival emits one
+candidate row per retained prior (bounded fan-out: ≤ cap pairs per
+arrival per band), then joins the state if there is room. This is the
+streaming twin of the batch per-bucket candidate cap in ``sim_lsh_ann``
+— a hot bucket (boilerplate page) contributes O(cap) work per arrival
+forever, never O(bucket size).
+
+Exact verification (``n_equal`` re-rank) stays downstream where the
+signatures live; this stage's contract is the candidate set, and
+``tests/test_streaming_neardup.py`` pins it equal to the batch
+re-derivation of the same arrival order.
+
+State bound: ``cap`` bigints per live bucket; bucket cardinality is
+bounded by the band-key space actually occupied. For indefinitely
+long streams, pair with a timeout (`GroupStateTimeout`) to expire cold
+buckets — retained here as NoTimeout because the parity test replays a
+finite corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "band_id long, band_key long, doc_a long, doc_b long"
+STATE_SCHEMA = "docs array<bigint>"
+
+DEFAULT_CAP = 64
+
+
+def make_update(cap: int = DEFAULT_CAP):
+    """Build the per-bucket state-update function (cap captured)."""
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (docs,) = state.get if state.exists else ([],)
+        docs = list(docs)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            # arrival order must be total and engine-independent: the
+            # (arrival, doc_id) sort pins it within a micro-batch; the
+            # stream's micro-batch sequence pins it across batches
+            pdf = pdf.sort_values(["arrival", "doc_id"])
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                for prior in docs:
+                    out_a.append(prior)
+                    out_b.append(doc_id)
+                if len(docs) < cap:
+                    docs.append(doc_id)
+        state.update((docs,))
+        band_id, band_key = int(key[0]), int(key[1])
+        yield pd.DataFrame(
+            {
+                "band_id": [band_id] * len(out_a),
+                "band_key": [band_key] * len(out_a),
+                "doc_a": out_a,
+                "doc_b": out_b,
+            }
+        )
+
+    return _update
+
+
+def neardup_candidates_stream(
+    banded: DataFrame, cap: int = DEFAULT_CAP
+) -> DataFrame:
+    """banded stream (doc_id, arrival, band_id, band_key) → candidate
+    pair stream, ≤ ``cap`` state entries and ≤ ``cap`` emitted pairs per
+    arrival per bucket."""
+    return banded.groupBy("band_id", "band_key").applyInPandasWithState(
+        make_update(cap),
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def neardup_candidates_batch(banded: DataFrame, cap: int = DEFAULT_CAP) -> DataFrame:
+    """The batch twin: identical candidate pairs from a static frame —
+    prior must be among the first ``cap`` arrivals of its bucket and
+    strictly earlier than the new doc in (arrival, doc_id) order. Used
+    by the stream≡batch parity test (same role as the sweep's)."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("band_id", "band_key").orderBy("arrival", "doc_id")
+    ranked = banded.withColumn("rk", F.row_number().over(w))
+    a = ranked.filter(F.col("rk") <= cap).selectExpr(
+        "band_id", "band_key", "doc_id AS doc_a", "arrival AS arr_a",
+        "rk AS rk_a",
+    )
+    b = ranked.selectExpr(
+        "band_id", "band_key", "doc_id AS doc_b", "rk AS rk_b"
+    )
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("rk_a") < F.col("rk_b"))
+        .select("band_id", "band_key", "doc_a", "doc_b")
+    )
