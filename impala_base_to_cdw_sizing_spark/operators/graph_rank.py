@@ -1,0 +1,152 @@
+"""Link-graph centrality over the near-duplicate graph — the PageRank-
+style quality signal web-crawl curation pipelines attach to documents
+(connectivity-based importance, used alongside content quality scores
+when ranking a crawl frontier or weighting training data).
+
+``graph_pagerank``: 3 unrolled power iterations of damped PageRank over
+the symmetric MinHash near-dup graph (the same est_jaccard ≥ 0.5 edge
+cut ``dedup_components`` clusters). All arithmetic is INTEGER from end
+to end, so both engines agree bit-for-bit with no float-summation order
+dependence:
+
+- ranks live in nano-units, ``r0 = 10^9 div N``;
+- each edge u→v contributes ``(85 * r_u) div (100 * outdeg_u)``
+  (damping 0.85 folded into one exact truncating division);
+- ``r' = (15 * 10^9) div (100 * N) + Σ contributions`` — a bigint sum,
+  order-independent.
+
+Isolated docs hold the teleport base rank (their damped mass leaks —
+the standard simplification when the consumer wants a centrality
+ORDERING, documented here rather than hidden; conservation needs a
+dangling-mass redistribution term that adds one global agg per
+iteration). Fixed-horizon iterations are the intended shape: curation
+wants a stable score, not a fixpoint certificate — 3 damped rounds
+already separate hubs from leaves on near-dup graphs, and the oracle
+replays the identical unrolled chain (pattern: ``kmeans_clusters``).
+
+Scale: per iteration one join (ranks × edges, both keyed on doc) + one
+sum aggregation — the classic distributed PageRank step. Rounds are a
+constant, not diameter-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries_ext import register_extra
+from .text import _minhash_sql, q_dedup_minhash
+
+_NANO = 1_000_000_000
+_N_ITERS = 3
+_DAMP_NUM, _DAMP_DEN = 85, 100  # 0.85 as an exact ratio
+
+
+def pagerank_ranks(
+    edges: DataFrame, docs: DataFrame, n_iters: int = _N_ITERS
+) -> DataFrame:
+    """Exact-integer damped power iteration over ``edges`` (directed
+    (doc_a → doc_b); pass both directions for undirected graphs) and
+    ``docs`` (one ``doc_id`` per node) → (doc_id, rank_nano, outdeg).
+    Ties in rank are real ties (equal integers), so the consumer's
+    ordering is deterministic without a float epsilon."""
+    edges = edges.cache()
+    outdeg = edges.groupBy("doc_a").agg(F.count("*").alias("outdeg"))
+    nodes = docs.join(
+        outdeg, docs.doc_id == outdeg.doc_a, "left"
+    ).select(
+        "doc_id", F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg")
+    ).cache()
+    n_docs = nodes.count()  # driver scalar: one count, reused each round
+    base = (15 * _NANO) // (_DAMP_DEN * n_docs)
+
+    ranks = nodes.select(
+        "doc_id", F.lit(_NANO // n_docs).cast("long").alias("rank_nano")
+    )
+    for _ in range(n_iters):
+        contrib = (
+            edges.join(ranks, edges.doc_a == ranks.doc_id)
+            .join(nodes.select(F.col("doc_id").alias("src"), "outdeg"),
+                  edges.doc_a == F.col("src"))
+            .selectExpr(
+                "doc_b AS doc_id",
+                f"({_DAMP_NUM} * rank_nano) div ({_DAMP_DEN} * outdeg) AS c",
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "doc_id", "left")
+            .selectExpr(
+                "doc_id",
+                f"CAST({base} + coalesce(in_sum, 0) AS BIGINT) AS rank_nano",
+            )
+        )
+    out = nodes.join(ranks, "doc_id").select("doc_id", "rank_nano", "outdeg")
+    edges.unpersist()
+    return out
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        q_dedup_minhash(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return pagerank_ranks(edges, docs)
+
+
+def _sql_graph_pagerank() -> str:
+    pairs_sql = _minhash_sql().strip()
+    head = f"""
+WITH allpairs AS ({pairs_sql}),
+pairs AS (SELECT doc_a, doc_b FROM allpairs WHERE est_jaccard >= 0.5),
+edges AS (SELECT doc_a, doc_b FROM pairs
+ UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (
+  SELECT d.doc_id, CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS outdeg
+  FROM documents d LEFT JOIN (
+    SELECT doc_a, COUNT(*) AS outdeg FROM edges GROUP BY 1
+  ) o ON d.doc_id = o.doc_a
+),
+consts AS (
+  SELECT COUNT(*) AS n,
+    CAST({_NANO} AS BIGINT) // COUNT(*) AS r0,
+    CAST({15 * _NANO} AS BIGINT) // ({_DAMP_DEN} * COUNT(*)) AS base
+  FROM nodes
+),
+rank0 AS (SELECT doc_id, (SELECT r0 FROM consts) AS rank_nano FROM nodes)"""
+    its = []
+    prev = "rank0"
+    for i in range(1, _N_ITERS + 1):
+        its.append(f"""
+rank{i} AS (
+  SELECT n.doc_id,
+    CAST((SELECT base FROM consts) + COALESCE(s.in_sum, 0) AS BIGINT)
+      AS rank_nano
+  FROM nodes n LEFT JOIN (
+    SELECT e.doc_b AS doc_id,
+      CAST(SUM(({_DAMP_NUM} * r.rank_nano) // ({_DAMP_DEN} * src.outdeg))
+        AS BIGINT) AS in_sum
+    FROM edges e
+    JOIN {prev} r ON e.doc_a = r.doc_id
+    JOIN nodes src ON e.doc_a = src.doc_id
+    GROUP BY 1
+  ) s ON n.doc_id = s.doc_id
+)""")
+        prev = f"rank{i}"
+    return (
+        head + "," + ",".join(its)
+        + f"""
+SELECT n.doc_id, r.rank_nano, n.outdeg
+FROM nodes n JOIN {prev} r ON n.doc_id = r.doc_id
+"""
+    )
+
+
+def register_all() -> None:
+    register_extra("graph_pagerank", q_graph_pagerank, _sql_graph_pagerank())
