@@ -95,6 +95,34 @@ def test_bmp_roundtrip_kernel_is_exact():
     assert (w, h, mean) == (3, 3, 0.0)
 
 
+def test_bmp_roundtrip_property():
+    """Hypothesis: ANY raster (width 1..64, height 1..16, arbitrary
+    bytes) must round-trip the codec exactly — dims identical, mean from
+    pixel bytes only (stride padding excluded)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from impala_base_to_cdw_sizing_spark.operators.multimodal import (
+        _decode_payload_bmp,
+        encode_bmp,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 64),
+        h=st.integers(1, 16),
+        seed=st.integers(0, 2**31),
+    )
+    def check(w, h, seed):
+        n = w * h * 3
+        rgb = bytes((seed * 2654435761 + i * 97 + (i * i) % 251) % 256 for i in range(n))
+        got_w, got_h, mean = _decode_payload_bmp(encode_bmp(w, h, rgb))
+        assert (got_w, got_h) == (w, h)
+        assert mean == sum(rgb) / n
+
+    check()
+
+
 def test_bmp_kernel_rejects_malformed_payloads():
     import pytest
 
