@@ -48,7 +48,15 @@ _BAD_LONG_MOD, _BAD_DOUBLE_MOD = 3, 7  # doc_id % 11
 
 
 def _fixture_dir(sf_dir: str, kind: str) -> str:
-    base = Path(tempfile.gettempdir()) / "ibs_spark_fixtures" / Path(sf_dir).name
+    # per-process subdir: two sessions running the registry concurrently
+    # (bench reps, the compare tool, the driver) must not overwrite each
+    # other's fixture mid-scan
+    base = (
+        Path(tempfile.gettempdir())
+        / "ibs_spark_fixtures"
+        / f"pid{os.getpid()}"
+        / Path(sf_dir).name
+    )
     base.mkdir(parents=True, exist_ok=True)
     return str(base / kind)
 
