@@ -1,0 +1,57 @@
+"""Repo-wide physical-plan hygiene, pinned: no declared query may plan a
+row-at-a-time Python UDF or a cartesian product, and the flagship
+narrow-pipeline plans must stay shuffle-free. Uses tools/plan_audit so
+the pins and the audit tool can never drift apart."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as ent  # noqa: E402
+from tools.plan_audit import audit_plan  # noqa: E402
+from tests.conftest import SF_SMALL  # noqa: E402
+
+# iterative queries execute Spark jobs during plan CONSTRUCTION
+# (localCheckpoint per round) — audited by their own tests; skipping
+# them here keeps this sweep cheap
+_ITERATIVE = {"dedup_components", "kmeans_clusters"}
+
+
+def _audits(spark):
+    out = {}
+    for name, fn in ent.queries().items():
+        if name in _ITERATIVE:
+            continue
+        plan = fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        out[name] = audit_plan(plan)
+        spark.catalog.clearCache()
+    return out
+
+
+def test_no_row_udfs_or_cartesians_anywhere(spark):
+    audits = _audits(spark)
+    assert len(audits) >= 45
+    offenders = {
+        n: a for n, a in audits.items()
+        if a["python_eval"] > 0 or a["cartesian"] > 0
+    }
+    assert not offenders, offenders
+    # the sanctioned vectorized path appears only where documented
+    arrow_users = {n for n, a in audits.items() if a["arrow_eval"] > 0}
+    assert arrow_users <= {"mm_decode_stub"}, arrow_users
+
+
+def test_flagship_narrow_plans_stay_shuffle_free(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    audits = _audits(spark)
+    # pure-map pipelines: one scan, zero exchanges, zero joins
+    for name in ["sizing_derive", "text_profile", "text_pii_scrub", "mm_meta"]:
+        a = audits[name]
+        assert a["exchanges"] == 0, (name, a)
+        assert a["scans"] == 1, (name, a)
+    # the pushdown showcase keeps its single partial-agg exchange
+    assert audits["rel_tpch_q6_pushdown"]["exchanges"] == 1
