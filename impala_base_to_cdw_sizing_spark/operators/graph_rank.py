@@ -58,6 +58,11 @@ def pagerank_ranks(
         "doc_id", F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg")
     ).cache()
     n_docs = nodes.count()  # driver scalar: one count, reused each round
+    if n_docs == 0:
+        # empty corpus: empty ranks, not a ZeroDivisionError mid-plan
+        return nodes.selectExpr(
+            "doc_id", "CAST(0 AS BIGINT) AS rank_nano", "outdeg"
+        )
     base = (15 * _NANO) // (_DAMP_DEN * n_docs)
 
     ranks = nodes.select(

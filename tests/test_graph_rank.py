@@ -28,6 +28,18 @@ def test_pagerank_corpus_invariants(spark):
     assert sum(r.rank_nano for r in rows) <= _NANO
 
 
+def test_pagerank_degenerate_graphs(spark):
+    empty_docs = spark.createDataFrame([], "doc_id long")
+    empty_edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert pagerank_ranks(empty_edges, empty_docs).count() == 0
+    one = spark.createDataFrame([(7,)], "doc_id long")
+    rows = pagerank_ranks(empty_edges, one).collect()
+    assert len(rows) == 1
+    # single isolated doc: full teleport base at N=1
+    assert rows[0].rank_nano == (15 * _NANO) // 100
+    assert rows[0].outdeg == 0
+
+
 def test_pagerank_hub_outranks_leaves_on_star(spark):
     """A 1-hub/12-leaf star: the hub aggregates every leaf's damped
     mass while each leaf gets only a 1/12 share back — rank must
