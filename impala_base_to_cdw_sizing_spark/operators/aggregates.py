@@ -34,8 +34,21 @@ def dsum(c: Column) -> Column:
     return F.sum(c.cast(DEC)).cast("double")
 
 
+def dec_to_double_sql(dec_expr: str) -> str:
+    """DuckDB decimal→double, CORRECTLY rounded via the exact string
+    form. DuckDB's direct ``CAST(decimal AS DOUBLE)`` converts the
+    scaled integer to double and then divides by 10^scale — two
+    roundings, which differs from the correctly-rounded value by 1 ulp
+    once the scaled integer exceeds 2^53 (measured at sf0.1:
+    86047380724.118065 → …11806 direct vs …11807 correct). Spark's
+    BigDecimal path and strtod are both correctly rounded, so routing
+    the oracle through VARCHAR keeps the engines bit-equal at any
+    magnitude."""
+    return f"CAST(CAST(({dec_expr}) AS STRING) AS DOUBLE)"
+
+
 def dsum_sql(x: str) -> str:
-    return f"CAST(SUM(CAST(({x}) AS DECIMAL(38,6))) AS DOUBLE)"
+    return dec_to_double_sql(f"SUM(CAST(({x}) AS DECIMAL(38,6)))")
 
 
 def summarize(kept: DataFrame, total_queries_df: DataFrame) -> DataFrame:

@@ -107,6 +107,81 @@ FROM final f LEFT JOIN dups d ON f.vec_id = d.vec_id
     )
 
 
+# --- hybrid (lexical ∪ semantic) duplicate clustering -----------------------------
+
+
+def q_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the UNION of both near-dup signals — the
+    modern pipeline runs a MinHash pass AND a SemDeDup pass, and a
+    cluster is a duplicate group if the docs are connected through
+    either: lexical edges (MinHash est_jaccard ≥ 0.5, the
+    ``dedup_components`` cut) plus semantic edges (within-k-means-cell
+    cosine ≥ τ, the ``dedup_semantic`` cut; ``vec_id`` and ``doc_id``
+    index the same corpus in the fixtures). Components come from the
+    log-rounds star algorithm — the union graph chains lexical and
+    semantic hops, so diameters grow and the O(log) variant is the
+    right default. Oracle: one recursive-CTE fixpoint over the same
+    edge union."""
+    from .text import cc_labels_star, q_dedup_minhash
+
+    lex = (
+        q_dedup_minhash(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    emb = _emb_norm(spark, sf_dir)
+    assigned = _assign(emb, trained_centroids(emb)).select(
+        "vec_id", "cluster", "v", "norm2"
+    )
+    a = assigned.selectExpr("cluster", "vec_id AS doc_a", "v AS av", "norm2 AS na")
+    b = assigned.selectExpr("cluster", "vec_id AS doc_b", "v AS bv", "norm2 AS nb")
+    sem = (
+        a.join(b, "cluster")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "cosine",
+            F.expr(SPARK_DOT.format(a="av", b="bv"))
+            / F.sqrt(F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cosine") >= _SEM_TAU)
+        .select("doc_a", "doc_b")
+    )
+    pairs = lex.union(sem)
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return cc_labels_star(edges, docs).select("doc_id", "cluster")
+
+
+def _sql_dedup_hybrid() -> str:
+    from .text import _minhash_sql
+
+    parts, _prev = _cte_chain()  # kmeans chain ending in final(...)
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts) + f""",
+mh AS ({_minhash_sql().strip()}),
+lex AS (SELECT doc_a, doc_b FROM mh WHERE est_jaccard >= 0.5),
+sem AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM final a JOIN final b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {DUCK_DOT.format(a='a.v', b='b.v')} / sqrt(a.norm2 * b.norm2)
+    >= CAST({_SEM_TAU} AS DOUBLE)
+),
+pairs AS (SELECT * FROM lex UNION SELECT * FROM sem),
+edges AS (SELECT doc_a, doc_b FROM pairs
+ UNION SELECT doc_b, doc_a FROM pairs),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT t.doc_id, e.doc_b FROM reach t JOIN edges e ON t.r = e.doc_a
+)
+SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id
+"""
+    )
+
+
 # --- DSIR importance resampling ---------------------------------------------------
 
 _DSIR_BUCKETS = 1024
@@ -336,6 +411,7 @@ GROUP BY stratum
 
 def register_all() -> None:
     register_extra("dedup_semantic", q_dedup_semantic, _sql_dedup_semantic())
+    register_extra("dedup_hybrid", q_dedup_hybrid, _sql_dedup_hybrid())
     register_extra("sample_importance", q_sample_importance, SQL_SAMPLE_IMPORTANCE)
     register_extra("corpus_select_budget", q_select_budget, _sql_select_budget())
     register_extra("corpus_quality_strata", q_quality_strata, _sql_quality_strata())

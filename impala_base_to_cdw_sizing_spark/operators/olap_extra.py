@@ -379,7 +379,7 @@ SQL_CORRELATED = """
 SELECT c_custkey, c_mktsegment, c_acctbal
 FROM customer outer_c
 WHERE c_acctbal > (
-  SELECT CAST(SUM(CAST(i.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+  SELECT CAST(CAST(SUM(CAST(i.c_acctbal AS DECIMAL(38,6))) AS STRING) AS DOUBLE) / COUNT(*)
   FROM customer i
   WHERE i.c_mktsegment = outer_c.c_mktsegment
 )
@@ -422,7 +422,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_WINDOW_RANGE_FRAME = f"""
 SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS orderdate_ms,
   COUNT(*) OVER w AS n_orders_30d,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS spend_30d
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS STRING) AS DOUBLE) AS spend_30d
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
   RANGE BETWEEN {_30D_MS} PRECEDING AND CURRENT ROW)

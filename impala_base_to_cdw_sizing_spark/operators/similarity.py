@@ -520,7 +520,7 @@ exploded AS (
   FROM emb, (SELECT unnest(range(1, {DIM + 1})) AS i)
 )
 SELECT label, pos, COUNT(*) AS n,
-  CAST(SUM(CAST(x_nano AS DECIMAL(38,0))) AS DOUBLE) / {_NANO} / COUNT(*) AS mean_x
+  CAST(CAST(SUM(CAST(x_nano AS DECIMAL(38,0))) AS STRING) AS DOUBLE) / {_NANO} / COUNT(*) AS mean_x
 FROM exploded
 GROUP BY label, pos
 """

@@ -219,7 +219,8 @@ def running_sums(
 
 
 _RUN_COLS_SQL = ",\n  ".join(
-    f"CAST(SUM(CAST({m}_u AS DECIMAL(38,0))) OVER w AS DOUBLE) / 1000000.0 AS run_{m}"
+    f"CAST(CAST(SUM(CAST({m}_u AS DECIMAL(38,0))) OVER w AS STRING) AS DOUBLE)"
+    f" / 1000000.0 AS run_{m}"
     for m in MEASURES
 )
 

@@ -277,7 +277,7 @@ WITH per_part AS (
 SELECT l_partkey, part_value
 FROM per_part
 WHERE part_value > 1.5 * (
-  SELECT CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+  SELECT CAST(CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS STRING) AS DOUBLE) / COUNT(*)
   FROM per_part)
 """
 
