@@ -288,9 +288,12 @@ def _probed_queries_spark(emb: DataFrame) -> DataFrame:
     vector: the home bucket and the least-confident-bit flip."""
     structs = []
     for t in range(_N_BANDS_EMB):
+        # home bucket + (probes - 1) flips of the weakest hyperplane(s);
+        # at _MP_PROBES == 2 that is exactly [home, weakest-bit flip]
         home, alt = _mp_keys(t, 0)
         structs.append(f"struct({t} AS band_id, {home} AS band_key)")
         structs.append(f"struct({t} AS band_id, {alt} AS band_key)")
+        assert _MP_PROBES == 2, "probe generator currently emits 2/band"
     return (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .selectExpr("vec_id", "v", f"explode(array({', '.join(structs)})) AS band")
