@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from impala_base_to_cdw_sizing_spark.operators.curation import (
     _KEEP_FRAC,
     _TARGET_LANG,
+    q_dedup_hybrid,
     q_dedup_semantic,
     q_quality_strata,
     q_sample_importance,
@@ -31,6 +32,49 @@ def test_semantic_dedup_finds_dups_and_keeps_cluster_minimum(spark):
     for r in rows:
         if r.vec_id == best[r.cluster]:
             assert not r.is_dup
+
+
+def test_hybrid_clusters_refine_neither_signal(spark):
+    """Union-graph components must be coarser-or-equal than each
+    single-signal clustering: any two docs the lexical CC puts together
+    stay together under hybrid (same for semantic), and the fixture must
+    show at least one MERGE only the union produces (else hybrid is a
+    vacuous relabeling)."""
+    from impala_base_to_cdw_sizing_spark.operators.text import (
+        q_dedup_components,
+    )
+
+    hybrid = {r.doc_id: r.cluster for r in q_dedup_hybrid(spark, SF_SMALL).collect()}
+    lex = {r.doc_id: r.cluster for r in q_dedup_components(spark, SF_SMALL).collect()}
+    assert set(hybrid) == set(lex)
+    # lexical co-membership survives
+    from collections import defaultdict
+
+    def groups(m):
+        g = defaultdict(set)
+        for k, v in m.items():
+            g[v].add(k)
+        return list(g.values())
+
+    for grp in groups(lex):
+        assert len({hybrid[d] for d in grp}) == 1, grp
+    # hybrid must merge something beyond lexical alone (semantic edges
+    # exist on this fixture — dedup_semantic finds dups)
+    n_lex = len(set(lex.values()))
+    n_hybrid = len(set(hybrid.values()))
+    assert n_hybrid < n_lex
+    # semantic signal really participates: the is_dup relation implies a
+    # within-cell edge to a lower id, so every semantic dup shares a
+    # hybrid cluster with some lower doc (not necessarily its cell — the
+    # cell is the SEARCH scope, not the duplicate group)
+    sem_dups = {
+        r.vec_id for r in q_dedup_semantic(spark, SF_SMALL).collect() if r.is_dup
+    }
+    assert sem_dups
+    for d in sem_dups:
+        # a semantic dup has an edge to a lower id, so its component —
+        # labeled by the component MINIMUM — must sit below it
+        assert hybrid[d] < d
 
 
 def test_importance_resampling_prefers_target_language(spark):
