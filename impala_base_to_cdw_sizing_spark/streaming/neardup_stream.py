@@ -22,10 +22,15 @@ signatures live; this stage's contract is the candidate set, and
 re-derivation of the same arrival order.
 
 State bound: ``cap`` bigints per live bucket; bucket cardinality is
-bounded by the band-key space actually occupied. For indefinitely
-long streams, pair with a timeout (`GroupStateTimeout`) to expire cold
-buckets — retained here as NoTimeout because the parity test replays a
-finite corpus.
+bounded by the band-key space actually occupied. For indefinitely long
+streams, :func:`neardup_candidates_stream_ttl` adds event-time state
+expiry: each bucket's state carries a deadline ``horizon_ms`` past its
+latest arrival, and once the watermark passes it the bucket's doc list
+is dropped — cold buckets (a boilerplate page that stopped recurring)
+cannot pin memory forever. A doc arriving after its bucket expired
+starts a fresh bucket, so candidates are only guaranteed within the
+horizon — exactly the contract of
+``dropDuplicatesWithinWatermark``-style bounded-state dedup.
 """
 
 from __future__ import annotations
@@ -90,6 +95,74 @@ def neardup_candidates_stream(
         STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+def make_update_ttl(cap: int, horizon_ms: int):
+    """TTL variant of the per-bucket update: same pairing rule, plus an
+    event-time timeout ``horizon_ms`` past the bucket's newest arrival.
+    When the watermark crosses it, the timed-out invocation drops the
+    state (one empty yield) — bounded state on unbounded streams."""
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"band_id": [], "band_key": [], "doc_a": [], "doc_b": []}
+            )
+            return
+        (docs,) = state.get if state.exists else ([],)
+        docs = list(docs)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        latest = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["arrival_ts", "doc_id"])
+            latest = max(latest, int(pdf["arrival_ts"].max().timestamp() * 1000))
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                for prior in docs:
+                    out_a.append(prior)
+                    out_b.append(doc_id)
+                if len(docs) < cap:
+                    docs.append(doc_id)
+        state.update((docs,))
+        state.setTimeoutTimestamp(latest + horizon_ms)
+        band_id, band_key = int(key[0]), int(key[1])
+        yield pd.DataFrame(
+            {
+                "band_id": [band_id] * len(out_a),
+                "band_key": [band_key] * len(out_a),
+                "doc_a": out_a,
+                "doc_b": out_b,
+            }
+        )
+
+    return _update
+
+
+def neardup_candidates_stream_ttl(
+    banded: DataFrame,
+    cap: int = DEFAULT_CAP,
+    horizon: str = "10 minutes",
+    horizon_ms: int = 600_000,
+) -> DataFrame:
+    """banded stream (doc_id, arrival_ts TIMESTAMP, band_id, band_key)
+    → candidate pairs with cold buckets evicted ``horizon`` past their
+    newest arrival (event-time timeout against the ``arrival_ts``
+    watermark)."""
+    return (
+        banded.withWatermark("arrival_ts", horizon)
+        .groupBy("band_id", "band_key")
+        .applyInPandasWithState(
+            make_update_ttl(cap, horizon_ms),
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

@@ -69,6 +69,65 @@ def test_stream_equals_batch_across_microbatches(spark, tmp_path):
     banded.unpersist()
 
 
+def test_ttl_evicts_cold_buckets(spark, tmp_path):
+    """Event-time TTL: batch 1 fills a bucket, batch 2 arrives far past
+    the horizon — the bucket's state must be gone, so the late doc emits
+    NO pairs with batch-1 priors and restarts the bucket (a subsequent
+    in-horizon doc pairs only with it)."""
+    from pyspark.sql import functions as F
+
+    from impala_base_to_cdw_sizing_spark.streaming.neardup_stream import (
+        neardup_candidates_stream_ttl,
+    )
+
+    schema = "doc_id long, arrival_ts timestamp, band_id long, band_key long"
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "doc_id long, ts_ms long, band_id long, band_key long").select(
+            "doc_id", F.timestamp_millis("ts_ms").alias("arrival_ts"), "band_id", "band_key"
+        )
+
+    t0 = 1_600_000_000_000
+    hour = 3_600_000
+    # event-time timeout semantics: the watermark only advances at
+    # micro-batch end, and a timed-out group is invoked (and evicted)
+    # in a batch where it receives NO data — so advance the watermark
+    # through a DIFFERENT bucket, give the evictor one data-less batch,
+    # then probe the cold bucket
+    batches = [
+        frame([(1, t0, 0, 7), (2, t0 + 1000, 0, 7)]),        # bucket 7 seeded
+        frame([(100, t0 + 3 * hour, 0, 9)]),                 # watermark jumps
+        frame([(101, t0 + 3 * hour + 1000, 0, 9)]),          # bucket 7 evicted here
+        frame([(3, t0 + 3 * hour + 2000, 0, 7)]),            # cold-bucket probe
+        frame([(4, t0 + 3 * hour + 3000, 0, 7)]),            # restarted bucket
+    ]
+    src = str(tmp_path / "ttl_src")
+    q = None
+    for f in batches:
+        f.coalesce(1).write.mode("append").parquet(src)
+        if q is None:
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                neardup_candidates_stream_ttl(
+                    stream, cap=8, horizon="10 minutes", horizon_ms=600_000
+                )
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName("ttl_out")
+                .start()
+            )
+        q.processAllAvailable()
+    q.stop()
+    pairs = {(r.doc_a, r.doc_b) for r in spark.sql("SELECT * FROM ttl_out").collect()}
+    # batch 1: the in-horizon pair
+    assert (1, 2) in pairs
+    # doc 3 arrived after eviction: NO pair with 1 or 2
+    assert not {(1, 3), (2, 3)} & pairs
+    # doc 4 pairs with the restarted bucket's sole prior (3), not 1/2
+    assert (3, 4) in pairs
+    assert not {(1, 4), (2, 4)} & pairs
+
+
 def test_hot_bucket_state_and_fanout_are_capped(spark, tmp_path):
     # one synthetic hot bucket: 40 docs, same band key
     rows = [(i, i, 0, 12345) for i in range(40)]
