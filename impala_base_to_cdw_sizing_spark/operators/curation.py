@@ -372,6 +372,69 @@ FROM quality, budget
 """
 
 
+def q_select_budget_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of :func:`q_select_budget`: the global ordered
+    cumulative sum decomposes into parallel per-bucket windows plus a
+    carry-in — the same two-phase exact decomposition as the segmented
+    sweep (SCALE.md F2-F3), applied to the curation surface.
+
+    Buckets come from quantizing quality_score to integer micro-units
+    and width-partitioning — O(1) per row, no sampling pass, and ties
+    can never straddle buckets (equal quality ⇒ equal bucket). Token
+    counts are integers, so ``local cumsum + carry`` is bit-equal to
+    the single-window plan; the DuckDB oracle runs the sequential form,
+    making the equivalence oracle-gated, not just property-tested."""
+    n_buckets = 16
+    scored = _spark_quality_frame(spark, sf_dir).withColumn(
+        # quality ∈ [0, 1]; DESC ordering ⇒ bucket 0 is the best band
+        "bucket",
+        (
+            F.lit(n_buckets - 1)
+            - F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    F.floor(F.col("quality_score") * 1_000_000 + 0.5)
+                    / (1_000_000 / n_buckets)
+                ),
+            )
+        ).cast("int"),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = scored.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    totals = (
+        local.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .withColumn(
+            "carry",
+            F.coalesce(
+                F.sum("bucket_tokens").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "carry")
+    )
+    budget = scored.agg(
+        F.floor(F.sum("n_tokens") * _BUDGET_FRAC).cast("long").alias("budget")
+    )
+    return (
+        local.join(F.broadcast(totals), "bucket")
+        .crossJoin(F.broadcast(budget))
+        .selectExpr(
+            "doc_id", "n_tokens", "quality_score",
+            "CAST(local_cum + carry AS BIGINT) AS cum_tokens",
+            "local_cum + carry <= budget AS selected",
+        )
+    )
+
+
 # --- quality strata ---------------------------------------------------------------
 
 _N_STRATA = 10
@@ -414,4 +477,9 @@ def register_all() -> None:
     register_extra("dedup_hybrid", q_dedup_hybrid, _sql_dedup_hybrid())
     register_extra("sample_importance", q_sample_importance, SQL_SAMPLE_IMPORTANCE)
     register_extra("corpus_select_budget", q_select_budget, _sql_select_budget())
+    # the segmented twin shares the sequential oracle: bit-equality of
+    # the two-phase decomposition is oracle-gated, like the sweep's
+    register_extra(
+        "corpus_select_budget_segmented", q_select_budget_segmented, _sql_select_budget()
+    )
     register_extra("corpus_quality_strata", q_quality_strata, _sql_quality_strata())

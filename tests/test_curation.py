@@ -106,6 +106,28 @@ def test_budget_selection_respects_budget_and_greedy_order(spark):
     assert worst_sel >= best_rej or abs(worst_sel - best_rej) < 1e-12
 
 
+def test_segmented_budget_equals_single_window(spark):
+    """The two-phase (bucketed + carry-in) selection must be BIT-equal
+    to the single-ordered-window form — the sweep's exactness argument
+    transplanted to curation, and both share one sequential oracle."""
+    from impala_base_to_cdw_sizing_spark.operators.curation import (
+        q_select_budget_segmented,
+    )
+
+    a = {r.doc_id: r for r in q_select_budget(spark, SF_SMALL).collect()}
+    b = {r.doc_id: r for r in q_select_budget_segmented(spark, SF_SMALL).collect()}
+    assert set(a) == set(b)
+    for d in a:
+        assert (a[d].cum_tokens, a[d].selected) == (b[d].cum_tokens, b[d].selected), d
+    # and the plan is genuinely parallel: the local window partitions by
+    # bucket, no global-ordering window remains on the cumsum path
+    plan = (
+        q_select_budget_segmented(spark, SF_SMALL)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "bucket" in plan
+
+
 def test_quality_strata_partition_the_corpus(spark):
     rows = sorted(q_quality_strata(spark, SF_SMALL).collect(), key=lambda r: r.stratum)
     assert [r.stratum for r in rows] == list(range(1, 11))
