@@ -1,0 +1,135 @@
+"""Event-sequence analytics over ``events`` — funnel conversion and
+retention cohorts, the two workhorse product-analytics queries a
+warehouse engine is expected to answer (and the reference's event
+stream makes natural).
+
+- ``rel_funnel_steps``: ordered view → click → purchase conversion per
+  user. Each stage is the earliest qualifying event STRICTLY after the
+  previous stage's timestamp — the order-sensitive definition (a
+  purchase before your first view does not convert), which is what
+  separates a funnel from three independent existence checks.
+- ``rel_retention_cohorts``: weekly cohort retention — users grouped
+  by first-seen week, counted in each subsequent week they were
+  active. The (cohort, offset, n_users) long form is the standard
+  retention triangle.
+
+Determinism: all timestamps are exact epoch-nanos integers
+(``load_events`` normalization / DuckDB ``epoch_ns``), week ids are
+integer floor-divisions, and stage timestamps are MINs — no floats
+anywhere.
+
+Scale: the funnel is three user-keyed aggregations chained by
+broadcast-joinable per-user scalars (each stage's frame is one row per
+user — far smaller than the event table); retention is two
+aggregations (first-seen, distinct user-week) and one join keyed on
+user_id. No windows, no self-join of the raw event table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.files import load_events
+from .queries_ext import register_extra
+
+_WEEK_NS = 7 * 24 * 3600 * 1_000_000_000
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, view_ns, click_ns, purchase_ns, stage_reached): the
+    strictly-ordered 3-step funnel; later stages are NULL when the
+    funnel stalls, stage_reached counts completed steps."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ns"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("view_ns"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ns"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("click_ns"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ns"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(views, "user_id", "left")
+        .join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .selectExpr(
+            "user_id", "view_ns", "click_ns", "purchase_ns",
+            "CAST((view_ns IS NOT NULL) AS INT) + CAST((click_ns IS NOT NULL) AS INT)"
+            " + CAST((purchase_ns IS NOT NULL) AS INT) AS stage_reached",
+        )
+    )
+
+
+SQL_FUNNEL_STEPS = """
+WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ns FROM events),
+views AS (
+  SELECT user_id, MIN(ns) AS view_ns FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+),
+clicks AS (
+  SELECT e.user_id, MIN(e.ns) AS click_ns
+  FROM ev e JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ns > v.view_ns
+  GROUP BY e.user_id
+),
+purchases AS (
+  SELECT e.user_id, MIN(e.ns) AS purchase_ns
+  FROM ev e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ns > c.click_ns
+  GROUP BY e.user_id
+)
+SELECT u.user_id, v.view_ns, c.click_ns, p.purchase_ns,
+  CAST((v.view_ns IS NOT NULL) AS INT) + CAST((c.click_ns IS NOT NULL) AS INT)
+    + CAST((p.purchase_ns IS NOT NULL) AS INT) AS stage_reached
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN views v ON u.user_id = v.user_id
+LEFT JOIN clicks c ON u.user_id = c.user_id
+LEFT JOIN purchases p ON u.user_id = p.user_id
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_week, week_offset, n_users): of the users first seen in
+    ``cohort_week``, how many were active ``week_offset`` weeks later
+    (offset 0 = the cohort's own size, by construction)."""
+    ev = load_events(spark, sf_dir).selectExpr(
+        "user_id", f"CAST(ts div {_WEEK_NS} AS BIGINT) AS week"
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .selectExpr("cohort_week", "week - cohort_week AS week_offset")
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+SQL_RETENTION_COHORTS = f"""
+WITH ev AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // {_WEEK_NS} AS week FROM events
+),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id)
+SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ev e JOIN first f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+def register_all() -> None:
+    register_extra("rel_funnel_steps", q_funnel_steps, SQL_FUNNEL_STEPS)
+    register_extra("rel_retention_cohorts", q_retention_cohorts, SQL_RETENTION_COHORTS)

@@ -81,13 +81,14 @@ def _load_providers() -> None:
     countmin.register_all()
     profiling.register_all()
 
-    from . import curation, custom_agg, graph_rank, ingest_quality, skew
+    from . import curation, custom_agg, funnels, graph_rank, ingest_quality, skew
 
     skew.register_all()
     custom_agg.register_all()
     ingest_quality.register_all()
     curation.register_all()
     graph_rank.register_all()
+    funnels.register_all()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
