@@ -130,6 +130,56 @@ GROUP BY 1, 2
 """
 
 
+# --- hourly spike detection -------------------------------------------------------
+
+_SPIKE_NUM, _SPIKE_DEN = 3, 2  # spike = count > 1.5x the hourly mean
+
+
+def q_hourly_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(hour_ms, event_type, n, is_spike): hours whose per-type event
+    count exceeds 1.5x that type's hourly mean — the drift/incident
+    flag an ingestion pipeline watches. The threshold comparison is
+    cross-multiplied into pure integers (n * n_hours * DEN > total *
+    NUM), so there is no float mean, no epsilon, and no rounding to
+    diverge on; the mean's denominator counts only OBSERVED hours for
+    that type (gap-fill first — rel_gapfill_hourly — to count silence
+    against the mean instead)."""
+    ev = load_events(spark, sf_dir).selectExpr(
+        "event_type", "(ts div 1000000) div 3600000 * 3600000 AS hour_ms"
+    )
+    hourly = ev.groupBy("event_type", "hour_ms").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    per_type = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_hours")
+    )
+    return (
+        hourly.join(F.broadcast(per_type), "event_type")
+        .selectExpr(
+            "hour_ms", "event_type", "n",
+            f"n * n_hours * {_SPIKE_DEN} > total * {_SPIKE_NUM} AS is_spike",
+        )
+    )
+
+
+SQL_HOURLY_SPIKES = f"""
+WITH hourly AS (
+  SELECT event_type, (epoch_ns(ts) // 1000000) // 3600000 * 3600000 AS hour_ms,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+    CAST(COUNT(*) AS BIGINT) AS n_hours
+  FROM hourly GROUP BY 1
+)
+SELECT h.hour_ms, h.event_type, h.n,
+  h.n * p.n_hours * {_SPIKE_DEN} > p.total * {_SPIKE_NUM} AS is_spike
+FROM hourly h JOIN per_type p ON h.event_type = p.event_type
+"""
+
+
 def register_all() -> None:
     register_extra("rel_funnel_steps", q_funnel_steps, SQL_FUNNEL_STEPS)
     register_extra("rel_retention_cohorts", q_retention_cohorts, SQL_RETENTION_COHORTS)
+    register_extra("rel_hourly_spikes", q_hourly_spikes, SQL_HOURLY_SPIKES)
