@@ -179,7 +179,76 @@ FROM hourly h JOIN per_type p ON h.event_type = p.event_type
 """
 
 
+# --- SCD2 interval reconstruction -------------------------------------------------
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) reconstruction: compress each
+    user's event stream into validity intervals of its ``event_type``
+    attribute — one row per run of consecutive equal values, carrying
+    (valid_from_ns, valid_to_ns, n_events); the open (current) interval
+    has ``valid_to_ns`` NULL. The standard change-data-capture →
+    dimension-history shape: detect changes with LAG, number runs with
+    a cumulative change count, aggregate per run. One user-keyed
+    window + one aggregation — partitions by user, never global."""
+    ev = load_events(spark, sf_dir).selectExpr(
+        "user_id", "event_type AS attr", "ts", "event_id"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn("prev", F.lag("attr").over(w))
+        .withColumn(
+            "chg",
+            (F.col("prev").isNull() | (F.col("attr") != F.col("prev"))).cast("long"),
+        )
+        .withColumn("run_id", F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    per_run = runs.groupBy("user_id", "run_id", "attr").agg(
+        F.min("ts").alias("valid_from_ns"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    return per_run.withColumn(
+        "valid_to_ns", F.lead("valid_from_ns").over(w2)
+    ).select(
+        "user_id", "run_id", "attr", "valid_from_ns", "valid_to_ns", "n_events"
+    )
+
+
+SQL_SCD2_INTERVALS = """
+WITH ev AS (
+  SELECT user_id, event_type AS attr, epoch_ns(ts) AS ns, event_id FROM events
+),
+runs AS (
+  SELECT user_id, attr, ns,
+    SUM(CASE WHEN prev IS NULL OR attr <> prev THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ns, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM (
+    SELECT user_id, attr, ns, event_id,
+      LAG(attr) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS prev
+    FROM ev
+  )
+),
+per_run AS (
+  SELECT user_id, CAST(run_id AS BIGINT) AS run_id, attr,
+    MIN(ns) AS valid_from_ns, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT user_id, run_id, attr, valid_from_ns,
+  LEAD(valid_from_ns) OVER (PARTITION BY user_id ORDER BY run_id)
+    AS valid_to_ns,
+  n_events
+FROM per_run
+"""
+
+
 def register_all() -> None:
+    register_extra("rel_scd2_intervals", q_scd2_intervals, SQL_SCD2_INTERVALS)
     register_extra("rel_funnel_steps", q_funnel_steps, SQL_FUNNEL_STEPS)
     register_extra("rel_retention_cohorts", q_retention_cohorts, SQL_RETENTION_COHORTS)
     register_extra("rel_hourly_spikes", q_hourly_spikes, SQL_HOURLY_SPIKES)

@@ -67,6 +67,36 @@ def test_funnel_strict_order_bites_on_constructed_log(spark, tmp_path):
     assert got[3].purchase_ns is None
 
 
+def test_scd2_intervals_tile_each_user_history(spark):
+    """Intervals must tile: per user, run_ids are 1..N, exactly one open
+    interval (the last), each interval's valid_to equals the next's
+    valid_from, attrs of adjacent runs differ (change-compressed), and
+    n_events sums back to the user's event count."""
+    from impala_base_to_cdw_sizing_spark.operators.funnels import (
+        q_scd2_intervals,
+    )
+
+    rows = q_scd2_intervals(spark, SF_ORACLE).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    ev_counts = {
+        r.user_id: r.n
+        for r in load_events(spark, SF_ORACLE)
+        .groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert set(per_user) == set(ev_counts)
+    for u, ivs in per_user.items():
+        ivs.sort(key=lambda r: r.run_id)
+        assert [r.run_id for r in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(r.n_events for r in ivs) == ev_counts[u]
+        opens = [r for r in ivs if r.valid_to_ns is None]
+        assert opens == [ivs[-1]]
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to_ns == b.valid_from_ns
+            assert a.attr != b.attr  # runs are maximal
+
+
 def test_retention_triangle_consistency(spark):
     rows = q_retention_cohorts(spark, SF_ORACLE).collect()
     assert rows
