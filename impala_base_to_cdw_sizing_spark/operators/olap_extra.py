@@ -596,6 +596,68 @@ JOIN rolled r USING (event_type)
 """
 
 
+# --- NULL semantics ---------------------------------------------------------------
+
+
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling contract over a deterministically nulled column —
+    the fixtures carry no NULLs, so every other query's null paths are
+    structurally dead; this one makes them live. ``o_custkey % 7 == 3``
+    rows get a NULL price via NULLIF, then per order-priority:
+
+    - COUNT(*) vs COUNT(col) (nulls counted vs skipped),
+    - SUM/MIN ignoring NULLs (and their behavior on all-present groups),
+    - COALESCE fallback totals,
+    - null-SAFE equality counts (Spark ``<=>`` ≡ DuckDB
+      ``IS NOT DISTINCT FROM``) against a second nullable column —
+      the operator pair whose agreement is worth proving, since plain
+      ``=`` returns NULL and silently drops rows from a filter."""
+    orders = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority",
+        "CASE WHEN o_custkey % 7 = 3 THEN CAST(NULL AS DOUBLE)"
+        " ELSE o_totalprice END AS price",
+        "CASE WHEN o_custkey % 11 = 3 THEN CAST(NULL AS DOUBLE)"
+        " ELSE o_totalprice END AS price2",
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("price").cast("long").alias("n_present"),
+        dsum(F.col("price")).alias("sum_present"),
+        F.min("price").alias("min_present"),
+        dsum(F.coalesce("price", F.lit(0.0))).alias("sum_coalesced"),
+        F.sum(F.col("price").eqNullSafe(F.col("price2")).cast("long")).alias(
+            "n_nullsafe_eq"
+        ),
+        F.sum((F.col("price") == F.col("price2")).cast("long")).alias(
+            "n_plain_eq"  # NULL comparisons fall out of the sum entirely
+        ),
+    )
+
+
+SQL_NULL_SEMANTICS = f"""
+WITH o AS (
+  SELECT o_orderpriority,
+    CASE WHEN o_custkey % 7 = 3 THEN CAST(NULL AS DOUBLE)
+         ELSE o_totalprice END AS price,
+    CASE WHEN o_custkey % 11 = 3 THEN CAST(NULL AS DOUBLE)
+         ELSE o_totalprice END AS price2
+  FROM orders
+)
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(price) AS BIGINT) AS n_present,
+  {dsum_sql('price')} AS sum_present,
+  MIN(price) AS min_present,
+  {dsum_sql('COALESCE(price, 0.0)')} AS sum_coalesced,
+  CAST(SUM(CASE WHEN price IS NOT DISTINCT FROM price2 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_nullsafe_eq,
+  CAST(SUM(CASE WHEN price = price2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_plain_eq
+FROM o
+GROUP BY o_orderpriority
+"""
+
+
 def register_all() -> None:
     register("rel_correlated_subquery", q_correlated_subquery, SQL_CORRELATED)
     register("rel_exact_percentiles", q_exact_percentiles, SQL_EXACT_PERCENTILES)
@@ -617,4 +679,5 @@ def register_all() -> None:
     )
     register_extra("rel_upsert_snapshot", q_upsert_snapshot, SQL_UPSERT_SNAPSHOT)
     register_extra("rel_hll_rollup", q_hll_rollup, SQL_HLL_ROLLUP)
+    register_extra("rel_null_semantics", q_null_semantics, SQL_NULL_SEMANTICS)
     register_extra("rel_file_provenance", q_file_provenance, _provenance_sql())
