@@ -596,6 +596,67 @@ JOIN rolled r USING (event_type)
 """
 
 
+# --- calendar semantics -----------------------------------------------------------
+
+
+def q_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic where engine conventions genuinely differ,
+    aligned explicitly (UTC session pinned in session.py):
+
+    - ISO day-of-week: Spark ``dayofweek`` is 1=Sunday, DuckDB ``dow``
+      is 0=Sunday — both normalize to ISO 1=Monday..7=Sunday;
+    - ISO week number (both engines implement ISO-8601 here);
+    - month-end clamping: +1 month from Jan 31 must land on the last
+      day of February in BOTH engines (Spark ``add_months``, DuckDB
+      ``date + INTERVAL``);
+    - ``date_trunc`` to month, surfaced as exact epoch millis.
+
+    Aggregated per (year, quarter) so the output is a small stable
+    frame while every order's date flows through the expressions."""
+    orders = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "CAST(o_orderdate AS DATE) AS d",
+    )
+    per_day = orders.selectExpr(
+        "CAST(year(d) AS BIGINT) AS yr",
+        "CAST(quarter(d) AS BIGINT) AS qtr",
+        "((dayofweek(d) + 5) % 7) + 1 AS iso_dow",
+        "weekofyear(d) AS iso_week",
+        "unix_millis(CAST(date_trunc('month', d) AS TIMESTAMP)) AS month_start_ms",
+        "CAST(day(add_months(d, 1)) AS BIGINT) AS day_next_month",
+    )
+    return per_day.groupBy("yr", "qtr").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("iso_dow").alias("sum_iso_dow"),
+        F.sum("iso_week").alias("sum_iso_week"),
+        F.min("month_start_ms").alias("first_month_ms"),
+        F.max("month_start_ms").alias("last_month_ms"),
+        F.sum("day_next_month").alias("sum_day_next_month"),
+    )
+
+
+SQL_CALENDAR_FUNCS = """
+WITH per_day AS (
+  SELECT
+    CAST(year(d) AS BIGINT) AS yr,
+    CAST(quarter(d) AS BIGINT) AS qtr,
+    CAST(isodow(d) AS BIGINT) AS iso_dow,
+    CAST(weekofyear(d) AS BIGINT) AS iso_week,
+    epoch_ms(CAST(date_trunc('month', d) AS TIMESTAMP)) AS month_start_ms,
+    CAST(day(d + INTERVAL 1 MONTH) AS BIGINT) AS day_next_month
+  FROM (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
+)
+SELECT yr, qtr, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(iso_dow) AS BIGINT) AS sum_iso_dow,
+  CAST(SUM(iso_week) AS BIGINT) AS sum_iso_week,
+  MIN(month_start_ms) AS first_month_ms,
+  MAX(month_start_ms) AS last_month_ms,
+  CAST(SUM(day_next_month) AS BIGINT) AS sum_day_next_month
+FROM per_day
+GROUP BY yr, qtr
+"""
+
+
 # --- NULL semantics ---------------------------------------------------------------
 
 
@@ -680,4 +741,5 @@ def register_all() -> None:
     register_extra("rel_upsert_snapshot", q_upsert_snapshot, SQL_UPSERT_SNAPSHOT)
     register_extra("rel_hll_rollup", q_hll_rollup, SQL_HLL_ROLLUP)
     register_extra("rel_null_semantics", q_null_semantics, SQL_NULL_SEMANTICS)
+    register_extra("rel_calendar_funcs", q_calendar_funcs, SQL_CALENDAR_FUNCS)
     register_extra("rel_file_provenance", q_file_provenance, _provenance_sql())
