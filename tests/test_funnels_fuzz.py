@@ -9,7 +9,9 @@ from __future__ import annotations
 import random
 
 from impala_base_to_cdw_sizing_spark.operators.funnels import (
+    _WEEK_NS,
     q_funnel_steps,
+    q_retention_cohorts,
     q_scd2_intervals,
 )
 
@@ -99,6 +101,21 @@ def test_funnel_and_scd2_match_python_reference_on_random_logs(spark, tmp_path):
             for u, v in _ref_funnel(rows).items()
         }
         assert got_f == want_f, f"funnel trial {trial}"
+
+        got_r = {
+            (r.cohort_week, r.week_offset): r.n_users
+            for r in q_retention_cohorts(spark, sf).collect()
+        }
+        weeks = {}
+        for _, ts, uid, _et in rows:
+            weeks.setdefault(uid, set()).add(ts * 1_000_000 // _WEEK_NS)
+        want_r = {}
+        for uid, ws in weeks.items():
+            cohort = min(ws)
+            for w in ws:
+                key = (cohort, w - cohort)
+                want_r[key] = want_r.get(key, 0) + 1
+        assert got_r == want_r, f"retention trial {trial}"
 
         got_s = {}
         for r in q_scd2_intervals(spark, sf).collect():
