@@ -53,6 +53,39 @@ def test_multiprobe_improves_recall_within_2x_candidates(spark):
     assert n_mp <= 2 * n_plain, (n_plain, n_mp)
 
 
+def test_ivf_multiprobe_never_loses_recall(spark):
+    """nprobe=4's candidate set is a superset of nprobe=1's (the home
+    cell is always rank 1), so recall can only rise; on this corpus it
+    must also strictly cover everything single-probe found."""
+    from impala_base_to_cdw_sizing_spark.operators.similarity import (
+        q_ivf_ann,
+        q_ivf_multiprobe,
+    )
+
+    single = {
+        (r.q_id, r.neighbor_id) for r in q_ivf_ann(spark, SF_SMALL).collect()
+    }
+    multi = {
+        (r.q_id, r.neighbor_id)
+        for r in q_ivf_multiprobe(spark, SF_SMALL).collect()
+    }
+    # both return top-3 per query; every neighbor the single-probe
+    # search ranked is at least REACHABLE by multi-probe, so the
+    # multi-probe top-3 is at least as close: any pair multi kept and
+    # single kept must agree, and multi can only swap in closer ones
+    assert len(multi) == len(single)
+    # multi-probe finds everything exact-in-cell found or better: each
+    # single-probe neighbor either survives or was displaced by a
+    # strictly better (higher-cosine) candidate — verify via cosine sums
+    by_q = {}
+    for r in q_ivf_ann(spark, SF_SMALL).collect():
+        by_q.setdefault(r.q_id, 0.0)
+        by_q[r.q_id] += r.cosine
+    for r in q_ivf_multiprobe(spark, SF_SMALL).collect():
+        by_q[r.q_id] -= r.cosine
+    assert all(delta <= 1e-12 for delta in by_q.values()), by_q
+
+
 def test_multiprobe_probes_are_exactly_two_per_band(spark):
     emb = _emb(spark, SF_SMALL)
     probes = _probed_queries_spark(emb)
