@@ -235,11 +235,14 @@ def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w_micro").alias("score_micro"),
         )
     )
+    # the selection rank needs one global ordering (inherent to exact
+    # top-k); the population size does NOT need a second global window —
+    # a broadcast 1-row aggregate supplies it
     w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
-    wn = Window.partitionBy()
+    n_docs = scored.agg(F.count("*").alias("n_docs"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .withColumn("n_docs", F.count("*").over(wn))
+        .crossJoin(F.broadcast(n_docs))
         .selectExpr(
             "doc_id", "n_tokens", "score_micro",
             f"rk <= CAST(ceil({_KEEP_FRAC} * n_docs) AS INT) AS selected",
