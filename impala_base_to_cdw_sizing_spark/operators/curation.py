@@ -58,10 +58,10 @@ _SEM_TAU = 0.3
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cluster, keep): keep=false iff a lower-id vector in the
-    same trained k-means cluster has cosine >= τ — the SemDeDup rule
+    """(vec_id, cluster, is_dup): is_dup=true iff a lower-id vector in
+    the same trained k-means cluster has cosine >= τ — the SemDeDup rule
     (lowest id stands in for the paper's keep-one-per-group choice,
-    deterministic for the oracle)."""
+    deterministic for the oracle). Keep the rows where is_dup is false."""
     emb = _emb_norm(spark, sf_dir)
     assigned = _assign(emb, trained_centroids(emb)).select(
         "vec_id", "cluster", "v", "norm2"
@@ -194,6 +194,39 @@ def _bucket(h: str) -> str:
     return f"(({h}) % {_DSIR_BUCKETS})"
 
 
+# Deterministic cross-engine ln. The JVM's Math.log and DuckDB's libm
+# log are each <=1 ulp but NOT correctly rounded, so they may disagree
+# in the last bit — enough to flip the micro-unit floor when the scaled
+# weight lands within an ulp of an integer boundary (ADVICE r4). The
+# primitives +,-,*,/ and sqrt ARE exactly specified by IEEE 754, so an
+# expression built only from them evaluates BIT-IDENTICALLY in Spark
+# and DuckDB. We therefore compute the log-likelihood-ratio as a single
+# ln of an exact integer ratio, via sqrt range-reduction + atanh series:
+#   ln(x) = 2^K * ln(x^(2^-K));  after K=16 sqrts, y = x^(2^-16) is
+#   within ~2.5e-4 of 1 for |ln x| <= 16, where the 4-term series
+#   2z(1 + z^2/3 + z^4/5 + z^6/7), z = (y-1)/(y+1), is exact to
+#   ~1e-33 relative. Total deviation from true ln is ~1e-10 — four
+#   orders below the 1e-6 micro-unit quantum, and (the point) the SAME
+#   double in both engines. Stage expression texts below are shared
+#   verbatim by the Spark pipeline and the DuckDB CTE.
+_DET_LN_K = 16
+_DET_LN_Y = "sqrt(" * _DET_LN_K + "ratio" + ")" * _DET_LN_K
+_DET_LN_Z = "(y - 1.0) / (y + 1.0)"
+_DET_LN_Z2 = "z * z"
+# w_micro = floor(2^K * series * 1e6 + 0.5); 65536.0 = 2^16 is exact
+_DET_LN_W = (
+    "CAST(floor(65536.0 * (2.0 * z * (1.0 + z2 * (1.0/3.0 + z2 *"
+    " (1.0/5.0 + z2 * (1.0/7.0))))) * 1000000.0 + 0.5) AS BIGINT)"
+)
+# ln((t+1)/(T+B)) - ln((r+1)/(R+B)) == ln( (t+1)(R+B) / ((r+1)(T+B)) ):
+# BIGINT products are exact 64-bit in both engines, the DOUBLE casts and
+# the division are correctly rounded — the ratio is bit-identical.
+_DSIR_RATIO = (
+    f"CAST((coalesce(t, 0) + 1) * (total_r + {_DSIR_BUCKETS}) AS DOUBLE)"
+    f" / CAST((r + 1) * (total_t + {_DSIR_BUCKETS}) AS DOUBLE)"
+)
+
+
 def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc DSIR importance score and top-quarter selection.
 
@@ -202,7 +235,10 @@ def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     versus raw unigram distributions over hashed buckets; a doc's score
     is the sum of its tokens' bucket weights. Each per-token weight is
     quantized to integer micro-units before the sum, so the per-doc
-    reduction is order-independent (raw double sums are not)."""
+    reduction is order-independent (raw double sums are not). The ln is
+    the deterministic sqrt/atanh construction above — bit-identical in
+    Spark and DuckDB, so the micro-unit floor can never flip between
+    engines."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = docs.selectExpr(
         "doc_id", "lang", f"explode({SPARK_TOKENS}) AS token"
@@ -220,12 +256,11 @@ def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = (
         raw.join(tgt, "bucket", "left")
         .crossJoin(F.broadcast(totals))
-        .selectExpr(
-            "bucket",
-            f"CAST(floor((ln((coalesce(t, 0) + 1) / CAST(total_t + {_DSIR_BUCKETS} AS DOUBLE))"
-            f" - ln((r + 1) / CAST(total_r + {_DSIR_BUCKETS} AS DOUBLE))) * {_MICRO} + 0.5)"
-            " AS BIGINT) AS w_micro",
-        )
+        .selectExpr("bucket", f"{_DSIR_RATIO} AS ratio")
+        .selectExpr("bucket", f"{_DET_LN_Y} AS y")
+        .selectExpr("bucket", f"{_DET_LN_Z} AS z")
+        .selectExpr("bucket", "z", f"{_DET_LN_Z2} AS z2")
+        .selectExpr("bucket", f"{_DET_LN_W} AS w_micro")
     )
     scored = (
         toks.join(F.broadcast(weights), "bucket")
@@ -265,11 +300,17 @@ totals AS (
   FROM toks
 ),
 weights AS (
-  SELECT raw.bucket,
-    CAST(floor((ln((COALESCE(t, 0) + 1) / CAST(total_t + {_DSIR_BUCKETS} AS DOUBLE))
-      - ln((r + 1) / CAST(total_r + {_DSIR_BUCKETS} AS DOUBLE))) * {_MICRO} + 0.5)
-      AS BIGINT) AS w_micro
-  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN totals
+  SELECT bucket, {_DET_LN_W} AS w_micro
+  FROM (
+    SELECT bucket, z, {_DET_LN_Z2} AS z2 FROM (
+      SELECT bucket, {_DET_LN_Z} AS z FROM (
+        SELECT bucket, {_DET_LN_Y} AS y FROM (
+          SELECT raw.bucket, {_DSIR_RATIO} AS ratio
+          FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN totals
+        )
+      )
+    )
+  )
 ),
 scored AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,

@@ -31,7 +31,9 @@ every malformed record queryable. Compaction is one narrow
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 from pathlib import Path
 
@@ -47,16 +49,20 @@ from .sampling import _KNUTH, _M32
 _BAD_LONG_MOD, _BAD_DOUBLE_MOD = 3, 7  # doc_id % 11
 
 
+_CLEANUP_REGISTERED = False
+
+
 def _fixture_dir(sf_dir: str, kind: str) -> str:
     # per-process subdir: two sessions running the registry concurrently
     # (bench reps, the compare tool, the driver) must not overwrite each
-    # other's fixture mid-scan
-    base = (
-        Path(tempfile.gettempdir())
-        / "ibs_spark_fixtures"
-        / f"pid{os.getpid()}"
-        / Path(sf_dir).name
-    )
+    # other's fixture mid-scan; the pid dir is removed at interpreter
+    # exit so repeated parity/bench runs don't accumulate tmp copies
+    global _CLEANUP_REGISTERED
+    pid_dir = Path(tempfile.gettempdir()) / "ibs_spark_fixtures" / f"pid{os.getpid()}"
+    if not _CLEANUP_REGISTERED:
+        atexit.register(shutil.rmtree, str(pid_dir), ignore_errors=True)
+        _CLEANUP_REGISTERED = True
+    base = pid_dir / Path(sf_dir).name
     base.mkdir(parents=True, exist_ok=True)
     return str(base / kind)
 
@@ -118,16 +124,25 @@ def q_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.unionByName(reasons)
 
 
+# The clean row is always emitted (a 0 count is a finding); the
+# per-class quarantine rows are emitted only for classes that actually
+# occurred, matching the Spark side's groupBy over real quarantined rows
+# (a fixture whose doc_id range misses a modulus class must not make the
+# oracle emit a phantom zero-count row the Spark frame cannot have).
 SQL_INGEST_QUARANTINE = f"""
 SELECT 'clean' AS status, CAST(NULL AS VARCHAR) AS reason,
   CAST(COUNT(*) AS BIGINT) AS n
 FROM documents WHERE doc_id % 11 NOT IN ({_BAD_LONG_MOD}, {_BAD_DOUBLE_MOD})
 UNION ALL
-SELECT 'quarantined', 'bad_long', CAST(COUNT(*) AS BIGINT)
-FROM documents WHERE doc_id % 11 = {_BAD_LONG_MOD}
+SELECT 'quarantined', 'bad_long', n FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents WHERE doc_id % 11 = {_BAD_LONG_MOD}
+) WHERE n > 0
 UNION ALL
-SELECT 'quarantined', 'bad_double', CAST(COUNT(*) AS BIGINT)
-FROM documents WHERE doc_id % 11 = {_BAD_DOUBLE_MOD}
+SELECT 'quarantined', 'bad_double', n FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents WHERE doc_id % 11 = {_BAD_DOUBLE_MOD}
+) WHERE n > 0
 """
 
 

@@ -713,7 +713,7 @@ SELECT q_id, cell_id, rank, c_id AS neighbor_id, cosine FROM (
 """
 
 
-# --- IVF multi-probe (nprobe = 2) -------------------------------------------------
+# --- IVF multi-probe (nprobe = _NPROBE) -------------------------------------------------
 
 _NPROBE = 4
 
