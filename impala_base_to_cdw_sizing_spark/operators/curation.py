@@ -10,7 +10,9 @@ training set once cleaning/dedup has run:
   vector whose cosine to a LOWER-id vector in the SAME cluster exceeds
   τ. Pairwise comparison happens within clusters only — the paper's
   point: O(Σ|cluster|²) ≪ O(n²), and each cluster's pairs are an
-  independent parallel task.
+  independent parallel task. The cell count scales with the corpus
+  (k = ⌈√n⌉) and a per-cell anchor cap hard-bounds the pair count at
+  CAP·n even when a pathological cell swallows the corpus.
 - ``sample_importance``: DSIR-shaped importance resampling (Xie et al.
   2023, "Data Selection for Language Models via Importance Resampling",
   arXiv:2302.03169 — public): estimate target (here: lang='en' docs)
@@ -56,25 +58,58 @@ from .text import DUCK_TOKENS, SPARK_TOKENS, duck_charfold, spark_charfold
 # use 0.95+ per the paper)
 _SEM_TAU = 0.3
 
+# Two bounds keep the within-cell pairing from going quadratic (the r4
+# verdict's one scale-killer):
+# 1. the quantizer's cell count scales with the corpus — k = ceil(sqrt(n))
+#    (the paper's regime is k in the 1e4..1e5 range for web-scale n;
+#    sqrt keeps expected cell size ~sqrt(n), so total pair work is
+#    ~n^1.5/2 instead of n^2), and
+# 2. a HARD per-cell anchor cap: each vector is compared only against
+#    the _SEM_CELL_CAP lowest-id members of its cell — the same bucket
+#    cap the LSH candidate side uses (similarity._BUCKET_CAP). For the
+#    first CAP members of a cell the rule is exact; beyond that, a
+#    pathological cell (boilerplate crawl collapsing into one cluster)
+#    degrades to bounded recall instead of melting an executor:
+#    candidate pairs <= CAP * |cell| per cell, linear in n.
+# The oracle mirrors both bounds exactly, so parity is unconditional.
+_SEM_CELL_CAP = 128
 
-def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cluster, is_dup): is_dup=true iff a lower-id vector in
-    the same trained k-means cluster has cosine >= τ — the SemDeDup rule
-    (lowest id stands in for the paper's keep-one-per-group choice,
-    deterministic for the oracle). Keep the rows where is_dup is false."""
+
+def _sem_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector assigned to its trained sqrt(n)-cell quantizer cell."""
     emb = _emb_norm(spark, sf_dir)
-    assigned = _assign(emb, trained_centroids(emb)).select(
+    k_frame = emb.agg(F.ceil(F.sqrt(F.count("*"))).cast("long").alias("k"))
+    return _assign(emb, trained_centroids(emb, k_frame=k_frame)).select(
         "vec_id", "cluster", "v", "norm2"
     )
-    a = assigned.selectExpr(
-        "cluster", "vec_id AS a_id", "v AS av", "norm2 AS a_norm2"
+
+
+def _sem_candidate_pairs(assigned: DataFrame) -> DataFrame:
+    """Capped anchor×member candidate pairs: (cluster, a_id < b_id, the
+    vectors) where a is one of the cell's ``_SEM_CELL_CAP`` lowest-id
+    members. At most CAP·|cell| pairs per cell — the hard bound."""
+    w = Window.partitionBy("cluster").orderBy("vec_id")
+    anchors = (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SEM_CELL_CAP)
+        .selectExpr("cluster", "vec_id AS a_id", "v AS av", "norm2 AS a_norm2")
     )
     b = assigned.selectExpr(
         "cluster", "vec_id AS b_id", "v AS bv", "norm2 AS b_norm2"
     )
+    return anchors.join(b, "cluster").filter(F.col("a_id") < F.col("b_id"))
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster, is_dup): is_dup=true iff one of the
+    ``_SEM_CELL_CAP`` lowest-id vectors in the same trained k-means cell
+    has a lower id and cosine >= τ — the SemDeDup rule with the per-cell
+    anchor cap (lowest id stands in for the paper's keep-one-per-group
+    choice, deterministic for the oracle). Keep the rows where is_dup
+    is false."""
+    assigned = _sem_assigned(spark, sf_dir)
     dup_ids = (
-        a.join(b, "cluster")
-        .filter(F.col("a_id") < F.col("b_id"))
+        _sem_candidate_pairs(assigned)
         .withColumn(
             "cosine",
             F.expr(SPARK_DOT.format(a="av", b="bv"))
@@ -90,13 +125,23 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SEM_ANCHORS = f"""
+anchors AS (
+  SELECT cluster, vec_id, v, norm2 FROM (
+    SELECT cluster, vec_id, v, norm2,
+      ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn
+    FROM final
+  ) WHERE rn <= {_SEM_CELL_CAP}
+)"""
+
+
 def _sql_dedup_semantic() -> str:
-    parts, _prev = _cte_chain()  # ends in final(vec_id, norm2, v, cluster)
+    parts, _prev = _cte_chain(dynamic_k=True)  # ends in final(vec_id, norm2, v, cluster)
     return (
-        "WITH " + ",\n".join(parts) + f""",
+        "WITH " + ",\n".join(parts + [_SQL_SEM_ANCHORS.strip()]) + f""",
 dups AS (
   SELECT DISTINCT b.vec_id
-  FROM final a JOIN final b
+  FROM anchors a JOIN final b
     ON a.cluster = b.cluster AND a.vec_id < b.vec_id
   WHERE {DUCK_DOT.format(a='a.v', b='b.v')} / sqrt(a.norm2 * b.norm2)
     >= CAST({_SEM_TAU} AS DOUBLE)
@@ -129,22 +174,15 @@ def q_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b")
     )
-    emb = _emb_norm(spark, sf_dir)
-    assigned = _assign(emb, trained_centroids(emb)).select(
-        "vec_id", "cluster", "v", "norm2"
-    )
-    a = assigned.selectExpr("cluster", "vec_id AS doc_a", "v AS av", "norm2 AS na")
-    b = assigned.selectExpr("cluster", "vec_id AS doc_b", "v AS bv", "norm2 AS nb")
     sem = (
-        a.join(b, "cluster")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _sem_candidate_pairs(_sem_assigned(spark, sf_dir))
         .withColumn(
             "cosine",
             F.expr(SPARK_DOT.format(a="av", b="bv"))
-            / F.sqrt(F.col("na") * F.col("nb")),
+            / F.sqrt(F.col("a_norm2") * F.col("b_norm2")),
         )
         .filter(F.col("cosine") >= _SEM_TAU)
-        .select("doc_a", "doc_b")
+        .selectExpr("a_id AS doc_a", "b_id AS doc_b")
     )
     pairs = lex.union(sem)
     edges = pairs.union(
@@ -157,14 +195,14 @@ def q_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_dedup_hybrid() -> str:
     from .text import _minhash_sql
 
-    parts, _prev = _cte_chain()  # kmeans chain ending in final(...)
+    parts, _prev = _cte_chain(dynamic_k=True)  # kmeans chain ending in final(...)
     return (
-        "WITH RECURSIVE " + ",\n".join(parts) + f""",
+        "WITH RECURSIVE " + ",\n".join(parts + [_SQL_SEM_ANCHORS.strip()]) + f""",
 mh AS ({_minhash_sql().strip()}),
 lex AS (SELECT doc_a, doc_b FROM mh WHERE est_jaccard >= 0.5),
 sem AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-  FROM final a JOIN final b
+  FROM anchors a JOIN final b
     ON a.cluster = b.cluster AND a.vec_id < b.vec_id
   WHERE {DUCK_DOT.format(a='a.v', b='b.v')} / sqrt(a.norm2 * b.norm2)
     >= CAST({_SEM_TAU} AS DOUBLE)

@@ -81,13 +81,25 @@ def _recompute(assigned: DataFrame) -> DataFrame:
     )
 
 
-def trained_centroids(emb: DataFrame) -> DataFrame:
+def trained_centroids(emb: DataFrame, k_frame: DataFrame | None = None) -> DataFrame:
     """Centroids after ``N_ITERS`` unrolled Lloyd iterations from the
     deterministic first-``K`` init — the trained coarse quantizer the IVF
-    search consumes."""
-    centroids = emb.filter(F.col("vec_id") < K).selectExpr(
-        "vec_id AS cluster", "v AS cv"
-    )
+    search consumes.
+
+    ``k_frame``: optional 1-row ``(k BIGINT)`` frame supplying a
+    data-dependent cell count (SemDeDup scales k with corpus size;
+    ceil(sqrt(n)) keeps expected cell size ~sqrt(n)). Supplied as a
+    broadcast scalar so the init filter stays declarative — no driver
+    action."""
+    if k_frame is None:
+        init = emb.filter(F.col("vec_id") < K)
+    else:
+        init = (
+            emb.crossJoin(F.broadcast(k_frame))
+            .filter(F.col("vec_id") < F.col("k"))
+            .drop("k")
+        )
+    centroids = init.selectExpr("vec_id AS cluster", "v AS cv")
     for _ in range(N_ITERS):
         centroids = _recompute(_assign(emb, centroids))
     return centroids
@@ -139,14 +151,28 @@ cent{i} AS (
 )"""
 
 
-def _cte_chain() -> tuple[list[str], str]:
+def _cte_chain(dynamic_k: bool = False) -> tuple[list[str], str]:
     """The shared unrolled-Lloyd CTE chain ending in ``final`` (every
-    vector assigned to its trained cluster); returns (parts, last_cent)."""
+    vector assigned to its trained cluster); returns (parts, last_cent).
+
+    ``dynamic_k``: use k = ceil(sqrt(n)) cells instead of the fixed
+    ``K`` — the oracle twin of :func:`trained_centroids`'s ``k_frame``
+    path (ceil/sqrt/COUNT are exactly specified, so both engines derive
+    the same k)."""
     parts = [
         f"emb AS ({DUCK_EMB})",
         f"normed AS (SELECT vec_id, v, {DUCK_DOT.format(a='v', b='v')} AS norm2 FROM emb)",
-        f"cent0 AS (SELECT vec_id AS cluster, v AS cv FROM normed WHERE vec_id < {K})",
     ]
+    if dynamic_k:
+        parts.append(
+            "kdyn AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM normed)"
+        )
+        k_sql = "(SELECT k FROM kdyn)"
+    else:
+        k_sql = str(K)
+    parts.append(
+        f"cent0 AS (SELECT vec_id AS cluster, v AS cv FROM normed WHERE vec_id < {k_sql})"
+    )
     prev = "cent0"
     for i in range(1, N_ITERS + 1):
         parts.append(_iteration_sql(prev, i).strip())
