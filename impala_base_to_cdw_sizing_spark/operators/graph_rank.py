@@ -15,11 +15,12 @@ dependence:
 - ``r' = (15 * 10^9) div (100 * N) + Σ contributions`` — a bigint sum,
   order-independent.
 
-Isolated docs hold the teleport base rank (their damped mass leaks —
-the standard simplification when the consumer wants a centrality
-ORDERING, documented here rather than hidden; conservation needs a
-dangling-mass redistribution term that adds one global agg per
-iteration). Fixed-horizon iterations are the intended shape: curation
+Two variants: ``graph_pagerank`` (the fast path — isolated docs hold
+the teleport base rank and their damped mass leaks, fine when the
+consumer wants a centrality ORDERING) and ``graph_pagerank_conserving``
+(adds the dangling-mass redistribution term, one broadcast 1-row agg
+per round, rank sum EXACTLY 10⁹ nano-units after every round with a
+pinned remainder policy). Fixed-horizon iterations are the intended shape: curation
 wants a stable score, not a fixpoint certificate — 3 damped rounds
 already separate hubs from leaves on near-dup graphs, and the oracle
 replays the identical unrolled chain (pattern: ``kmeans_clusters``).
@@ -88,7 +89,77 @@ def pagerank_ranks(
             )
         )
     out = nodes.join(ranks, "doc_id").select("doc_id", "rank_nano", "outdeg")
+    # materialize before releasing the cached inputs the plan references
+    # (the dedup_components pattern): a long-lived session running the
+    # full registry must not accumulate per-query storage memory
+    out = out.localCheckpoint(eager=True)
     edges.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def pagerank_ranks_conserving(
+    edges: DataFrame, docs: DataFrame, n_iters: int = _N_ITERS
+) -> DataFrame:
+    """Mass-conserving twin of :func:`pagerank_ranks`: the rank sum is
+    EXACTLY 10⁹ nano-units after every round. Per round, the leaked
+    mass L = 10⁹ − Σ(base + in_sum) — dangling-node damped mass plus
+    every truncating-division remainder — is measured with one global
+    1-row aggregate and redistributed uniformly (``L div N`` to every
+    node); the final sub-N remainder (``L mod N`` < N nano-units, i.e.
+    < N/10⁹ of total mass) is parked on the lowest doc_id. That
+    remainder policy is pinned — deterministic, integer-exact, and
+    mirrored by the oracle — rather than hidden in float round-off.
+    The init is conserving too (10⁹ div N each, remainder to the lowest
+    id). Cost over the leaky variant: one broadcast 1-row agg per round."""
+    edges = edges.cache()
+    outdeg = edges.groupBy("doc_a").agg(F.count("*").alias("outdeg"))
+    nodes = docs.join(
+        outdeg, docs.doc_id == outdeg.doc_a, "left"
+    ).select(
+        "doc_id", F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg")
+    ).cache()
+    n_docs = nodes.count()
+    if n_docs == 0:
+        return nodes.selectExpr(
+            "doc_id", "CAST(0 AS BIGINT) AS rank_nano", "outdeg"
+        )
+    base = (15 * _NANO) // (_DAMP_DEN * n_docs)
+    min_doc = F.broadcast(nodes.agg(F.min("doc_id").alias("min_doc")))
+
+    ranks = nodes.crossJoin(min_doc).selectExpr(
+        "doc_id",
+        f"CAST({_NANO // n_docs} + CASE WHEN doc_id = min_doc"
+        f" THEN {_NANO % n_docs} ELSE 0 END AS BIGINT) AS rank_nano",
+    )
+    for _ in range(n_iters):
+        contrib = (
+            edges.join(ranks, edges.doc_a == ranks.doc_id)
+            .join(nodes.select(F.col("doc_id").alias("src"), "outdeg"),
+                  edges.doc_a == F.col("src"))
+            .selectExpr(
+                "doc_b AS doc_id",
+                f"({_DAMP_NUM} * rank_nano) div ({_DAMP_DEN} * outdeg) AS c",
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        pre = nodes.join(contrib, "doc_id", "left").selectExpr(
+            "doc_id",
+            f"CAST({base} + coalesce(in_sum, 0) AS BIGINT) AS pre",
+        )
+        leak = F.broadcast(
+            pre.agg((F.lit(_NANO) - F.sum("pre")).cast("long").alias("leak"))
+        )
+        ranks = pre.crossJoin(leak).crossJoin(min_doc).selectExpr(
+            "doc_id",
+            f"CAST(pre + leak div {n_docs} + CASE WHEN doc_id = min_doc"
+            f" THEN leak % {n_docs} ELSE 0 END AS BIGINT) AS rank_nano",
+        )
+    out = nodes.join(ranks, "doc_id").select("doc_id", "rank_nano", "outdeg")
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    nodes.unpersist()
     return out
 
 
@@ -105,35 +176,43 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_ranks(edges, docs)
 
 
-def _sql_graph_pagerank() -> str:
+def q_graph_pagerank_conserving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        q_dedup_minhash(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return pagerank_ranks_conserving(edges, docs)
+
+
+def _sql_head() -> str:
     pairs_sql = _minhash_sql().strip()
-    head = f"""
-WITH allpairs AS ({pairs_sql}),
-pairs AS (SELECT doc_a, doc_b FROM allpairs WHERE est_jaccard >= 0.5),
-edges AS (SELECT doc_a, doc_b FROM pairs
+    return f"""
+WITH allpairs AS MATERIALIZED ({pairs_sql}),
+pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM allpairs WHERE est_jaccard >= 0.5),
+edges AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs
  UNION ALL SELECT doc_b, doc_a FROM pairs),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT d.doc_id, CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS outdeg
   FROM documents d LEFT JOIN (
     SELECT doc_a, COUNT(*) AS outdeg FROM edges GROUP BY 1
   ) o ON d.doc_id = o.doc_a
 ),
-consts AS (
-  SELECT COUNT(*) AS n,
+consts AS MATERIALIZED (
+  SELECT COUNT(*) AS n, MIN(doc_id) AS min_doc,
     CAST({_NANO} AS BIGINT) // COUNT(*) AS r0,
+    CAST({_NANO} AS BIGINT) % COUNT(*) AS r0_rem,
     CAST({15 * _NANO} AS BIGINT) // ({_DAMP_DEN} * COUNT(*)) AS base
   FROM nodes
-),
-rank0 AS (SELECT doc_id, (SELECT r0 FROM consts) AS rank_nano FROM nodes)"""
-    its = []
-    prev = "rank0"
-    for i in range(1, _N_ITERS + 1):
-        its.append(f"""
-rank{i} AS (
-  SELECT n.doc_id,
-    CAST((SELECT base FROM consts) + COALESCE(s.in_sum, 0) AS BIGINT)
-      AS rank_nano
-  FROM nodes n LEFT JOIN (
+)"""
+
+
+def _sql_contrib(prev: str) -> str:
+    return f"""(
     SELECT e.doc_b AS doc_id,
       CAST(SUM(({_DAMP_NUM} * r.rank_nano) // ({_DAMP_DEN} * src.outdeg))
         AS BIGINT) AS in_sum
@@ -141,7 +220,62 @@ rank{i} AS (
     JOIN {prev} r ON e.doc_a = r.doc_id
     JOIN nodes src ON e.doc_a = src.doc_id
     GROUP BY 1
-  ) s ON n.doc_id = s.doc_id
+  )"""
+
+
+def _sql_graph_pagerank() -> str:
+    head = (
+        _sql_head()
+        + ",\nrank0 AS MATERIALIZED (SELECT doc_id, (SELECT r0 FROM consts) AS rank_nano FROM nodes)"
+    )
+    its = []
+    prev = "rank0"
+    for i in range(1, _N_ITERS + 1):
+        its.append(f"""
+rank{i} AS MATERIALIZED (
+  SELECT n.doc_id,
+    CAST((SELECT base FROM consts) + COALESCE(s.in_sum, 0) AS BIGINT)
+      AS rank_nano
+  FROM nodes n LEFT JOIN {_sql_contrib(prev)} s ON n.doc_id = s.doc_id
+)""")
+        prev = f"rank{i}"
+    return (
+        head + "," + ",".join(its)
+        + f"""
+SELECT n.doc_id, r.rank_nano, n.outdeg
+FROM nodes n JOIN {prev} r ON n.doc_id = r.doc_id
+"""
+    )
+
+
+def _sql_graph_pagerank_conserving() -> str:
+    head = (
+        _sql_head()
+        + """,
+rank0 AS MATERIALIZED (
+  SELECT doc_id, CAST((SELECT r0 FROM consts)
+    + CASE WHEN doc_id = (SELECT min_doc FROM consts)
+      THEN (SELECT r0_rem FROM consts) ELSE 0 END AS BIGINT) AS rank_nano
+  FROM nodes
+)"""
+    )
+    its = []
+    prev = "rank0"
+    for i in range(1, _N_ITERS + 1):
+        its.append(f"""
+pre{i} AS MATERIALIZED (
+  SELECT n.doc_id,
+    CAST((SELECT base FROM consts) + COALESCE(s.in_sum, 0) AS BIGINT) AS pre
+  FROM nodes n LEFT JOIN {_sql_contrib(prev)} s ON n.doc_id = s.doc_id
+),
+leak{i} AS (SELECT CAST({_NANO} - SUM(pre) AS BIGINT) AS leak FROM pre{i}),
+rank{i} AS MATERIALIZED (
+  SELECT doc_id, CAST(pre
+    + (SELECT leak FROM leak{i}) // (SELECT n FROM consts)
+    + CASE WHEN doc_id = (SELECT min_doc FROM consts)
+      THEN (SELECT leak FROM leak{i}) % (SELECT n FROM consts) ELSE 0 END
+    AS BIGINT) AS rank_nano
+  FROM pre{i}
 )""")
         prev = f"rank{i}"
     return (
@@ -155,3 +289,8 @@ FROM nodes n JOIN {prev} r ON n.doc_id = r.doc_id
 
 def register_all() -> None:
     register_extra("graph_pagerank", q_graph_pagerank, _sql_graph_pagerank())
+    register_extra(
+        "graph_pagerank_conserving",
+        q_graph_pagerank_conserving,
+        _sql_graph_pagerank_conserving(),
+    )

@@ -59,3 +59,57 @@ def test_pagerank_hub_outranks_leaves_on_star(spark):
     assert all(hub.rank_nano > 2 * l.rank_nano for l in leaves)
     # leaves are symmetric: identical integer ranks, no float fuzz
     assert len({l.rank_nano for l in leaves}) == 1
+
+
+def test_pagerank_conserving_sums_to_unit_every_round(spark):
+    """The conserving twin's defining invariant: rank mass is EXACTLY
+    10^9 nano-units after every round — init, 1, 2, and 3 iterations —
+    on a graph with dangling nodes (where the leaky variant sheds ~85%
+    of the dangling share per round)."""
+    from impala_base_to_cdw_sizing_spark.operators.graph_rank import (
+        pagerank_ranks_conserving,
+    )
+
+    # 2-clique {0,1} plus dangling docs 2..6 (no out-edges at all)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    for iters in (0, 1, 2, 3):
+        rows = pagerank_ranks_conserving(edges, docs, n_iters=iters).collect()
+        total = sum(r.rank_nano for r in rows)
+        assert total == 10**9, f"iters={iters}: sum {total}"
+    # and the leaky variant on the same graph really does leak
+    from impala_base_to_cdw_sizing_spark.operators.graph_rank import (
+        pagerank_ranks,
+    )
+
+    leaky_total = sum(
+        r.rank_nano for r in pagerank_ranks(edges, docs, n_iters=3).collect()
+    )
+    assert leaky_total < 10**9
+
+
+def test_pagerank_conserving_preserves_ordering(spark):
+    """Uniform redistribution is ordering-neutral away from the pinned
+    remainder node: the conserving ranks must order the star hub above
+    its leaves exactly like the leaky variant."""
+    from impala_base_to_cdw_sizing_spark.operators.graph_rank import (
+        pagerank_ranks_conserving,
+    )
+
+    n_leaves = 12
+    pairs = [(0, i) for i in range(1, n_leaves + 1)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in range(n_leaves + 1)], "doc_id long"
+    )
+    got = {r.doc_id: r for r in pagerank_ranks_conserving(edges, docs).collect()}
+    assert sum(r.rank_nano for r in got.values()) == 10**9
+    hub, leaves = got[0], [got[i] for i in range(1, n_leaves + 1)]
+    assert all(hub.rank_nano > 2 * l.rank_nano for l in leaves)
+    # leaves 2..n are untouched by the min-doc remainder policy and stay
+    # exact integer ties
+    assert len({l.rank_nano for l in leaves[1:]}) == 1
