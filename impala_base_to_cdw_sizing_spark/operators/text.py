@@ -271,6 +271,148 @@ LIMIT 20
 """
 
 
+# --- BPE: iterative pair merges ---------------------------------------------------
+#
+# The actual BPE training loop (Sennrich et al. 2016, arXiv:1508.07909
+# — public), not just the pre-tokenization head: count adjacent symbol
+# pairs weighted by piece frequency, merge the argmax pair (ties break
+# lexically on (l, r)), repeat. The classic trainer trick keeps this
+# scale-free: rounds operate on the DISTINCT piece vocabulary with
+# counts — corpus size only affects the initial groupBy; each merge
+# round touches |vocab| rows regardless of corpus bytes.
+#
+# Greedy left-to-right non-overlapping merge semantics ("aaaa" with
+# pair (a,a) → [aa, aa], not [aa, a, a]) are expressed two ways that
+# are provably equivalent:
+# - Spark: an `aggregate` fold over the symbol array (append, or fuse
+#   with the last element when it equals l and the current equals r;
+#   the fused element l||r can never re-fuse because l||r != l);
+# - DuckDB: gaps-and-islands — a candidate match-start at position i is
+#   ACTIVE iff its offset within its run of consecutive candidate
+#   starts is even (a merge consumes i+1, invalidating the next start).
+# The pure-Python reference in tests/test_bpe_merges.py differential-
+# tests both against the textbook loop.
+
+_N_MERGES = 3
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_N_MERGES`` unrolled BPE merge rounds over the piece vocabulary:
+    (round, lhs, rhs, merged, pair_n) — the trained merge table, the
+    artifact a BPE trainer actually emits."""
+    words = (
+        _docs(spark, sf_dir)
+        .selectExpr(f"explode(regexp_extract_all(text, '{_BPE_RE}', 0)) AS piece")
+        .groupBy("piece")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .selectExpr("piece", "cnt", "regexp_extract_all(piece, '.', 0) AS syms")
+    )
+    rounds = []
+    for i in range(1, _N_MERGES + 1):
+        pairs = (
+            words.filter(F.expr("size(syms) >= 2"))
+            .selectExpr(
+                "cnt",
+                "explode(transform(sequence(0, size(syms) - 2), j ->"
+                " struct(element_at(syms, j + 1) AS l,"
+                " element_at(syms, j + 2) AS r))) AS p",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").cast("long").alias("pair_n"))
+        )
+        best = (
+            pairs.orderBy(F.col("pair_n").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .selectExpr("l", "r", "concat(l, r) AS m", "pair_n")
+            # 1-row materialization per round: keeps the next round's
+            # plan from embedding this round's argmax pipeline twice
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(
+            best.selectExpr(
+                f"CAST({i} AS BIGINT) AS round",
+                "l AS lhs", "r AS rhs", "m AS merged", "pair_n",
+            )
+        )
+        words = words.crossJoin(F.broadcast(best)).selectExpr(
+            "piece", "cnt",
+            "aggregate(syms, CAST(array() AS array<string>), (acc, s) ->"
+            " CASE WHEN size(acc) > 0 AND element_at(acc, -1) = l AND s = r"
+            " THEN concat(slice(acc, 1, size(acc) - 1), array(m))"
+            " ELSE concat(acc, array(s)) END) AS syms",
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _bpe_merge_round_sql(i: int) -> str:
+    """One unrolled BPE round: pair counts → argmax → gaps-and-islands
+    greedy merge, all over ``w{i-1}`` → ``w{i}``."""
+    return f"""
+p{i} AS MATERIALIZED (
+  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pair_n FROM (
+    SELECT syms[j] AS l, syms[j + 1] AS r, cnt
+    FROM (SELECT syms, cnt, unnest(generate_series(1, len(syms) - 1)) AS j
+          FROM w{i - 1} WHERE len(syms) >= 2)
+  ) GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (
+  SELECT l, r, l || r AS m, pair_n FROM p{i}
+  ORDER BY pair_n DESC, l ASC, r ASC LIMIT 1
+),
+e{i} AS MATERIALIZED (
+  SELECT piece, cnt, j AS pos, syms[j] AS sym,
+    (j < len(syms) AND syms[j] = (SELECT l FROM b{i})
+      AND syms[j + 1] = (SELECT r FROM b{i})) AS cand
+  FROM (SELECT piece, cnt, syms, unnest(generate_series(1, len(syms))) AS j
+        FROM w{i - 1})
+),
+a{i} AS MATERIALIZED (
+  SELECT piece, cnt, pos, sym,
+    cand AND (pos - MIN(pos) OVER (PARTITION BY piece, grp)) % 2 = 0 AS active
+  FROM (
+    SELECT *, CASE WHEN cand THEN pos - ROW_NUMBER() OVER (
+      PARTITION BY piece, cand ORDER BY pos) END AS grp
+    FROM e{i}
+  )
+),
+w{i} AS MATERIALIZED (
+  SELECT piece, cnt,
+    list(CASE WHEN active THEN sym || (SELECT r FROM b{i}) ELSE sym END
+         ORDER BY pos) AS syms
+  FROM (
+    SELECT *, COALESCE(LAG(active) OVER (PARTITION BY piece ORDER BY pos),
+      FALSE) AS dropped
+    FROM a{i}
+  )
+  WHERE NOT dropped
+  GROUP BY piece, cnt
+)"""
+
+
+def _sql_bpe_merges() -> str:
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT piece, cnt, regexp_extract_all(piece, '.') AS syms
+  FROM (
+    SELECT piece, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(text, '{_BPE_RE}')) AS piece
+          FROM documents)
+    GROUP BY piece
+  )
+)"""
+    ]
+    parts += [_bpe_merge_round_sql(i).strip() for i in range(1, _N_MERGES + 1)]
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS round, l AS lhs, r AS rhs, m AS merged,"
+        f" pair_n FROM b{i}"
+        for i in range(1, _N_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
 # --- fingerprinting -----------------------------------------------------------------
 
 
@@ -1587,6 +1729,7 @@ def register_all() -> None:
     register_extra("text_langid", q_text_langid, _langid_sql())
     register_extra("text_token_count", q_token_count, SQL_TOKEN_COUNT)
     register_extra("text_bpe_vocab", q_bpe_vocab, SQL_BPE_VOCAB)
+    register_extra("text_bpe_merges", q_bpe_merges, _sql_bpe_merges())
     register_extra("text_fingerprint", q_fingerprint, SQL_FINGERPRINT)
     register_extra("dedup_minhash_accuracy", q_minhash_accuracy, _minhash_accuracy_sql())
     register_extra(
