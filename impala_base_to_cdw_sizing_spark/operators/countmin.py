@@ -71,8 +71,12 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(f"{SPARK_TOKENS} AS tokens")
         .selectExpr(f"explode({SPARK_SHINGLES}) AS token")
         .withColumn("h", F.expr(spark_charfold("token")))
-    ).cache()  # read twice (sketch build + exact candidates): without
-    # the cache each pass re-explodes and re-hashes every shingle
+    ).localCheckpoint(eager=True)  # read twice (sketch build + exact
+    # candidates): without materialization each pass re-explodes and
+    # re-hashes every shingle. localCheckpoint, not cache(): the blocks
+    # are released when the query's frames are garbage-collected, so a
+    # long-lived session running the whole registry stays flat without
+    # a manual unpersist it has no hook to call.
     sketch = (
         toks.selectExpr(f"explode({_cells('h', 'spark')}) AS cell")
         .groupBy("cell.row_id", "cell.col_id")

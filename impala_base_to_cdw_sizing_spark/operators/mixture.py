@@ -66,16 +66,18 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc keep decision is ``knuth(doc_id) < floor(rate * 2^32)`` —
     integer compare against a per-source threshold, so the realized
     counts pin the whole per-doc selection, not just the rates."""
-    # cached: the tokenized frame is read twice (rate derivation, then
-    # the conditional-keep aggregation) — without the cache each pass
+    # materialized: the tokenized frame is read twice (rate derivation,
+    # then the conditional-keep aggregation) — without it each pass
     # re-tokenizes the whole corpus (measured 5 scans / 10 exchanges
     # before; 3 scans / 6 exchanges after — the remaining pair is the
-    # rate-derivation aggregates)
+    # rate-derivation aggregates). localCheckpoint, not cache(): blocks
+    # release on GC, so a registry-long session stays flat with no
+    # manual unpersist.
     docs = _docs(spark, sf_dir).selectExpr(
         "doc_id", "source",
         f"CAST(size({SPARK_TOKENS}) AS BIGINT) AS n_tokens",
         f"(doc_id * {_KNUTH}) % {_M32} AS shuffle_key",
-    ).cache()
+    ).localCheckpoint(eager=True)
     avail = docs.groupBy("source").agg(
         F.sum("n_tokens").alias("avail_tokens")
     )

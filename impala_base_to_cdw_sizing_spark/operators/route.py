@@ -74,6 +74,9 @@ def route(df: DataFrame, params: SizingParams, derive_fn) -> RoutedPlan:
     ``operators.derive.derive`` (injected to avoid an import cycle)."""
     filtered = accepted_filter(df, params)
     with_metrics, skipped = skip_split(filtered)
+    # cached for the kept/pruned fan-out + downstream aggregates;
+    # lifetime: the EP2 pipeline run — released by the caller's
+    # clearCache (CLI/harness) or session end
     derived = derive_fn(with_metrics, params).cache()
     kept, pruned = prune_split(derived, params)
     return RoutedPlan(

@@ -960,6 +960,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one 64-bit row per doc; caching stops the token-hash explode +
     # 32-way conditional-sum groupBy from running once per join side
+    # (plan-keyed, evictable; harness clearCache releases it)
     sh = bit_sums.selectExpr(
         "doc_id", f"CAST({simhash} AS BIGINT) AS simhash"
     ).cache()
@@ -1040,7 +1041,8 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("doc_id", f"explode({SPARK_TOKENS}) AS term")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-    ).cache()  # read twice: df aggregation + the scored join
+    ).cache()  # read twice: df aggregation + the scored join; plan-keyed
+    # and evictable — released by the harness clearCache between queries
     n_docs = _docs(spark, sf_dir).count()
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(df_tbl), "term").selectExpr(
@@ -1348,7 +1350,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # every propagation iteration joins the edge list; cache it so the
     # MinHash candidate pipeline (explode + band join) runs once, not
-    # once per iteration
+    # once per iteration (unpersisted below once labels materialize)
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()

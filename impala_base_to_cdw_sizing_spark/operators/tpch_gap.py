@@ -365,7 +365,9 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 shape: a revenue view reused twice — once grouped, once for its
     MAX — with an equality filter joining the two. The decimal revenue
     sums make the double equality exact in both engines. The view is
-    cached: Spark would otherwise recompute the aggregation for each use."""
+    localCheckpoint-ed (Spark would otherwise recompute the aggregation
+    for each use; the blocks release on GC, unlike cache(), so repeated
+    registry runs don't accumulate storage)."""
     supp = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
@@ -376,7 +378,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue"
         ))
-    ).cache()
+    ).localCheckpoint(eager=True)
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.crossJoin(F.broadcast(top))
