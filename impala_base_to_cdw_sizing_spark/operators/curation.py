@@ -398,7 +398,11 @@ def _spark_quality_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy quality-ranked selection under a token budget (half the
     corpus's tokens): every doc with its rank, running token total, and
-    whether it made the cut. Integer cumulative sums — exact."""
+    whether it made the cut. Integer cumulative sums — exact.
+
+    This is the SEQUENTIAL oracle-shaped twin (one global ordered
+    window); the registered primary is
+    :func:`q_select_budget_segmented`, the parallel two-phase form."""
     scored = _spark_quality_frame(spark, sf_dir)
     budget = scored.agg(
         F.floor(F.sum("n_tokens") * _BUDGET_FRAC).cast("long").alias("budget")
@@ -455,10 +459,11 @@ FROM quality, budget
 
 
 def q_select_budget_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB form of :func:`q_select_budget`: the global ordered
-    cumulative sum decomposes into parallel per-bucket windows plus a
-    carry-in — the same two-phase exact decomposition as the segmented
-    sweep (SCALE.md F2-F3), applied to the curation surface.
+    """The PRIMARY registered form of budget selection (since r5): the
+    global ordered cumulative sum decomposes into parallel per-bucket
+    windows plus a carry-in — the same two-phase exact decomposition as
+    the segmented sweep (SCALE.md F2-F3), applied to the curation
+    surface. :func:`q_select_budget` remains the sequential twin.
 
     Buckets come from quantizing quality_score to integer micro-units
     and width-partitioning — O(1) per row, no sampling pass, and ties
@@ -558,10 +563,15 @@ def register_all() -> None:
     register_extra("dedup_semantic", q_dedup_semantic, _sql_dedup_semantic())
     register_extra("dedup_hybrid", q_dedup_hybrid, _sql_dedup_hybrid())
     register_extra("sample_importance", q_sample_importance, SQL_SAMPLE_IMPORTANCE)
-    register_extra("corpus_select_budget", q_select_budget, _sql_select_budget())
-    # the segmented twin shares the sequential oracle: bit-equality of
-    # the two-phase decomposition is oracle-gated, like the sweep's
+    # the segmented decomposition IS the operator (r4 verdict #6 — the
+    # sweep and pack_sequences already register their scale-safe forms
+    # as primary); the single-global-sort form stays registered as the
+    # oracle-shaped sequential twin. Both run against the sequential
+    # DuckDB oracle, so the two-phase bit-equality is oracle-gated.
     register_extra(
-        "corpus_select_budget_segmented", q_select_budget_segmented, _sql_select_budget()
+        "corpus_select_budget", q_select_budget_segmented, _sql_select_budget()
+    )
+    register_extra(
+        "corpus_select_budget_sequential", q_select_budget, _sql_select_budget()
     )
     register_extra("corpus_quality_strata", q_quality_strata, _sql_quality_strata())
