@@ -143,3 +143,65 @@ def test_hot_bucket_state_and_fanout_are_capped(spark, tmp_path):
     # total pairs: choose-2 over the first CAP, plus CAP per later doc
     expect = CAP * (CAP - 1) // 2 + (40 - CAP) * CAP
     assert len(out) == expect
+
+
+def test_ttl_state_survives_checkpoint_restart(spark, tmp_path):
+    """r4 verdict #7: kill the TTL query mid-stream, restart from the
+    same checkpoint — bucket state must survive (the post-restart doc
+    pairs with pre-restart priors) and no pair may be emitted twice
+    (exactly-once via checkpoint + file sink)."""
+    from impala_base_to_cdw_sizing_spark.streaming.neardup_stream import (
+        neardup_candidates_stream_ttl,
+    )
+
+    src = str(tmp_path / "rsrc")
+    out = str(tmp_path / "rout")
+    ckpt = str(tmp_path / "rckpt")
+    schema = "doc_id long, arrival_ms long, band_id long, band_key long"
+    minute = 60_000
+
+    def _write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def _start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .selectExpr(
+                "doc_id", "timestamp_millis(arrival_ms) AS arrival_ts",
+                "band_id", "band_key",
+            )
+        )
+        return (
+            neardup_candidates_stream_ttl(stream, cap=8)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # run 1: docs 1 and 2 land in bucket (0, 42) -> one pair
+    _write([(1, 1 * minute, 0, 42), (2, 2 * minute, 0, 42)])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+    got1 = sorted(
+        (r.doc_a, r.doc_b) for r in spark.read.parquet(out).collect()
+    )
+    assert got1 == [(1, 2)]
+
+    # doc 3 arrives while the query is DOWN (well inside the horizon);
+    # restart with the same checkpoint
+    _write([(3, 3 * minute, 0, 42)])
+    q2 = _start()
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted((r.doc_a, r.doc_b) for r in spark.read.parquet(out).collect())
+    # state survived: doc 3 pairs with BOTH pre-restart priors;
+    # exactly-once: (1,2) appears exactly once (sorted-list equality
+    # would expose any duplicate emission)
+    assert got == [(1, 2), (1, 3), (2, 3)], got
