@@ -1,0 +1,150 @@
+"""Deterministic sf1 dataset derived from the driver's read-only sf0.1.
+
+The driver ships sf{0.001,0.01,0.1} only (TESTDATA.md) and /root/testdata
+is read-only, so the sf1 scaling runs (VERDICT r4 items #1/#8) use a
+derived dataset built here: 10 FK-consistent copies of every scaled
+table, written to .testdata/sf1/ inside the repo (gitignored — ~200 MB,
+regenerate with `python tools/gen_sf1.py`).
+
+Design rules (no RNG anywhere — the output is a pure function of sf0.1):
+
+- region/nation are fixed dimensions (TPC-H convention) — copied as-is.
+- Every scaled table gets copy c's surrogate keys shifted by
+  c * (max_key + 1); foreign keys shift by the SAME stride as the key
+  they reference, so join selectivity and fan-out per key are identical
+  to sf0.1 (orders/customer ~10/1, lineitem/orders ~4/1, events/user
+  ~67/1 — more keys, same per-key group sizes: the realistic scale-up).
+- events keep their timestamps: 10x densification of the same window
+  (more users, same horizon) — this is what stresses the sweep/funnel/
+  spike operators, and it leaves calendar-convention semantics intact.
+- documents: copy 0 is verbatim; copy c>0 suffixes every word at
+  position p with p % 3 == c % 3 by ``_c{c}``. Within a copy the
+  transformation is uniform, so the sf0.1 duplicate/near-duplicate
+  structure is preserved exactly per copy (duplicate RATE constant at
+  10x); across copies every word 3-shingle (SPARK_SHINGLES in
+  operators/text.py) contains a modified word, so MinHash/Jaccard/
+  SimHash do NOT link copies — the corpus grows, the candidate graph
+  grows linearly, not quadratically in copies. n_chars is recomputed.
+- embeddings: copy c>0 cyclically rotates vector components by
+  (7 * c) % 64 (distinct shift per copy, dim=64). Rotation preserves
+  norms and all WITHIN-copy pairwise cosines bit-identically, while
+  cross-copy cosines decorrelate — exact/near-duplicate vector groups
+  stay the sf0.1 size instead of gaining 9 clones each (which would
+  make pair outputs quadratic in the copy count).
+
+Usage: python tools/gen_sf1.py [--copies N] [--src DIR] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC_DEFAULT = "/root/testdata/sf0.1"
+OUT_DEFAULT = str(Path(__file__).resolve().parent.parent / ".testdata" / "sf1")
+
+# key column -> referenced stride name; strides computed from the data.
+STRIDES = {
+    "c_custkey": "customer",
+    "s_suppkey": "supplier",
+    "p_partkey": "part",
+    "o_orderkey": "orders",
+    "event_id": "events",
+    "user_id": "users",
+    "doc_id": "documents",
+    "vec_id": "embeddings",
+}
+FK_COLS = {
+    "o_custkey": "customer",
+    "l_orderkey": "orders",
+    "l_partkey": "part",
+    "l_suppkey": "supplier",
+}
+
+
+def _strides(src: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for table, key in [
+        ("customer", "c_custkey"),
+        ("supplier", "s_suppkey"),
+        ("part", "p_partkey"),
+        ("orders", "o_orderkey"),
+        ("events", "event_id"),
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+    ]:
+        col = pq.read_table(f"{src}/{table}.parquet", columns=[key])[key]
+        out[table] = int(pa.compute.max(col).as_py()) + 1
+    uid = pq.read_table(f"{src}/events.parquet", columns=["user_id"])["user_id"]
+    out["users"] = int(pa.compute.max(uid).as_py()) + 1
+    return out
+
+
+def _perturb_text(text: str, copy: int) -> str:
+    if copy == 0:
+        return text
+    res = copy % 3
+    suf = f"_c{copy}"
+    words = text.split(" ")
+    return " ".join(
+        w + suf if p % 3 == res and w else w for p, w in enumerate(words)
+    )
+
+
+def _copy_frame(pdf: pd.DataFrame, table: str, copy: int, st: dict[str, int]) -> pd.DataFrame:
+    out = pdf.copy(deep=False)
+    for col in out.columns:
+        ref = STRIDES.get(col) or FK_COLS.get(col)
+        if ref is not None:
+            out[col] = pdf[col] + copy * st[ref]
+    if table == "documents":
+        out["text"] = [_perturb_text(t, copy) for t in pdf["text"]]
+        out["n_chars"] = [len(t) for t in out["text"]]
+    if table == "embeddings" and copy > 0:
+        mat = np.stack(pdf["embedding"].to_numpy())
+        out["embedding"] = list(np.roll(mat, (7 * copy) % mat.shape[1], axis=1))
+    return out
+
+
+def generate(src: str, out_dir: str, copies: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    st = _strides(src)
+    for table in ["region", "nation"]:
+        pq.write_table(pq.read_table(f"{src}/{table}.parquet"), f"{out_dir}/{table}.parquet")
+        print(f"{table}: copied fixed dim")
+    for table in [
+        "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        base = pq.read_table(f"{src}/{table}.parquet")
+        schema = base.schema
+        pdf = base.to_pandas()
+        writer = pq.ParquetWriter(f"{out_dir}/{table}.parquet", schema)
+        try:
+            for c in range(copies):
+                chunk = pa.Table.from_pandas(
+                    _copy_frame(pdf, table, c, st), schema=schema, preserve_index=False
+                )
+                writer.write_table(chunk)
+        finally:
+            writer.close()
+        print(f"{table}: {len(pdf)} x {copies} rows written")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--src", default=SRC_DEFAULT)
+    ap.add_argument("--out", default=OUT_DEFAULT)
+    a = ap.parse_args()
+    generate(a.src, a.out, a.copies)
+
+
+if __name__ == "__main__":
+    main()
