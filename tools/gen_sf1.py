@@ -27,7 +27,8 @@ Design rules (no RNG anywhere — the output is a pure function of sf0.1):
   grows linearly, not quadratically in copies. n_chars is recomputed.
 - embeddings: copy c>0 cyclically rotates vector components by
   (7 * c) % 64 (distinct shift per copy, dim=64). Rotation preserves
-  norms and all WITHIN-copy pairwise cosines bit-identically, while
+  norms and all WITHIN-copy pairwise cosines mathematically (float
+  sums reorder, so agreement is to summation-order ulps), while
   cross-copy cosines decorrelate — exact/near-duplicate vector groups
   stay the sf0.1 size instead of gaining 9 clones each (which would
   make pair outputs quadratic in the copy count).

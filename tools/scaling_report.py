@@ -1,0 +1,51 @@
+"""Per-query scaling exponents from two bench runs (VERDICT r4 item #1).
+
+Reads two ``bench.py`` JSON outputs taken at different scale factors and
+prints a markdown table of empirical scaling exponents
+
+    alpha = log(t_hi / t_lo) / log(sf_hi / sf_lo)
+
+per query, flagging anything materially super-linear. alpha <= ~1.15 is
+linear-or-better (constant overheads at the small end usually push
+alpha BELOW 1 — fixed planning/session cost amortizes as sf grows);
+alpha in (1.15, 1.45] is mildly super-linear (worth a cause note);
+alpha > 1.45 is flagged as a scale hazard.
+
+Usage: python tools/scaling_report.py bench_lo.json bench_hi.json
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        return json.loads(f.read().strip().splitlines()[-1])
+
+
+def main() -> None:
+    lo, hi = load(sys.argv[1]), load(sys.argv[2])
+    ratio_sf = hi["sf"] / lo["sf"]
+    rows = []
+    for name, t_lo in sorted(lo["queries"].items()):
+        t_hi = hi["queries"].get(name)
+        if t_hi is None:
+            continue
+        t_lo = max(t_lo, 1e-3)
+        alpha = math.log(max(t_hi, 1e-3) / t_lo) / math.log(ratio_sf)
+        rows.append((alpha, name, t_lo, t_hi))
+    rows.sort(reverse=True)
+    flag = lambda a: "**HAZARD**" if a > 1.45 else ("note" if a > 1.15 else "ok")
+    print(f"| query | t(sf{lo['sf']}) s | t(sf{hi['sf']}) s | alpha | verdict |")
+    print("|---|---|---|---|---|")
+    for alpha, name, t_lo, t_hi in rows:
+        print(f"| {name} | {t_lo:.2f} | {t_hi:.2f} | {alpha:.2f} | {flag(alpha)} |")
+    total = math.log(hi["value"] / lo["value"]) / math.log(ratio_sf)
+    print(f"| **suite total** | {lo['value']:.1f} | {hi['value']:.1f} | {total:.2f} | {flag(total)} |")
+
+
+if __name__ == "__main__":
+    main()
