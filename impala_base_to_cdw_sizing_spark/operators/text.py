@@ -26,7 +26,7 @@ fold both engines); ratios are single double divisions of identical ints.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries_ext import register, register_extra
@@ -931,26 +931,54 @@ def _minhash_sql() -> str:
 
 # --- SimHash ---------------------------------------------------------------------------
 
-# 32-bit simhash, banded into 4 bytes. 16 bits was measured too permissive
-# on the synthetic corpus (shared vocabulary → ~47k candidate pairs from
-# 500 docs); byte bands cut candidate generation ~20× — the standard
-# bits-per-band vs recall trade.
-_SIM_BITS = 32
+# 48-bit simhash, banded into 4 x 12-bit bands (4096 values per band).
+# The r4 form (32-bit sig, 4 byte-bands) measured exactly quadratic
+# between sf1 and sf3 (alpha=2.00, 16.9s -> 151.9s, BASELINE.md r5):
+# a byte band has only 256 distinct values, so once n >> 256 every
+# bucket holds ~n/256 docs and within-bucket pairing is n^2/256 — the
+# band SPACE saturates. 12-bit bands multiply the bucket count 16x
+# (same pigeonhole guarantee: <=3 flipped bits leave >=1 of 4 bands
+# intact), and the per-bucket anchor cap below makes the worst case
+# linear outright.
+#
+# Each signature bit uses its OWN token-hash function — bit 30 of
+# (th * (2j+3)) % 1e15 — not bit j of the shared polynomial hash. The
+# r4 bit-slice form had a structural degeneracy: charfold of a short
+# token never reaches the high bits (a 6-char token's hash is < 2^32),
+# so bits 32..47 summed to -n_tokens for EVERY doc and the top band
+# collapsed into one corpus-wide bucket even on fully diverse corpora.
+# Measured on a 300-doc unique-token fixture: worst bucket 5/300 with
+# the per-bit functions vs 251/300 with raw upper-bit slices. Bit 30
+# specifically: 1e15 = 2^15 * 5^15, so (x % 1e15) preserves x's low 15
+# bits — any bit <= 14 of the product is a linear (degenerate) function
+# of th; bit 30 sits above the linear zone and below the biased top.
+_SIM_BITS = 48
+_SIM_BAND_VALUES = 4096  # 2^(48/4)
+
+# Hard per-bucket bound, same pattern as similarity._BUCKET_CAP and the
+# SemDeDup anchor cap: each (band, value) bucket contributes at most
+# CAP * |bucket| candidate pairs (anchors = the CAP lowest doc_ids).
+# Buckets only exceed the cap when n >> 4096 * CAP; beyond that the
+# degradation is bounded recall in oversized buckets, not executor melt.
+# The oracle mirrors the cap exactly, so parity is unconditional.
+_SIM_BUCKET_CAP = 128
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok_hash = (
-        _docs(spark, sf_dir)
-        .withColumn("tokens", F.expr(SPARK_TOKENS))
-        .selectExpr(
-            "doc_id",
-            f"explode(transform(tokens, t -> {spark_charfold('t')})) AS th",
-        )
+def simhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band_id, nibble) — one row per doc per band.
+    Shared by the query and the bound tests so bucket-occupancy claims
+    are measured on the exact banding the query shuffles on."""
+    tok_hash = docs.withColumn("tokens", F.expr(SPARK_TOKENS)).selectExpr(
+        "doc_id",
+        f"explode(transform(tokens, t -> {spark_charfold('t')})) AS th",
     )
     bit_sums = tok_hash.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.expr(f"CASE WHEN (th div {1 << j}) % 2 = 1 THEN 1 ELSE -1 END")
+                F.expr(
+                    f"CASE WHEN (((th * {2 * j + 3}) % {_MOD}) div {1 << 30}) % 2 = 1"
+                    " THEN 1 ELSE -1 END"
+                )
             ).alias(f"s{j}")
             for j in range(_SIM_BITS)
         ]
@@ -959,18 +987,28 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SIM_BITS)
     )
     # one 64-bit row per doc; caching stops the token-hash explode +
-    # 32-way conditional-sum groupBy from running once per join side
+    # 48-way conditional-sum groupBy from running once per join side
     # (plan-keyed, evictable; harness clearCache releases it)
     sh = bit_sums.selectExpr(
         "doc_id", f"CAST({simhash} AS BIGINT) AS simhash"
     ).cache()
-    bands = sh.selectExpr(
+    return sh.selectExpr(
         "doc_id", "simhash",
         "explode(transform(sequence(0, 3), "
-        "j -> struct(j AS band_id, (simhash div CAST(pow(256, j) AS BIGINT)) % 256"
-        " AS nibble))) AS band",
+        f"j -> struct(j AS band_id, (simhash div CAST(pow({_SIM_BAND_VALUES}, j)"
+        f" AS BIGINT)) % {_SIM_BAND_VALUES} AS nibble))) AS band",
     ).select("doc_id", "simhash", "band.band_id", "band.nibble")
-    a, b = bands.alias("a"), bands.alias("b")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = simhash_bands(_docs(spark, sf_dir))
+    w = Window.partitionBy("band_id", "nibble").orderBy("doc_id")
+    anchors = (
+        bands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SIM_BUCKET_CAP)
+        .drop("rn")
+    )
+    a, b = anchors.alias("a"), bands.alias("b")
     return (
         a.join(
             b,
@@ -983,14 +1021,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= 3)
+        .distinct()
     )
 
 
 def _simhash_sql() -> str:
     bit_sums = ",\n    ".join(
-        f"SUM(CASE WHEN (th // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        f"SUM(CASE WHEN (((th * {2 * j + 3}) % {_MOD}) // {1 << 30}) % 2 = 1"
+        f" THEN 1 ELSE -1 END) AS s{j}"
         for j in range(_SIM_BITS)
     )
     simhash = " + ".join(
@@ -1009,12 +1048,18 @@ bit_sums AS (
 sh AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM bit_sums),
 bands AS (
   SELECT doc_id, simhash, j AS band_id,
-    (simhash // CAST(pow(256, j) AS BIGINT)) % 256 AS nibble
+    (simhash // CAST(pow({_SIM_BAND_VALUES}, j) AS BIGINT)) % {_SIM_BAND_VALUES} AS nibble
   FROM sh, (SELECT unnest([0, 1, 2, 3]) AS j)
+),
+anchors AS (
+  SELECT doc_id, simhash, band_id, nibble FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY band_id, nibble ORDER BY doc_id) AS rn
+    FROM bands
+  ) WHERE rn <= {_SIM_BUCKET_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM bands a JOIN bands b
+FROM anchors a JOIN bands b
   ON a.band_id = b.band_id AND a.nibble = b.nibble AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
