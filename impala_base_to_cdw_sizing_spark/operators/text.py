@@ -1758,6 +1758,145 @@ FROM sized
 """
 
 
+# --- cross-document substring dedup (rolling token windows) -----------------
+#
+# The ExactSubstr method class (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better", arXiv:2107.06499) marks spans whose
+# text reappears verbatim in ANOTHER document. The paper builds one giant
+# suffix array; the distributed re-expression is rolling fixed-width token
+# windows: a W-token span is duplicated iff all of its windows are (for
+# spans >= W), so window-level matching finds every duplicated run of
+# length >= _SUBSTR_W with positional precision the shingle-set methods
+# (Jaccard/MinHash) cannot give — those score whole documents, this one
+# measures exactly WHICH tokens are duplicated.
+#
+# Scale shape (the suffix array is inherently O(total tokens); so is this):
+#   1. window generation is a pure map (array exprs in codegen);
+#   2. the shared-window test shuffles one row per window — keyed by an
+#      8-byte xxhash64 of the window text (the MinHash band-key trick;
+#      each dialect hashes its own side, the join never crosses engines);
+#   3. "appears in >= 2 distinct docs" is min(doc) <> max(doc) — an
+#      associative partial agg, NOT a countDistinct (no per-key set state,
+#      and a window shared by 10^6 docs costs the same as one shared by 2);
+#   4. only MATCHED windows explode x W into token positions; the distinct
+#      over (doc, pos) is the interval-union step, bounded by doc length.
+# A boilerplate 8-gram shared by millions of pages makes its *positions*
+# hot only within each doc (bounded by doc length), never a global key.
+
+_SUBSTR_W = 8  # window width in tokens = minimum duplicated-run length
+
+
+def _win_spark(w: int) -> str:
+    return (
+        f"transform(sequence(1, size(tokens) - {w} + 1), "
+        f"i -> named_struct('i', i, 'wk', "
+        f"xxhash64(concat_ws(' ', slice(tokens, i, {w})))))"
+    )
+
+
+def substring_signals(docs: DataFrame) -> DataFrame:
+    """Per-document duplicated-token accounting from cross-document
+    verbatim ``_SUBSTR_W``-token windows, for any ``(doc_id, text)``
+    frame: ``(doc_id, n_tokens, n_windows, shared_windows, dup_tokens,
+    dup_token_frac)`` for every document long enough to hold one window.
+    ``dup_tokens`` counts the distinct token positions covered by at
+    least one shared window (the union of duplicated spans), so
+    ``dup_token_frac`` is the paper's "fraction of tokens inside a
+    duplicated substring" — two docs sharing one 10-token run report
+    dup_tokens=10, not 3 windows x 8.
+    """
+    w = _SUBSTR_W
+    toks = (
+        docs.withColumn("tokens", F.expr(SPARK_TOKENS))
+        .filter(F.expr(f"size(tokens) >= {w}"))
+        .selectExpr("doc_id", "size(tokens) AS n_tokens", "tokens")
+    )
+    # (doc_id, i, wk): one row per window position, 8-byte key — read
+    # twice (shared-key agg + join back), so materialize once
+    wins = toks.selectExpr(
+        "doc_id", "n_tokens", f"inline({_win_spark(w)})"
+    ).cache()
+    shared = (
+        wins.groupBy("wk")
+        .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
+        .filter(F.col("d_lo") != F.col("d_hi"))
+        .select("wk")
+    )
+    covered = (
+        wins.join(shared, "wk")
+        .selectExpr("doc_id", f"explode(sequence(i, i + {w} - 1)) AS pos")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_tokens"))
+    )
+    shared_cnt = (
+        wins.join(shared, "wk")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_windows"))
+    )
+    out = (
+        wins.groupBy("doc_id", "n_tokens")
+        .agg(F.count("*").alias("n_windows"))
+        .join(shared_cnt, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "CAST(n_windows AS BIGINT) AS n_windows",
+            "CAST(COALESCE(shared_windows, 0) AS BIGINT) AS shared_windows",
+            "CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens",
+            "COALESCE(dup_tokens, 0) / CAST(n_tokens AS DOUBLE)"
+            " AS dup_token_frac",
+        )
+    )
+    wins.unpersist()  # lazy flag; frame stays valid for this plan's run
+    return out
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`substring_signals` over the corpus."""
+    return substring_signals(_docs(spark, sf_dir))
+
+
+def _substring_sql() -> str:
+    w = _SUBSTR_W
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tokens, CAST(len(tokens) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents)
+  WHERE len(tokens) >= {w}
+),
+wins AS (
+  SELECT doc_id, n_tokens, CAST(u.i AS BIGINT) AS i,
+    hash(array_to_string(tokens[u.i:u.i+{w}-1], ' ')) AS wk
+  FROM toks, UNNEST(range(1, n_tokens - {w} + 2)) AS u(i)
+),
+shared AS (SELECT wk FROM wins GROUP BY wk HAVING min(doc_id) <> max(doc_id)),
+hits AS (SELECT doc_id, i FROM wins JOIN shared USING (wk)),
+covered AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens FROM (
+    SELECT DISTINCT doc_id, i + p.off AS pos
+    FROM hits, UNNEST(range(0, {w})) AS p(off)
+  ) GROUP BY doc_id
+),
+shared_cnt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shared_windows
+  FROM hits GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, n_tokens, CAST(COUNT(*) AS BIGINT) AS n_windows
+  FROM wins GROUP BY doc_id, n_tokens
+)
+SELECT b.doc_id, b.n_tokens, b.n_windows,
+  COALESCE(s.shared_windows, 0) AS shared_windows,
+  COALESCE(c.dup_tokens, 0) AS dup_tokens,
+  COALESCE(c.dup_tokens, 0) / CAST(b.n_tokens AS DOUBLE) AS dup_token_frac
+FROM base b
+LEFT JOIN shared_cnt s ON b.doc_id = s.doc_id
+LEFT JOIN covered c ON b.doc_id = c.doc_id
+"""
+
+
 def register_all() -> None:
     register("text_profile", q_text_profile, _profile_sql())
     register("text_pii_scrub", q_pii_scrub, _pii_sql())
@@ -1789,3 +1928,4 @@ def register_all() -> None:
     # the log-rounds CC shares dedup_components' recursive-CTE oracle:
     # both must reach the identical component-min fixpoint
     register_extra("dedup_components_star", q_dedup_components_star, _components_sql())
+    register_extra("dedup_substring", q_dedup_substring, _substring_sql())
