@@ -81,9 +81,10 @@ def _load_providers() -> None:
     countmin.register_all()
     profiling.register_all()
 
-    from . import curation, custom_agg, funnels, graph_rank, ingest_quality, skew
+    from . import curation, custom_agg, funnels, graph_rank, ingest_quality, pq, skew
 
     skew.register_all()
+    pq.register_all()
     custom_agg.register_all()
     ingest_quality.register_all()
     curation.register_all()

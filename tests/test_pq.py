@@ -1,0 +1,48 @@
+"""IVF-PQ properties that the oracle parity run can't see: the index's
+compression contract (codes in range, one row per vector), and the
+measured claim that exact refinement dominates ADC-only ranking on both
+test corpora (the reason sim_pq_refine is the production shape)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tests.conftest import SF_ORACLE, SF_SMALL  # noqa: E402
+
+from impala_base_to_cdw_sizing_spark.operators.pq import (  # noqa: E402
+    _K,
+    _M,
+    _N_CELLS,
+    _pq_index,
+    q_pq_recall,
+    q_pq_refine_recall,
+)
+
+
+def test_index_is_the_compressed_form(spark):
+    idx = _pq_index(spark, SF_SMALL).toPandas()
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    # one row per vector; schema is exactly cell + M byte-range codes —
+    # the 64-float row is NOT in the index (that's the 64x compression)
+    assert len(idx) == emb.count()
+    assert list(idx.columns) == ["vec_id", "cell_id"] + [f"c{m}" for m in range(_M)]
+    for m in range(_M):
+        assert idx[f"c{m}"].between(0, _K - 1).all()
+    assert idx["cell_id"].between(0, _N_CELLS - 1).all()
+    # seeds are their own nearest codeword in every subspace (d2 = 0)
+    seeds = idx[idx.vec_id < _K]
+    for m in range(_M):
+        assert (seeds[f"c{m}"] == seeds.vec_id).all()
+
+
+def test_refine_dominates_adc_only(spark):
+    for sf in (SF_SMALL, SF_ORACLE):
+        adc = q_pq_recall(spark, sf).collect()[0]
+        ref = q_pq_refine_recall(spark, sf).collect()[0]
+        assert ref.recall_at3 > adc.recall_at3, (sf, adc, ref)
+        # the refined search is a real ANN, not a coin flip: at least
+        # 2/3 of the exact top-3 set comes back on both corpora
+        assert ref.recall_at3 >= 2 / 3, (sf, ref)
