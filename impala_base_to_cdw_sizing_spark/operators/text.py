@@ -296,10 +296,10 @@ LIMIT 20
 _N_MERGES = 3
 
 
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``_N_MERGES`` unrolled BPE merge rounds over the piece vocabulary:
-    (round, lhs, rhs, merged, pair_n) — the trained merge table, the
-    artifact a BPE trainer actually emits."""
+def _bpe_trained(spark: SparkSession, sf_dir: str):
+    """Run the ``_N_MERGES`` training rounds; returns ``(words, rounds)``
+    where ``words`` is the piece vocabulary with its post-merge symbol
+    arrays and ``rounds`` the per-round merge-table rows."""
     words = (
         _docs(spark, sf_dir)
         .selectExpr(f"explode(regexp_extract_all(text, '{_BPE_RE}', 0)) AS piece")
@@ -341,10 +341,60 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN concat(slice(acc, 1, size(acc) - 1), array(m))"
             " ELSE concat(acc, array(s)) END) AS syms",
         )
+    return words, rounds
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_N_MERGES`` unrolled BPE merge rounds over the piece vocabulary:
+    (round, lhs, rhs, merged, pair_n) — the trained merge table, the
+    artifact a BPE trainer actually emits."""
+    _, rounds = _bpe_trained(spark, sf_dir)
     out = rounds[0]
     for r in rounds[1:]:
         out = out.unionByName(r)
     return out
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained merge table to encode every document:
+    ``(doc_id, n_pieces, n_syms_before, n_syms_after, compression)``.
+
+    The tokenizer-apply shape at 100 TB: merges are applied ONCE per
+    DISTINCT piece (the vocabulary, a tiny frame), and documents join
+    their pieces to the encoded vocab — corpus bytes only flow through
+    one regexp extract + one groupBy + one equi-join on the piece
+    string, never through the merge fold itself. ``n_syms_before`` is
+    the character count of the piece stream (BPE's round-0 symbols);
+    ``compression`` is the fraction of symbols remaining after
+    ``_N_MERGES`` merges."""
+    words, _ = _bpe_trained(spark, sf_dir)
+    vocab = words.selectExpr(
+        "piece",
+        "CAST(length(piece) AS BIGINT) AS n_before",
+        "CAST(size(syms) AS BIGINT) AS n_after",
+    )
+    doc_pieces = (
+        _docs(spark, sf_dir)
+        .selectExpr(
+            "doc_id",
+            f"explode(regexp_extract_all(text, '{_BPE_RE}', 0)) AS piece",
+        )
+        .groupBy("doc_id", "piece")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        doc_pieces.join(F.broadcast(vocab), "piece")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_pieces"),
+            F.sum(F.col("n") * F.col("n_before")).cast("long").alias("n_syms_before"),
+            F.sum(F.col("n") * F.col("n_after")).cast("long").alias("n_syms_after"),
+        )
+        .selectExpr(
+            "doc_id", "n_pieces", "n_syms_before", "n_syms_after",
+            "n_syms_after / CAST(n_syms_before AS DOUBLE) AS compression",
+        )
+    )
 
 
 def _bpe_merge_round_sql(i: int) -> str:
@@ -392,7 +442,7 @@ w{i} AS MATERIALIZED (
 )"""
 
 
-def _sql_bpe_merges() -> str:
+def _bpe_cte_prefix() -> str:
     parts = [
         f"""w0 AS MATERIALIZED (
   SELECT piece, cnt, regexp_extract_all(piece, '.') AS syms
@@ -405,12 +455,34 @@ def _sql_bpe_merges() -> str:
 )"""
     ]
     parts += [_bpe_merge_round_sql(i).strip() for i in range(1, _N_MERGES + 1)]
+    return "WITH " + ",\n".join(parts)
+
+
+def _sql_bpe_merges() -> str:
     selects = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS round, l AS lhs, r AS rhs, m AS merged,"
         f" pair_n FROM b{i}"
         for i in range(1, _N_MERGES + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + selects
+    return _bpe_cte_prefix() + "\n" + selects
+
+
+def _sql_bpe_encode() -> str:
+    return f"""{_bpe_cte_prefix()},
+docp AS (
+  SELECT doc_id, piece, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{_BPE_RE}')) AS piece
+        FROM documents)
+  GROUP BY doc_id, piece
+)
+SELECT doc_id,
+  CAST(SUM(n) AS BIGINT) AS n_pieces,
+  CAST(SUM(n * len(piece)) AS BIGINT) AS n_syms_before,
+  CAST(SUM(n * len(syms)) AS BIGINT) AS n_syms_after,
+  SUM(n * len(syms)) / CAST(SUM(n * len(piece)) AS DOUBLE) AS compression
+FROM docp JOIN w{_N_MERGES} USING (piece)
+GROUP BY doc_id
+"""
 
 
 # --- fingerprinting -----------------------------------------------------------------
@@ -1916,6 +1988,7 @@ def register_all() -> None:
     register_extra("text_token_count", q_token_count, SQL_TOKEN_COUNT)
     register_extra("text_bpe_vocab", q_bpe_vocab, SQL_BPE_VOCAB)
     register_extra("text_bpe_merges", q_bpe_merges, _sql_bpe_merges())
+    register_extra("text_bpe_encode", q_bpe_encode, _sql_bpe_encode())
     register_extra("text_fingerprint", q_fingerprint, SQL_FINGERPRINT)
     register_extra("dedup_minhash_accuracy", q_minhash_accuracy, _minhash_accuracy_sql())
     register_extra(

@@ -22,7 +22,7 @@ def _bpe_reference(texts: list[str], n_merges: int):
     for t in texts:
         pieces.update(re.findall(_BPE_RE, t))
     words = {p: list(p) for p in pieces}
-    merges = []
+    merges: list[tuple] = []
     for rnd in range(1, n_merges + 1):
         pc: collections.Counter = collections.Counter()
         for p, syms in words.items():
@@ -38,7 +38,7 @@ def _bpe_reference(texts: list[str], n_merges: int):
                 else:
                     out.append(s)
             words[p] = out
-    return merges
+    return merges, words
 
 
 def test_bpe_merges_match_reference_on_corpus(spark):
@@ -48,7 +48,7 @@ def test_bpe_merges_match_reference_on_corpus(spark):
         .select("text")
         .collect()
     ]
-    expect = _bpe_reference(texts, _N_MERGES)
+    expect, _ = _bpe_reference(texts, _N_MERGES)
     got = sorted(
         (r.round, r.lhs, r.rhs, r.merged, r.pair_n)
         for r in q_bpe_merges(spark, SF_SMALL).collect()
@@ -95,7 +95,36 @@ def test_bpe_greedy_overlap_and_iteration(spark, tmp_path):
     assert (got[3].lhs, got[3].rhs, got[3].merged) == ("cc", "cc", "cccc")
     assert got[3].pair_n == 5
     # matches the reference loop end-to-end too
-    expect = _bpe_reference(["cccc dddd"] * 5, _N_MERGES)
+    expect, _ = _bpe_reference(["cccc dddd"] * 5, _N_MERGES)
     assert sorted(
         (r.round, r.lhs, r.rhs, r.merged, r.pair_n) for r in got.values()
     ) == expect
+
+
+def test_bpe_encode_matches_reference_per_doc(spark):
+    """Differential test of the tokenizer-apply: per-doc symbol counts
+    under the trained merges must equal the pure-Python encode."""
+    from impala_base_to_cdw_sizing_spark.operators.text import q_bpe_encode
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    _, words = _bpe_reference([r.text for r in docs], _N_MERGES)
+    expect = {}
+    for r in docs:
+        pieces = re.findall(_BPE_RE, r.text)
+        if not pieces:
+            continue
+        before = sum(len(p) for p in pieces)
+        after = sum(len(words[p]) for p in pieces)
+        expect[r.doc_id] = (len(pieces), before, after)
+    got = {
+        r.doc_id: (r.n_pieces, r.n_syms_before, r.n_syms_after)
+        for r in q_bpe_encode(spark, SF_SMALL).collect()
+    }
+    assert got == expect
+    out = q_bpe_encode(spark, SF_SMALL).toPandas()
+    assert (out.n_syms_after <= out.n_syms_before).all()
+    assert (out.n_syms_after < out.n_syms_before).any()  # merges bite
