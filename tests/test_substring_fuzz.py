@@ -1,0 +1,69 @@
+"""Differential fuzz for the cross-document substring dedup: random
+little corpora from a tiny vocabulary (so cross-doc window collisions
+actually happen), Spark result vs an independent pure-Python reference
+written from the semantics — the same independent-truth pattern as the
+funnel/SCD2 fuzz (a mirrored oracle can agree with a shared mistake)."""
+
+from __future__ import annotations
+
+import random
+
+from impala_base_to_cdw_sizing_spark.operators.text import (
+    _SUBSTR_W,
+    substring_signals,
+)
+
+VOCAB = ["a", "b", "c"]  # 3 symbols → 8-gram collisions are common
+
+
+def _ref(docs: dict[int, str]):
+    """(doc_id -> (n_tokens, n_windows, shared_windows, dup_tokens))
+    straight from the definition: a window is shared iff its exact
+    token string occurs at any position of any OTHER document."""
+    w = _SUBSTR_W
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    wins: dict[int, list[tuple[int, str]]] = {}
+    where: dict[str, set[int]] = {}
+    for d, ts in toks.items():
+        if len(ts) < w:
+            continue
+        wins[d] = []
+        for i in range(len(ts) - w + 1):
+            s = " ".join(ts[i : i + w])
+            wins[d].append((i + 1, s))
+            where.setdefault(s, set()).add(d)
+    out = {}
+    for d, ws in wins.items():
+        shared = [(i, s) for i, s in ws if len(where[s]) >= 2]
+        pos = set()
+        for i, _ in shared:
+            pos.update(range(i, i + w))
+        out[d] = (len(toks[d]), len(ws), len(shared), len(pos))
+    return out
+
+
+def test_substring_matches_reference_on_random_corpora(spark):
+    rng = random.Random(20260814)
+    saw_sharing = False
+    for trial in range(8):
+        n_docs = rng.randint(2, 12)
+        docs = {
+            d: " ".join(
+                rng.choice(VOCAB)
+                for _ in range(rng.randint(_SUBSTR_W - 2, _SUBSTR_W * 4))
+            )
+            for d in range(n_docs)
+        }
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_windows, r.shared_windows, r.dup_tokens)
+            for r in substring_signals(df).collect()
+        }
+        assert got == _ref(docs), f"trial {trial}: {docs}"
+        # at least one trial must produce real sharing or the fuzz is
+        # vacuous — with a 3-symbol vocab this is overwhelmingly likely
+        if any(v[2] > 0 for v in got.values()):
+            saw_sharing = True
+    assert saw_sharing
