@@ -366,6 +366,192 @@ FROM exact3 JOIN ann3 USING (q_id, neighbor_id)
 """
 
 
+# --- trained subspace codebooks (per-subspace Lloyd) -------------------------
+#
+# The fixed-seed codebook above is training-free; real IVFPQ trains each
+# subspace's codebook with k-means. Instead of 8 separate Lloyd chains,
+# the vectors explode into (vec_id, m, sub-vector) rows and ONE unrolled
+# chain runs with the subspace id as part of every key: assignment
+# windows partition by (vec_id, m), centroid recompute groups by
+# (m, code, pos) — 8 independent 8-dim k-means as a single grouped
+# computation (the kmeans.py pattern, one more key column). Init is the
+# SAME fixed seeds the static codebook uses, so Lloyd's monotone
+# convergence guarantees per-subspace distortion can only fall — the
+# claim `sim_pq_trained` emits per subspace and `tests/test_pq.py` pins.
+
+_TRAIN_ITERS = 2
+
+
+def _sub_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _normalized(spark, sf_dir).selectExpr(
+        "vec_id", "v",
+        f"explode(sequence(0, {_M - 1})) AS m",
+    ).selectExpr(
+        "vec_id", "m",
+        f"slice(v, m * {_SUBD} + 1, {_SUBD}) AS sv",
+    ).withColumn("sn", F.expr(SPARK_DOT.format(a="sv", b="sv")))
+
+
+def _sub_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
+    dists = (
+        sub.join(F.broadcast(cent), "m")
+        .withColumn(
+            "d2",
+            F.col("sn")
+            + F.expr(SPARK_DOT.format(a="cv", b="cv"))
+            - 2 * F.expr(SPARK_DOT.format(a="sv", b="cv")),
+        )
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    return (
+        dists.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "m", "sv", "sn", "code", "d2")
+    )
+
+
+_NANO = 1_000_000_000.0
+
+
+def _sub_recompute(assigned: DataFrame) -> DataFrame:
+    exploded = assigned.select(
+        "m", "code", F.posexplode("sv").alias("pos", "x")
+    ).withColumn("x_nano", F.floor(F.col("x") * _NANO + 0.5).cast("long"))
+    means = (
+        exploded.groupBy("m", "code", "pos")
+        .agg(
+            F.sum(F.col("x_nano").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .selectExpr("m", "code", "pos", f"CAST(s AS DOUBLE) / {_NANO} / n AS mn")
+    )
+    return means.groupBy("m", "code").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mn))), p -> p.mn)"
+        ).alias("cv")
+    )
+
+
+def q_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace quantization distortion of the fixed-seed codebook vs
+    the Lloyd-trained one (``_TRAIN_ITERS`` unrolled rounds from the same
+    seeds): ``(m, n_vectors, d_seed_micro, d_trained_micro, improved)``.
+    ``improved`` is Lloyd's monotone-convergence guarantee materialized
+    as a column — training from an init can never worsen that init's
+    total distortion."""
+    sub = _sub_rows(spark, sf_dir)
+    cent = sub.filter(F.col("vec_id") < _K).selectExpr(
+        "m", "vec_id AS code", "sv AS cv"
+    )
+    seed_assign = _sub_assign(sub, cent)
+    trained = cent
+    for _ in range(_TRAIN_ITERS):
+        trained = _sub_recompute(_sub_assign(sub, trained))
+    trained_assign = _sub_assign(sub, trained)
+
+    def _distortion(assigned: DataFrame, col: str) -> DataFrame:
+        return assigned.groupBy("m").agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(
+                F.floor(F.col("d2") * 1_000_000.0 + 0.5).cast("long")
+            ).alias(col),
+        )
+
+    seed_d = _distortion(seed_assign, "d_seed_micro")
+    trained_d = _distortion(trained_assign, "d_trained_micro").drop("n_vectors")
+    return (
+        seed_d.join(trained_d, "m")
+        .selectExpr(
+            "CAST(m AS BIGINT) AS m", "n_vectors",
+            "d_seed_micro", "d_trained_micro",
+            "d_trained_micro <= d_seed_micro AS improved",
+        )
+    )
+
+
+def _sql_sub_dot(a: str, b: str) -> str:
+    return DUCK_DOT.format(a=a, b=b)
+
+
+def _sql_sub_iteration(prev: str, i: int) -> str:
+    return f"""
+sassign{i} AS (
+  SELECT vec_id, m, sv, sn, code, d2 FROM (
+    SELECT s.vec_id, s.m, s.sv, s.sn, c.code,
+      s.sn + {_sql_sub_dot('c.cv', 'c.cv')} - 2 * {_sql_sub_dot('s.sv', 'c.cv')} AS d2,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        s.sn + {_sql_sub_dot('c.cv', 'c.cv')}
+          - 2 * {_sql_sub_dot('s.sv', 'c.cv')} ASC, c.code ASC) AS r
+    FROM sub s JOIN {prev} c ON s.m = c.m
+  ) WHERE r = 1
+),
+scent{i} AS (
+  SELECT m, code, list(mn ORDER BY pos) AS cv
+  FROM (
+    SELECT m, code, pos,
+      CAST(SUM(CAST(x_nano AS DECIMAL(38,0))) AS DOUBLE) / {_NANO} / COUNT(*) AS mn
+    FROM (
+      SELECT a.m, a.code, CAST(i AS INTEGER) AS pos,
+        CAST(floor(a.sv[i] * {_NANO} + 0.5) AS BIGINT) AS x_nano
+      FROM sassign{i} a, (SELECT unnest(range(1, {_SUBD} + 1)) AS i)
+    ) GROUP BY m, code, pos
+  ) GROUP BY m, code
+)"""
+
+
+def _sql_pq_trained() -> str:
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings)",
+        f"""n AS (
+  SELECT vec_id,
+    list_transform(v0, x -> x / sqrt({DUCK_DOT.format(a='v0', b='v0')})) AS v
+  FROM emb
+)""",
+        f"""sub AS (
+  SELECT vec_id, m, sv, {_sql_sub_dot('sv', 'sv')} AS sn FROM (
+    SELECT vec_id, CAST(u.m AS BIGINT) AS m,
+      v[(u.m * {_SUBD} + 1):(u.m * {_SUBD} + {_SUBD})] AS sv
+    FROM n, UNNEST(range(0, {_M})) AS u(m)
+  )
+)""",
+        f"scent0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < {_K})",
+    ]
+    prev = "scent0"
+    for i in range(1, _TRAIN_ITERS + 1):
+        parts.append(_sql_sub_iteration(prev, i).strip())
+        prev = f"scent{i}"
+    final_assign = f"""
+sfinal AS (
+  SELECT vec_id, m, code, d2 FROM (
+    SELECT s.vec_id, s.m, c.code,
+      s.sn + {_sql_sub_dot('c.cv', 'c.cv')} - 2 * {_sql_sub_dot('s.sv', 'c.cv')} AS d2,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        s.sn + {_sql_sub_dot('c.cv', 'c.cv')}
+          - 2 * {_sql_sub_dot('s.sv', 'c.cv')} ASC, c.code ASC) AS r
+    FROM sub s JOIN {prev} c ON s.m = c.m
+  ) WHERE r = 1
+)"""
+    parts.append(final_assign.strip())
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT s.m, s.n_vectors, s.d_seed_micro, t.d_trained_micro,
+  t.d_trained_micro <= s.d_seed_micro AS improved
+FROM (
+  SELECT m, COUNT(*) AS n_vectors,
+    CAST(SUM(CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+      AS d_seed_micro
+  FROM sassign1 GROUP BY m
+) s JOIN (
+  SELECT m, CAST(SUM(CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+      AS d_trained_micro
+  FROM sfinal GROUP BY m
+) t ON s.m = t.m
+"""
+    )
+
+
 def register_all() -> None:
     register_extra("sim_pq_ann", q_pq_ann, _sql_pq_ann())
     register_extra("sim_pq_refine", q_pq_refine, _sql_pq_refine())
@@ -373,3 +559,4 @@ def register_all() -> None:
     register_extra(
         "sim_pq_refine_recall", q_pq_refine_recall, _sql_recall(_sql_pq_refine())
     )
+    register_extra("sim_pq_trained", q_pq_trained, _sql_pq_trained())

@@ -19,6 +19,7 @@ from impala_base_to_cdw_sizing_spark.operators.pq import (  # noqa: E402
     _pq_index,
     q_pq_recall,
     q_pq_refine_recall,
+    q_pq_trained,
 )
 
 
@@ -46,3 +47,15 @@ def test_refine_dominates_adc_only(spark):
         # the refined search is a real ANN, not a coin flip: at least
         # 2/3 of the exact top-3 set comes back on both corpora
         assert ref.recall_at3 >= 2 / 3, (sf, ref)
+
+
+def test_training_strictly_reduces_distortion_everywhere(spark):
+    # Lloyd from the seed init can never worsen it (monotone
+    # convergence); on this corpus it strictly improves EVERY subspace
+    # (measured ~25% at sf0.01) — equality would mean the training is
+    # dead code
+    rows = q_pq_trained(spark, SF_ORACLE).collect()
+    assert len(rows) == _M
+    for r in rows:
+        assert r.improved
+        assert r.d_trained_micro < r.d_seed_micro, r
