@@ -596,6 +596,127 @@ JOIN rolled r USING (event_type)
 """
 
 
+# --- mergeable quantile rollup (equi-width histogram) ------------------------------
+
+_QHIST_BINS = 32
+
+
+def q_histogram_rollup_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile counterpart of ``rel_hll_rollup``: exact percentiles
+    cannot roll up (a global sort re-reads everything), so each day keeps
+    a ``_QHIST_BINS``-bin equi-width histogram of ``value`` and the
+    rollup MERGES histograms by summing bin counts — sketches are read,
+    events are re-scanned never. The median estimate from the merged
+    histogram (upper edge of the bin where cumulative mass crosses 1/2)
+    is then compared against the true lower median; the estimate's error
+    is mathematically < one bin width, emitted as the always-true
+    ``err_lt_width`` witness column.
+
+    Everything runs in integer micro-units (value quantized once,
+    bin = (v - vmin) DIV width with width an integer), so the estimate,
+    the exact median, and the error bound are bit-identical across
+    engines — no tolerance anywhere."""
+    from ..sources.files import load_events
+
+    ev = load_events(spark, sf_dir).selectExpr(
+        "event_type",
+        "(ts div 1000000000) div 86400 AS day",
+        "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v",
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.count("*").alias("n"),
+    )
+    binned = ev.join(F.broadcast(stats), "event_type").selectExpr(
+        "event_type", "day", "n", "vmin",
+        f"(vmax - vmin) DIV {_QHIST_BINS} + 1 AS width",
+        f"(v - vmin) DIV ((vmax - vmin) DIV {_QHIST_BINS} + 1) AS bin",
+    )
+    daily = binned.groupBy(
+        "event_type", "day", "bin", "n", "vmin", "width"
+    ).agg(F.count("*").alias("cnt"))
+    rolled = daily.groupBy("event_type", "bin", "n", "vmin", "width").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    est = (
+        rolled.withColumn("cum", F.sum("cnt").over(wcum))
+        .filter(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("event_type", "n", "vmin", "width")
+        .agg(F.min("bin").alias("med_bin"))
+        .selectExpr(
+            "event_type", "n", "width",
+            "vmin + (med_bin + 1) * width - 1 AS est_p50_micro",
+        )
+    )
+    wmed = Window.partitionBy("event_type").orderBy("v", "day")
+    exact = (
+        ev.withColumn("rn", F.row_number().over(wmed))
+        .join(F.broadcast(stats.select("event_type", "n")), "event_type")
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .groupBy("event_type")
+        .agg(F.min("v").alias("exact_p50_micro"))
+    )
+    return est.join(exact, "event_type").selectExpr(
+        "event_type", "n", "est_p50_micro", "exact_p50_micro",
+        "abs(est_p50_micro - exact_p50_micro) < width AS err_lt_width",
+    )
+
+
+SQL_HISTOGRAM_ROLLUP = f"""
+WITH ev AS (
+  SELECT event_type, (epoch_ns(ts) // 1000000000) // 86400 AS day,
+    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+stats AS (
+  SELECT event_type, MIN(v) AS vmin, MAX(v) AS vmax,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1
+),
+binned AS (
+  SELECT e.event_type, e.day, s.n, s.vmin,
+    (s.vmax - s.vmin) // {_QHIST_BINS} + 1 AS width,
+    (e.v - s.vmin) // ((s.vmax - s.vmin) // {_QHIST_BINS} + 1) AS bin
+  FROM ev e JOIN stats s USING (event_type)
+),
+daily AS (
+  SELECT event_type, day, bin, n, vmin, width, COUNT(*) AS cnt
+  FROM binned GROUP BY 1, 2, 3, 4, 5, 6
+),
+rolled AS (
+  SELECT event_type, bin, n, vmin, width, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM daily GROUP BY 1, 2, 3, 4, 5
+),
+est AS (
+  SELECT event_type, n, width,
+    vmin + (MIN(bin) + 1) * width - 1 AS est_p50_micro
+  FROM (
+    SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM rolled
+  ) WHERE cum * 2 >= n
+  GROUP BY event_type, n, vmin, width
+),
+exact AS (
+  SELECT event_type, MIN(v) AS exact_p50_micro FROM (
+    SELECT e.event_type, e.v, s.n,
+      ROW_NUMBER() OVER (PARTITION BY e.event_type ORDER BY e.v, e.day) AS rn
+    FROM ev e JOIN stats s USING (event_type)
+  ) WHERE rn = (n + 1) // 2
+  GROUP BY event_type
+)
+SELECT e.event_type, e.n, e.est_p50_micro, x.exact_p50_micro,
+  abs(e.est_p50_micro - x.exact_p50_micro) < e.width AS err_lt_width
+FROM est e JOIN exact x USING (event_type)
+"""
+
+
 # --- calendar semantics -----------------------------------------------------------
 
 
@@ -740,6 +861,11 @@ def register_all() -> None:
     )
     register_extra("rel_upsert_snapshot", q_upsert_snapshot, SQL_UPSERT_SNAPSHOT)
     register_extra("rel_hll_rollup", q_hll_rollup, SQL_HLL_ROLLUP)
+    register_extra(
+        "rel_histogram_rollup_quantile",
+        q_histogram_rollup_quantile,
+        SQL_HISTOGRAM_ROLLUP,
+    )
     register_extra("rel_null_semantics", q_null_semantics, SQL_NULL_SEMANTICS)
     register_extra("rel_calendar_funcs", q_calendar_funcs, SQL_CALENDAR_FUNCS)
     register_extra("rel_file_provenance", q_file_provenance, _provenance_sql())
