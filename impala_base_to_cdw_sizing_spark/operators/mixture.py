@@ -168,6 +168,125 @@ FROM rates r LEFT JOIN kept k ON r.source = k.source
 """
 
 
+# --- temperature-scaled mixture (alpha = 0.5 upsampling) ---------------------------
+#
+# Equal-share targets starve nothing but also upweight nothing; the
+# multilingual/data-recipe standard (mC4, XLM-R, LLaMA pretraining
+# mixes) samples source i with probability proportional to
+# mass_i^alpha, alpha < 1, which boosts low-resource sources relative
+# to their raw share. alpha = 0.5 keeps the whole computation exactly
+# portable: sqrt is IEEE-correctly-rounded in both engines (the one
+# transcendental with that guarantee — the DSIR ln case is NOT, see
+# curation.py), and the sqrt weights are immediately quantized to
+# integer micro-units so the normalizing SUM is an exact integer, never
+# an order-dependent float sum.
+
+_TEMP_ALPHA = 0.5  # realized as sqrt(); do not change without re-deriving
+
+
+def q_mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture summary under temperature sampling: target_i ∝
+    sqrt(avail_i), same deterministic keep-coin as ``mix_sources``. The
+    ``share_boost`` column (temperature share / raw share) is > 1 exactly
+    for the below-average-mass sources — the upsampling, made visible."""
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "source",
+        f"CAST(size({SPARK_TOKENS}) AS BIGINT) AS n_tokens",
+        f"(doc_id * {_KNUTH}) % {_M32} AS shuffle_key",
+    ).localCheckpoint(eager=True)
+    avail = docs.groupBy("source").agg(
+        F.sum("n_tokens").alias("avail_tokens"),
+        F.count("*").alias("n_docs"),
+    ).selectExpr(
+        "source", "avail_tokens", "n_docs",
+        "CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE)) * 1000000 + 0.5)"
+        " AS BIGINT) AS w_micro",
+    )
+    total = avail.agg(
+        F.sum("avail_tokens").alias("total_tokens"),
+        F.sum("w_micro").alias("w_sum"),
+    )
+    rates = avail.crossJoin(F.broadcast(total)).selectExpr(
+        "source", "avail_tokens", "n_docs",
+        "w_micro / CAST(w_sum AS DOUBLE) AS temp_share",
+        "avail_tokens / CAST(total_tokens AS DOUBLE) AS raw_share",
+        f"CAST(floor(CAST(total_tokens AS DOUBLE) * {_BUDGET_FRAC}"
+        " * (w_micro / CAST(w_sum AS DOUBLE))) AS BIGINT) AS target_tokens",
+        f"least(CAST(1.0 AS DOUBLE), CAST(total_tokens AS DOUBLE)"
+        f" * {_BUDGET_FRAC} * (w_micro / CAST(w_sum AS DOUBLE))"
+        " / avail_tokens) AS keep_rate",
+    )
+    keep = F.col("shuffle_key") < F.floor(
+        F.col("keep_rate") * F.lit(float(_M32))
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("avail_tokens").alias("avail_tokens"),
+            F.first("target_tokens").alias("target_tokens"),
+            F.first("keep_rate").alias("keep_rate"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.first("temp_share").alias("temp_share"),
+            F.first("raw_share").alias("raw_share"),
+        )
+        .selectExpr(
+            "source", "n_docs", "avail_tokens", "target_tokens", "keep_rate",
+            "n_kept", "tokens_kept",
+            "temp_share / raw_share > 1.0 AS boosted",
+        )
+    )
+
+
+SQL_MIX_TEMPERATURE = f"""
+WITH docs AS (
+  SELECT doc_id, source,
+    CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+    (doc_id * {_KNUTH}) % {_M32} AS shuffle_key
+  FROM documents
+),
+avail AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens,
+    COUNT(*) AS n_docs,
+    CAST(floor(sqrt(CAST(SUM(n_tokens) AS DOUBLE)) * 1000000 + 0.5)
+      AS BIGINT) AS w_micro
+  FROM docs GROUP BY source
+),
+total AS (
+  SELECT CAST(SUM(avail_tokens) AS BIGINT) AS total_tokens,
+    CAST(SUM(w_micro) AS BIGINT) AS w_sum
+  FROM avail
+),
+rates AS (
+  SELECT source, avail_tokens, n_docs,
+    w_micro / CAST(w_sum AS DOUBLE) AS temp_share,
+    avail_tokens / CAST(total_tokens AS DOUBLE) AS raw_share,
+    CAST(floor(CAST(total_tokens AS DOUBLE) * {_BUDGET_FRAC}
+      * (w_micro / CAST(w_sum AS DOUBLE))) AS BIGINT) AS target_tokens,
+    least(CAST(1.0 AS DOUBLE), CAST(total_tokens AS DOUBLE)
+      * {_BUDGET_FRAC} * (w_micro / CAST(w_sum AS DOUBLE))
+      / avail_tokens) AS keep_rate
+  FROM avail, total
+),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_kept,
+    CAST(SUM(d.n_tokens) AS BIGINT) AS tokens_kept
+  FROM docs d JOIN rates r ON d.source = r.source
+  WHERE d.shuffle_key < CAST(floor(r.keep_rate * {float(_M32)}) AS BIGINT)
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.avail_tokens, r.target_tokens, r.keep_rate,
+  COALESCE(k.n_kept, 0) AS n_kept,
+  COALESCE(k.tokens_kept, 0) AS tokens_kept,
+  r.temp_share / r.raw_share > 1.0 AS boosted
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+"""
+
+
 # --- Bloom-filter membership dedup -----------------------------------------------
 
 # Filter sized so the fixture corpus (250 digests × 4 hashes ≈ 1000 set
@@ -292,4 +411,7 @@ LEFT JOIN (SELECT DISTINCT digest FROM corpus) c ON h.digest = c.digest
 
 def register_all() -> None:
     register_extra("mix_sources", q_mix_sources, SQL_MIX_SOURCES)
+    register_extra(
+        "mix_sources_temperature", q_mix_sources_temperature, SQL_MIX_TEMPERATURE
+    )
     register_extra("dedup_bloom", q_dedup_bloom, SQL_DEDUP_BLOOM)
