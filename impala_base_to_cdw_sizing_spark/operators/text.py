@@ -1930,6 +1930,78 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_signals(_docs(spark, sf_dir))
 
 
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cut list: maximal duplicated spans per document —
+    ``(doc_id, span_start, span_end, span_len)``, 1-based token
+    positions, inclusive. This is the artifact the ExactSubstr paper
+    actually removes from the corpus; :func:`q_dedup_substring` reports
+    the per-doc totals, this emits the positions. Merging covered
+    positions into maximal runs is gaps-and-islands (pos − row_number
+    per doc is constant within a run) — a per-document window, so span
+    assembly never leaves the document's partition."""
+    w = _SUBSTR_W
+    toks = (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(SPARK_TOKENS))
+        .filter(F.expr(f"size(tokens) >= {w}"))
+        .selectExpr("doc_id", "tokens")
+    )
+    wins = toks.selectExpr("doc_id", f"inline({_win_spark(w)})")
+    shared = (
+        wins.groupBy("wk")
+        .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
+        .filter(F.col("d_lo") != F.col("d_hi"))
+        .select("wk")
+    )
+    covered = (
+        wins.join(shared, "wk")
+        .selectExpr("doc_id", f"explode(sequence(i, i + {w} - 1)) AS pos")
+        .distinct()
+    )
+    wpos = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        covered.withColumn("grp", F.col("pos") - F.row_number().over(wpos))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max("pos").cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len")
+    )
+
+
+def _substring_spans_sql() -> str:
+    w = _SUBSTR_W
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tokens, CAST(len(tokens) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents)
+  WHERE len(tokens) >= {w}
+),
+wins AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+    hash(array_to_string(tokens[u.i:u.i+{w}-1], ' ')) AS wk
+  FROM toks, UNNEST(range(1, n_tokens - {w} + 2)) AS u(i)
+),
+shared AS (SELECT wk FROM wins GROUP BY wk HAVING min(doc_id) <> max(doc_id)),
+covered AS (
+  SELECT DISTINCT doc_id, i + p.off AS pos
+  FROM (SELECT doc_id, i FROM wins JOIN shared USING (wk)),
+    UNNEST(range(0, {w})) AS p(off)
+),
+runs AS (
+  SELECT doc_id, pos,
+    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM covered
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+  CAST(MAX(pos) AS BIGINT) AS span_end,
+  CAST(COUNT(*) AS BIGINT) AS span_len
+FROM runs GROUP BY doc_id, grp
+"""
+
+
 def _substring_sql() -> str:
     w = _SUBSTR_W
     return f"""
@@ -2002,3 +2074,6 @@ def register_all() -> None:
     # both must reach the identical component-min fixpoint
     register_extra("dedup_components_star", q_dedup_components_star, _components_sql())
     register_extra("dedup_substring", q_dedup_substring, _substring_sql())
+    register_extra(
+        "dedup_substring_spans", q_dedup_substring_spans, _substring_spans_sql()
+    )

@@ -55,6 +55,31 @@ def test_within_doc_repetition_is_not_cross_doc(spark):
     assert out.loc[0, "dup_tokens"] == 0
 
 
+def test_spans_tile_the_dup_token_totals(spark):
+    # the span list is the same information as the per-doc totals:
+    # per-doc sum of span lengths == dup_tokens, every maximal span is
+    # at least one window wide, and spans never overlap (maximality)
+    from tests.conftest import SF_ORACLE
+
+    from impala_base_to_cdw_sizing_spark.operators.text import (
+        q_dedup_substring,
+        q_dedup_substring_spans,
+    )
+
+    spans = q_dedup_substring_spans(spark, SF_ORACLE).toPandas()
+    totals = q_dedup_substring(spark, SF_ORACLE).toPandas().set_index("doc_id")
+    assert len(spans) > 0  # non-vacuous at sf0.01 (47 docs share 8-grams)
+    assert (spans.span_len >= _SUBSTR_W).all()
+    assert (spans.span_end - spans.span_start + 1 == spans.span_len).all()
+    by_doc = spans.groupby("doc_id").span_len.sum()
+    for doc_id, s in by_doc.items():
+        assert s == totals.loc[doc_id, "dup_tokens"]
+    for doc_id, grp in spans.sort_values("span_start").groupby("doc_id"):
+        ends = grp.span_end.values
+        starts = grp.span_start.values
+        assert all(starts[i + 1] > ends[i] + 1 for i in range(len(grp) - 1))
+
+
 def test_short_docs_drop_and_frac_bounded(spark):
     rows = [
         (0, "only three tokens"),  # < W → no row
