@@ -1,0 +1,182 @@
+"""Principal direction of the embedding cloud — power iteration over the
+centered covariance, unrolled like ``kmeans_clusters``/``graph_pagerank``
+so even this iterative linear-algebra op is DuckDB-oracle-checkable.
+
+The covariance matrix is never materialized (64x64 would be fine here,
+but the POINT is the 100 TB shape): each round applies C to the current
+direction as two streaming passes, ``dot_i = c_i . x`` then
+``y_d = sum_i c_i[d] * dot_i`` — a per-row map plus one (pos)-keyed
+aggregation with map-side partials. Cross-engine float discipline:
+
+- the mean and every per-dim sum accumulate integer nano-units
+  (order-independent, the centroid trick);
+- the direction x lives as an ``array<long>`` of nano-units between
+  rounds — never round-tripped through binary doubles, so no
+  re-quantization drift;
+- per-term products quantize to nano BEFORE the order-dependent SUM;
+- dots and norms fold in fixed index order; sqrt is correctly rounded.
+
+Output: 64 rows ``(pos, loading_nano, lambda_micro)`` — the direction
+after ``_PCA_ROUNDS`` rounds and the Rayleigh-style eigenvalue estimate
+``|y| / n``. ``tests/test_pca.py`` differential-tests the whole chain
+against a numpy replica of the same quantized recurrence and checks the
+direction against numpy's exact top eigenvector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries_ext import register_extra
+from .similarity import DUCK_DOT, SPARK_DOT
+
+DIM = 64
+_PCA_ROUNDS = 3
+_NANO = 1_000_000_000.0
+
+# x is integer nano-units; the dot divides each component back just-in-time
+_SPARK_DOT_XN = (
+    "aggregate(zip_with({a}, {b}, (p, q) -> p * (q / 1000000000.0)), "
+    "CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+)
+_DUCK_DOT_XN = (
+    "list_reduce([CAST(0 AS DOUBLE)] || "
+    "list_transform(range(1, len({a}) + 1), i -> {a}[i] * ({b}[i] / 1000000000.0)), "
+    "(acc, t) -> acc + t)"
+)
+
+
+def _centered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id", "transform(embedding, e -> CAST(e AS DOUBLE)) AS v"
+    )
+    mean = (
+        emb.select(F.posexplode("v").alias("pos", "e"))
+        .withColumn("e_nano", F.floor(F.col("e") * _NANO + 0.5).cast("long"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.col("e_nano").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .selectExpr("pos", f"CAST(s AS DOUBLE) / {_NANO} / n AS m")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), p -> p.m)"
+            ).alias("mv")
+        )
+    )
+    return emb.crossJoin(F.broadcast(mean)).selectExpr(
+        "vec_id", "zip_with(v, mv, (a, b) -> a - b) AS cv"
+    )
+
+
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cent = _centered(spark, sf_dir).localCheckpoint(eager=True)
+    n_frame = cent.agg(F.count("*").alias("n"))
+    # x0 = e_0 in nano units
+    x = spark.range(1).selectExpr(
+        f"transform(sequence(0, {DIM - 1}),"
+        " d -> CAST(IF(d = 0, 1000000000, 0) AS BIGINT)) AS xn"
+    )
+    for _ in range(_PCA_ROUNDS):
+        dots = cent.crossJoin(F.broadcast(x)).withColumn(
+            "dt", F.expr(_SPARK_DOT_XN.format(a="cv", b="xn"))
+        )
+        y = (
+            dots.select(F.posexplode("cv").alias("pos", "cval"), "dt")
+            .withColumn(
+                "t_nano",
+                F.floor(F.col("cval") * F.col("dt") * _NANO + 0.5).cast("long"),
+            )
+            .groupBy("pos")
+            .agg(F.sum(F.col("t_nano").cast("decimal(38,0)")).alias("s"))
+            .selectExpr("pos", f"CAST(s AS DOUBLE) / {_NANO} AS yd")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, yd))),"
+                    " p -> p.yd)"
+                ).alias("ys")
+            )
+        )
+        x = y.selectExpr(
+            "ys", f"sqrt({SPARK_DOT.format(a='ys', b='ys')}) AS nrm"
+        ).selectExpr(
+            "transform(ys, e -> CAST(floor(e / nrm * 1000000000.0 + 0.5)"
+            " AS BIGINT)) AS xn",
+            "nrm",
+        )
+    out = (
+        x.crossJoin(F.broadcast(n_frame))
+        .selectExpr(
+            "posexplode(xn) AS (pos, loading_nano)",
+            "CAST(floor(nrm / n * 1000000.0 + 0.5) AS BIGINT) AS lambda_micro",
+        )
+        .selectExpr("CAST(pos AS BIGINT) AS pos", "loading_nano", "lambda_micro")
+    )
+    return out
+
+
+def _sql_pca_round(prev: str, i: int) -> str:
+    return f"""
+dots{i} AS (
+  SELECT c.vec_id, c.cv, {_DUCK_DOT_XN.format(a='c.cv', b='x.xn')} AS dt
+  FROM cent c, {prev} x
+),
+y{i} AS (
+  SELECT list(yd ORDER BY pos) AS ys FROM (
+    SELECT pos, CAST(SUM(CAST(t_nano AS DECIMAL(38,0))) AS DOUBLE) / {_NANO} AS yd
+    FROM (
+      SELECT CAST(u.p AS INTEGER) AS pos,
+        CAST(floor(d.cv[u.p] * d.dt * {_NANO} + 0.5) AS BIGINT) AS t_nano
+      FROM dots{i} d, UNNEST(range(1, {DIM} + 1)) AS u(p)
+    ) GROUP BY pos
+  )
+),
+x{i} AS (
+  SELECT list_transform(ys, e -> CAST(floor(e / nrm * {_NANO} + 0.5) AS BIGINT))
+    AS xn, nrm
+  FROM (SELECT ys, sqrt({DUCK_DOT.format(a='ys', b='ys')}) AS nrm FROM y{i})
+)"""
+
+
+def _sql_pca_power() -> str:
+    x0 = "[" + ", ".join(
+        "CAST(1000000000 AS BIGINT)" if d == 0 else "CAST(0 AS BIGINT)"
+        for d in range(DIM)
+    ) + "]"
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""mean AS (
+  SELECT list(m ORDER BY pos) AS mv FROM (
+    SELECT pos, CAST(SUM(CAST(e_nano AS DECIMAL(38,0))) AS DOUBLE)
+      / {_NANO} / COUNT(*) AS m
+    FROM (
+      SELECT CAST(u.p AS INTEGER) AS pos,
+        CAST(floor(v[u.p] * {_NANO} + 0.5) AS BIGINT) AS e_nano
+      FROM emb, UNNEST(range(1, {DIM} + 1)) AS u(p)
+    ) GROUP BY pos
+  )
+)""",
+        """cent AS (
+  SELECT vec_id, list_transform(range(1, len(v) + 1), i -> v[i] - mv[i]) AS cv
+  FROM emb, mean
+)""",
+        "nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cent)",
+        f"x0 AS (SELECT {x0} AS xn)",
+    ]
+    prev = "x0"
+    for i in range(1, _PCA_ROUNDS + 1):
+        parts.append(_sql_pca_round(prev, i).strip())
+        prev = f"x{i}"
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT CAST(u.p - 1 AS BIGINT) AS pos, x.xn[u.p] AS loading_nano,
+  CAST(floor(x.nrm / w.n * 1000000.0 + 0.5) AS BIGINT) AS lambda_micro
+FROM {prev} x, nrow w, UNNEST(range(1, {DIM} + 1)) AS u(p)
+"""
+    )
+
+
+def register_all() -> None:
+    register_extra("emb_pca_power", q_pca_power, _sql_pca_power())

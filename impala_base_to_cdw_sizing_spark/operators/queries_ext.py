@@ -81,10 +81,20 @@ def _load_providers() -> None:
     countmin.register_all()
     profiling.register_all()
 
-    from . import curation, custom_agg, funnels, graph_rank, ingest_quality, pq, skew
+    from . import (
+        curation,
+        custom_agg,
+        funnels,
+        graph_rank,
+        ingest_quality,
+        pca,
+        pq,
+        skew,
+    )
 
     skew.register_all()
     pq.register_all()
+    pca.register_all()
     custom_agg.register_all()
     ingest_quality.register_all()
     curation.register_all()
