@@ -122,7 +122,11 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(_M)
         ]
     )
-    return cells.join(codes, "vec_id")
+    # the search references the index on both join sides (query cells +
+    # candidates) — materialize once, GC-scoped (the repo's
+    # cache-hygiene pattern: no unpersist bookkeeping, blocks release
+    # with the frame)
+    return cells.join(codes, "vec_id").localCheckpoint(eager=True)
 
 
 def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,7 +445,9 @@ def q_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``improved`` is Lloyd's monotone-convergence guarantee materialized
     as a column — training from an init can never worsen that init's
     total distortion."""
-    sub = _sub_rows(spark, sf_dir)
+    # read 2 + _TRAIN_ITERS times (seed assignment, each round, final
+    # assignment) — materialize once, GC-scoped
+    sub = _sub_rows(spark, sf_dir).localCheckpoint(eager=True)
     cent = sub.filter(F.col("vec_id") < _K).selectExpr(
         "m", "vec_id AS code", "sv AS cv"
     )

@@ -1946,7 +1946,10 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(f"size(tokens) >= {w}"))
         .selectExpr("doc_id", "tokens")
     )
-    wins = toks.selectExpr("doc_id", f"inline({_win_spark(w)})")
+    # read twice (shared-key agg + join back) — materialize, GC-scoped
+    wins = toks.selectExpr(
+        "doc_id", f"inline({_win_spark(w)})"
+    ).localCheckpoint(eager=True)
     shared = (
         wins.groupBy("wk")
         .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
