@@ -89,15 +89,17 @@ def make_update(cap: int = DEFAULT_CAP):
 
 
 def heavyhitters_stream(
-    events: DataFrame, cap: int = DEFAULT_CAP
+    events: DataFrame, cap: int = DEFAULT_CAP, output_mode: str = "update"
 ) -> DataFrame:
     """events(grp, item, ts_ms, seq) stream → the full capacity-``cap``
-    summary of every state group after each micro-batch (update mode:
-    the latest row set per group is the current summary)."""
+    summary of every state group after each micro-batch (the latest row
+    set per group is the current summary). ``output_mode='append'``
+    pairs with a file sink for checkpoint-recoverable runs: the sink
+    then holds the full snapshot history, exactly once."""
     return events.groupBy("grp").applyInPandasWithState(
         make_update(cap),
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
-        "update",
+        output_mode,
         GroupStateTimeout.NoTimeout,
     )

@@ -119,3 +119,65 @@ def test_stream_matches_reference_and_guarantees(spark, tmp_path):
                 assert item in final[g], (item, cnt, group_n[g])
         for item, (est, err) in final[g].items():
             assert est - err <= exact[item] <= est, (item, est, err)
+
+
+def test_summary_state_survives_checkpoint_restart(spark, tmp_path):
+    """Kill the query between batches, land data while it is down,
+    restart from the same checkpoint: the post-restart snapshot must
+    CONTINUE the pre-restart counts (state survived) and the sink must
+    hold each snapshot exactly once (no replays)."""
+    rows = _skewed_rows()
+    cut = len(rows) // 2
+    batches = [rows[:cut], rows[cut:]]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _start():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            heavyhitters_stream(stream, cap=CAP, output_mode="append")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    spark.createDataFrame(batches[0], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+    # batch 2 lands while the query is DOWN
+    spark.createDataFrame(batches[1], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = _start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    # reference: snapshot after batch 1 (fresh state) + snapshot after
+    # batch 2 CONTINUING batch 1's state — a state reset would shrink
+    # the batch-2 counts to batch-2-only mass
+    expect = []
+    state: dict[int, dict] = {g: {} for g in range(N_GROUPS)}
+    for batch in batches:
+        for g in range(N_GROUPS):
+            spacesaving_fold(
+                [i for gg, i, _t, _s in batch if gg == g], state[g], CAP
+            )
+            for item in sorted(state[g]):
+                expect.append(
+                    (g, item, state[g][item][0], state[g][item][1])
+                )
+    got = sorted(
+        (r.grp, r.item, r.est_count, r.err)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == sorted(expect)
