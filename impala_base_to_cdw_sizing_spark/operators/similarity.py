@@ -1054,7 +1054,10 @@ def q_rp_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = orig.join(proj, "vec_id")
     a = both.selectExpr("vec_id AS a_id", "v AS av", "p AS ap")
     b = both.selectExpr("vec_id AS b_id", "v AS bv", "p AS bp")
-    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    # broadcast the 5-row side: a bare non-equi inner join would plan a
+    # CartesianProduct (the one the extra-tier plan sweep caught);
+    # BroadcastNestedLoopJoin is the sanctioned small-side form
+    pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
     cos_o = (
         f"{SPARK_DOT.format(a='av', b='bv')} / "
         f"(sqrt({SPARK_DOT.format(a='av', b='av')})"

@@ -44,6 +44,31 @@ def test_no_row_udfs_or_cartesians_anywhere(spark):
     assert arrow_users <= {"mm_decode_stub"}, arrow_users
 
 
+def test_extra_tier_has_no_row_udfs_or_cartesians(spark):
+    """The same hygiene bar for the pytest-verified tier: none of the 90
+    extra queries may plan a row-at-a-time Python UDF or a cartesian
+    product (broadcast nested-loop is the sanctioned small-side form).
+    Queries that execute jobs during construction (localCheckpoint
+    rounds) still end in a final plan — audited here like any other."""
+    offenders = {}
+    arrow_users = set()
+    audited = 0
+    for name, fn in ent.extra_queries().items():
+        plan = fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        a = audit_plan(plan)
+        audited += 1
+        if a["python_eval"] > 0 or a["cartesian"] > 0:
+            offenders[name] = a
+        if a["arrow_eval"] > 0:
+            arrow_users.add(name)
+        spark.catalog.clearCache()
+    assert audited >= 85
+    assert not offenders, offenders
+    # vectorized Arrow only where documented: the grouped-agg UDAF and
+    # the multimodal decode family
+    assert arrow_users <= {"agg_grouped_median"}, arrow_users
+
+
 def test_flagship_narrow_plans_stay_shuffle_free(spark):
     from pyspark.sql import functions as F  # noqa: F401
 
