@@ -837,6 +837,97 @@ WHERE n_common >= 2
 """
 
 
+# --- containment (asymmetric near-dup) ---------------------------------------------
+#
+# Broder's containment coefficient C(A,B) = |A∩B| / |A|: a 100-shingle
+# snippet fully pasted inside a 5000-shingle page has jaccard ≈ 0.02
+# (invisible to the symmetric score at any sane threshold) but
+# containment(small→big) = 1.0. Copy/quote detection in corpus curation
+# keys on containment for exactly this reason; the plan is the SAME
+# df-cut inverted-index self-join as q_ngram_jaccard — only the
+# normalization differs, so the scale story is already proven there.
+
+_CONTAIN_TAU = 0.8
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs: ``(doc_small, doc_big, n_common,
+    containment, jaccard)`` for pairs where the smaller shingle set is
+    ≥ ``_CONTAIN_TAU`` contained in the larger — emitting the jaccard
+    alongside shows what the symmetric score would have missed.
+    ``doc_small`` is the side the containment is measured FOR (ties on
+    set size break to the lower doc_id as doc_small)."""
+    sh = (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(SPARK_TOKENS))
+        .selectExpr("doc_id", f"array_distinct({SPARK_SHINGLES}) AS shingles")
+    ).cache()
+    exploded = sh.selectExpr("doc_id", "explode(shingles) AS shingle")
+    sizes = sh.selectExpr("doc_id", "size(shingles) AS n_sh")
+    rare = (
+        exploded.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("shingle")
+    )
+    exploded = exploded.join(rare, "shingle").cache()
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sized = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+    )
+    out = sized.selectExpr(
+        "IF(n_a <= n_b, doc_a, doc_b) AS doc_small",
+        "IF(n_a <= n_b, doc_b, doc_a) AS doc_big",
+        "n_common",
+        "n_common / CAST(least(n_a, n_b) AS DOUBLE) AS containment",
+        "n_common / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard",
+    )
+    sh.unpersist()
+    exploded.unpersist()
+    return out.filter(F.col("containment") >= _CONTAIN_TAU)
+
+
+SQL_NGRAM_CONTAINMENT = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({DUCK_SHINGLES}) AS shingles
+  FROM (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents)
+),
+exploded_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+rare AS (
+  SELECT shingle FROM exploded_all GROUP BY shingle HAVING COUNT(*) <= 50
+),
+exploded AS (
+  SELECT e.doc_id, e.shingle FROM exploded_all e JOIN rare USING (shingle)
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT IF(sa.n_sh <= sb.n_sh, doc_a, doc_b) AS doc_small,
+  IF(sa.n_sh <= sb.n_sh, doc_b, doc_a) AS doc_big,
+  n_common,
+  n_common / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment,
+  n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= {_CONTAIN_TAU}
+"""
+
+
 # --- MinHash-LSH -------------------------------------------------------------------------
 
 _MH_P = 1_000_000_007
@@ -2080,3 +2171,4 @@ def register_all() -> None:
     register_extra(
         "dedup_substring_spans", q_dedup_substring_spans, _substring_spans_sql()
     )
+    register_extra("dedup_containment", q_ngram_containment, SQL_NGRAM_CONTAINMENT)
