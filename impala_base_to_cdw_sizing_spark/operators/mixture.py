@@ -237,6 +237,10 @@ def q_mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "source", "n_docs", "avail_tokens", "target_tokens", "keep_rate",
             "n_kept", "tokens_kept",
+            # both shares are exact-integer divides (w_micro/w_sum,
+            # avail/total), so the ratio is one correctly-rounded double
+            # division in either engine — safe to emit cross-engine
+            "temp_share / raw_share AS share_boost",
             "temp_share / raw_share > 1.0 AS boosted",
         )
     )
@@ -282,6 +286,7 @@ kept AS (
 SELECT r.source, r.n_docs, r.avail_tokens, r.target_tokens, r.keep_rate,
   COALESCE(k.n_kept, 0) AS n_kept,
   COALESCE(k.tokens_kept, 0) AS tokens_kept,
+  r.temp_share / r.raw_share AS share_boost,
   r.temp_share / r.raw_share > 1.0 AS boosted
 FROM rates r LEFT JOIN kept k ON r.source = k.source
 """

@@ -843,11 +843,27 @@ WHERE n_common >= 2
 # snippet fully pasted inside a 5000-shingle page has jaccard ≈ 0.02
 # (invisible to the symmetric score at any sane threshold) but
 # containment(small→big) = 1.0. Copy/quote detection in corpus curation
-# keys on containment for exactly this reason; the plan is the SAME
-# df-cut inverted-index self-join as q_ngram_jaccard — only the
-# normalization differs, so the scale story is already proven there.
+# keys on containment for exactly this reason. Unlike q_ngram_jaccard,
+# the df cut CANNOT simply drop hot shingles here — a snippet pasted
+# into many pages makes all its shingles hot, which is precisely the
+# signal containment exists to catch — so hot shingles go through a
+# capped-anchor pair path instead of vanishing (r5 verdict finding #3).
 
 _CONTAIN_TAU = 0.8
+# Two-path candidate generation. Rare shingles (df <= cut) pair all-vs-
+# all — O(df^2) per shingle, bounded by cut·df total. Hot shingles
+# (df > cut) are exactly the containment use case (a snippet pasted into
+# MANY pages), so they must NOT be dropped: each hot shingle pairs its
+# _CONTAIN_ANCHOR_CAP lowest-id holders against every holder — at most
+# CAP·df candidate rows per shingle, linear in corpus volume (the
+# SemDeDup/simhash anchor-cap precedent, curation.py). A pair sharing a
+# hot shingle is counted for that shingle iff the LOWER-id side is one
+# of its CAP lowest-id holders — exact whenever a snippet's spread is
+# <= CAP docs (so a 60-copy paste is fully detected); beyond CAP the
+# count degrades to bounded recall instead of a silent zero. The oracle
+# mirrors both paths and the cap exactly.
+_CONTAIN_DF_CUT = 50
+_CONTAIN_ANCHOR_CAP = 128
 
 
 def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,27 +872,48 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ ``_CONTAIN_TAU`` contained in the larger — emitting the jaccard
     alongside shows what the symmetric score would have missed.
     ``doc_small`` is the side the containment is measured FOR (ties on
-    set size break to the lower doc_id as doc_small)."""
+    set size break to the lower doc_id as doc_small). Candidate pairs
+    come from the rare-shingle all-pairs path plus the hot-shingle
+    capped-anchor path (see ``_CONTAIN_ANCHOR_CAP``)."""
     sh = (
         _docs(spark, sf_dir)
         .withColumn("tokens", F.expr(SPARK_TOKENS))
         .selectExpr("doc_id", f"array_distinct({SPARK_SHINGLES}) AS shingles")
-    ).cache()
+        # read twice (explode + sizes) — eager checkpoint, GC-scoped
+        .localCheckpoint(eager=True)
+    )
     exploded = sh.selectExpr("doc_id", "explode(shingles) AS shingle")
     sizes = sh.selectExpr("doc_id", "size(shingles) AS n_sh")
-    rare = (
-        exploded.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= 50)
-        .select("shingle")
+    dfs = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
+    # (doc_id, shingle, df): read four times (both sides of the rare
+    # self-join, anchors, hot holders) — eager checkpoint, not a dead
+    # cache (the r5 verdict's finding #1)
+    expl = exploded.join(dfs, "shingle").localCheckpoint(eager=True)
+    rare = expl.filter(F.col("df") <= _CONTAIN_DF_CUT)
+    rare_pairs = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
     )
-    exploded = exploded.join(rare, "shingle").cache()
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    hot = expl.filter(F.col("df") > _CONTAIN_DF_CUT)
+    w = Window.partitionBy("shingle").orderBy("doc_id")
+    anchors = (
+        hot.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CONTAIN_ANCHOR_CAP)
+        .select("shingle", F.col("doc_id").alias("a_id"))
+    )
+    hot_pairs = (
+        anchors.join(hot, "shingle")
+        .filter(F.col("a_id") < F.col("doc_id"))
+        .selectExpr("a_id AS doc_a", "doc_id AS doc_b")
+    )
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        rare_pairs.unionByName(hot_pairs)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
     sized = (
@@ -892,8 +929,6 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_common / CAST(least(n_a, n_b) AS DOUBLE) AS containment",
         "n_common / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard",
     )
-    sh.unpersist()
-    exploded.unpersist()
     return out.filter(F.col("containment") >= _CONTAIN_TAU)
 
 
@@ -903,17 +938,34 @@ WITH sh AS (
   FROM (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents)
 ),
 exploded_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-rare AS (
-  SELECT shingle FROM exploded_all GROUP BY shingle HAVING COUNT(*) <= 50
+dfs AS (SELECT shingle, COUNT(*) AS df FROM exploded_all GROUP BY shingle),
+expl AS (
+  SELECT e.doc_id, e.shingle, d.df
+  FROM exploded_all e JOIN dfs d USING (shingle)
 ),
-exploded AS (
-  SELECT e.doc_id, e.shingle FROM exploded_all e JOIN rare USING (shingle)
+rare_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM expl a JOIN expl b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.df <= {_CONTAIN_DF_CUT}
+),
+anchors AS (
+  SELECT shingle, doc_id AS a_id FROM (
+    SELECT shingle, doc_id,
+      ROW_NUMBER() OVER (PARTITION BY shingle ORDER BY doc_id) AS rn
+    FROM expl WHERE df > {_CONTAIN_DF_CUT})
+  WHERE rn <= {_CONTAIN_ANCHOR_CAP}
+),
+hot_pairs AS (
+  SELECT a.a_id AS doc_a, h.doc_id AS doc_b
+  FROM anchors a JOIN expl h
+    ON a.shingle = h.shingle AND a.a_id < h.doc_id
+  WHERE h.df > {_CONTAIN_DF_CUT}
 ),
 sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
 common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM exploded a JOIN exploded b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT doc_a, doc_b, COUNT(*) AS n_common
+  FROM (SELECT * FROM rare_pairs UNION ALL SELECT * FROM hot_pairs)
   GROUP BY 1, 2
 )
 SELECT IF(sa.n_sh <= sb.n_sh, doc_a, doc_b) AS doc_small,
@@ -1975,10 +2027,14 @@ def substring_signals(docs: DataFrame) -> DataFrame:
         .selectExpr("doc_id", "size(tokens) AS n_tokens", "tokens")
     )
     # (doc_id, i, wk): one row per window position, 8-byte key — read
-    # twice (shared-key agg + join back), so materialize once
+    # THREE times (shared-key agg, shared_cnt join, covered join), so
+    # materialize eagerly. A cache() unpersisted before the action would
+    # be dropped from the CacheManager and recompute per read; the
+    # eager localCheckpoint (the spans-pipeline pattern below) truncates
+    # the lineage once and serves all three reads, GC-scoped.
     wins = toks.selectExpr(
         "doc_id", "n_tokens", f"inline({_win_spark(w)})"
-    ).cache()
+    ).localCheckpoint(eager=True)
     shared = (
         wins.groupBy("wk")
         .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
@@ -2012,7 +2068,6 @@ def substring_signals(docs: DataFrame) -> DataFrame:
             " AS dup_token_frac",
         )
     )
-    wins.unpersist()  # lazy flag; frame stays valid for this plan's run
     return out
 
 

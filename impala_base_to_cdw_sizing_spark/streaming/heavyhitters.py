@@ -65,9 +65,16 @@ def make_update(cap: int = DEFAULT_CAP):
             }
         else:
             summary = {}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_ms", "seq"])
-            spacesaving_fold(list(pdf["item"]), summary, cap)
+        # A group's micro-batch can span multiple Arrow record batches
+        # (default batch size ~10k rows), and sorting each chunk
+        # independently would fold rows out of global (ts_ms, seq)
+        # order — concat first, sort ONCE, then fold.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_ms", "seq"]
+            )
+            spacesaving_fold(list(batch["item"]), summary, cap)
         ordered = sorted(summary)
         state.update(
             (

@@ -30,6 +30,56 @@ def test_converted_queries_leave_no_cache_entries(spark):
     )
 
 
+def test_no_query_unpersists_an_unmaterialized_cache(spark):
+    """Registry-wide liveness invariant (r5 verdict #9): a ``cache()``
+    that is ``unpersist()``-ed before any action ever ran is DEAD — the
+    CacheManager entry is dropped and every read recomputes the
+    pipeline, while the code (and its comments) claim otherwise. Two
+    such defects shipped in r5 (q_ngram_containment, substring_signals).
+
+    The invariant: at every ``unpersist()`` call issued while a
+    registered query builds its plan, the cache entry must already be
+    MATERIALIZED (``isCachedColumnBuffersLoaded``) — i.e. the frame
+    served at least one action (the graph_rank pattern: cache → eager
+    checkpoint consumes it → unpersist). Dead caches trip the assert;
+    eager ``localCheckpoint`` materializations never call unpersist at
+    all, so they pass vacuously."""
+    from pyspark.sql import DataFrame
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    offenders: list[str] = []
+    current = {"name": "?"}
+    orig_unpersist = DataFrame.unpersist
+
+    def checked_unpersist(self, blocking=False):
+        cd = cm.lookupCachedData(self._jdf)
+        if cd.isDefined():
+            loaded = (
+                cd.get().cachedRepresentation()
+                .cacheBuilder().isCachedColumnBuffersLoaded()
+            )
+            if not loaded:
+                offenders.append(current["name"])
+        return orig_unpersist(self, blocking)
+
+    spark.catalog.clearCache()
+    DataFrame.unpersist = checked_unpersist
+    try:
+        qs = {**ent.queries(), **ent.extra_queries()}
+        for name, fn in qs.items():
+            current["name"] = name
+            fn(spark, SF_SMALL)  # construction only — that is where
+            # the r5 dead-cache defects fired their unpersist calls
+            spark.catalog.clearCache()
+    finally:
+        DataFrame.unpersist = orig_unpersist
+        spark.catalog.clearCache()
+    assert not offenders, (
+        f"queries unpersisted a never-materialized cache (dead cache, "
+        f"silent recompute): {sorted(set(offenders))}"
+    )
+
+
 def test_plan_keyed_caches_are_flat_across_repeat_runs(spark):
     """The dedup family's shared MinHash cache is plan-keyed: a second
     run of the same query must hit the same entry, so the cache-entry

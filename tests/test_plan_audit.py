@@ -80,3 +80,17 @@ def test_flagship_narrow_plans_stay_shuffle_free(spark):
         assert a["scans"] == 1, (name, a)
     # the pushdown showcase keeps its single partial-agg exchange
     assert audits["rel_tpch_q6_pushdown"]["exchanges"] == 1
+
+
+def test_materialized_shared_subplans_serve_from_checkpoint(spark):
+    """r5 verdict #2 done-criteria: the executed plans of the queries
+    whose shared subplans are eagerly localCheckpoint-ed must actually
+    SHOW the materialized scan (``Scan ExistingRDD``) — proving the
+    multi-read pipeline is served from the materialization, not
+    recomputed per read (the dead-cache failure mode)."""
+    qs = ent.extra_queries()
+    for name in ["dedup_containment", "dedup_substring", "dedup_substring_spans"]:
+        plan = qs[name](spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        a = audit_plan(plan)
+        assert a["rdd_scans"] >= 1, (name, a)
+        spark.catalog.clearCache()

@@ -28,6 +28,11 @@ METRICS = {
     "windows": "Window",
     "python_eval": "BatchEvalPython",  # row-at-a-time UDF — forbidden
     "arrow_eval": "ArrowEvalPython",  # vectorized pandas UDF — sanctioned
+    # eager localCheckpoint materializations surface as ExistingRDD
+    # scans — their presence proves the shared subplan is served from
+    # the materialized form, not recomputed per read (r5 verdict #2)
+    "rdd_scans": "Scan ExistingRDD",
+    "inmemory_scans": "InMemoryTableScan",
 }
 
 
