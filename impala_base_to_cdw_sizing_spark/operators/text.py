@@ -485,6 +485,211 @@ GROUP BY doc_id
 """
 
 
+# --- BPE: convergent training (driver loop, r5 verdict #3) -------------------------
+#
+# The unrolled-3-round form above is the oracle-shaped replay; a real
+# trainer runs to a TARGET merge count and stops early when the best
+# pair's frequency falls under a minimum (merging a once-seen pair
+# never helps compression) — the same unrolled→convergent promotion
+# dedup_components made (cc_labels_converged). The driver loop does one
+# O(1)-row action per round (the argmax pair — the cc digest-check
+# precedent) and eagerly checkpoints the vocabulary each round so plan
+# depth stays constant. The oracle replays ALL target rounds as CTEs
+# and gates the output to the contiguous prefix of rounds whose best
+# pair meets the minimum — exactly the rounds the driver executed.
+
+_BPE_TARGET_MERGES = 16
+_BPE_MIN_PAIR_N = 2
+
+
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    return (
+        words.filter(F.expr("size(syms) >= 2"))
+        .selectExpr(
+            "cnt",
+            "explode(transform(sequence(0, size(syms) - 2), j ->"
+            " struct(element_at(syms, j + 1) AS l,"
+            " element_at(syms, j + 2) AS r))) AS p",
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("cnt").cast("long").alias("pair_n"))
+    )
+
+
+def _bpe_trained_converged(
+    spark: SparkSession,
+    sf_dir: str,
+    target: int = _BPE_TARGET_MERGES,
+    min_pair_n: int = _BPE_MIN_PAIR_N,
+):
+    """Train up to ``target`` merges, stopping at the first round whose
+    best pair occurs fewer than ``min_pair_n`` times (or no pair at
+    all). Returns ``(words, merges)`` — the post-merge vocabulary frame
+    and the driver-side merge table rows ``(round, lhs, rhs, merged,
+    pair_n)``."""
+    words = (
+        _docs(spark, sf_dir)
+        .selectExpr(f"explode(regexp_extract_all(text, '{_BPE_RE}', 0)) AS piece")
+        .groupBy("piece")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .selectExpr("piece", "cnt", "regexp_extract_all(piece, '.', 0) AS syms")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for i in range(1, target + 1):
+        row = (
+            _bpe_pair_counts(words)
+            .orderBy(F.col("pair_n").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .first()
+        )
+        if row is None or row["pair_n"] < min_pair_n:
+            break
+        merges.append((i, row["l"], row["r"], row["l"] + row["r"], row["pair_n"]))
+        # 1-row frame from driver values (no literal-escaping hazards),
+        # broadcast into the greedy fold; vocabulary re-checkpointed so
+        # round i+1's plan starts from a materialized scan
+        best = spark.createDataFrame(
+            [(row["l"], row["r"], row["l"] + row["r"])], "l string, r string, m string"
+        )
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .selectExpr(
+                "piece", "cnt",
+                "aggregate(syms, CAST(array() AS array<string>), (acc, s) ->"
+                " CASE WHEN size(acc) > 0 AND element_at(acc, -1) = l AND s = r"
+                " THEN concat(slice(acc, 1, size(acc) - 1), array(m))"
+                " ELSE concat(acc, array(s)) END) AS syms",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return words, merges
+
+
+def q_bpe_merges_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergent-trainer merge table: ``(round, lhs, rhs, merged,
+    pair_n, rounds_executed)`` — ``rounds_executed`` is the witness for
+    how many rounds actually ran before the target/stop rule ended
+    training."""
+    _, merges = _bpe_trained_converged(spark, sf_dir)
+    n = len(merges)
+    return spark.createDataFrame(
+        [(r, lhs, rhs, m, pn, n) for r, lhs, rhs, m, pn in merges],
+        "round long, lhs string, rhs string, merged string,"
+        " pair_n long, rounds_executed long",
+    )
+
+
+def q_bpe_encode_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`q_bpe_encode` semantics over the CONVERGED trainer's
+    vocabulary — the merge table the driver loop actually produced, not
+    the fixed 3-round unroll."""
+    words, _ = _bpe_trained_converged(spark, sf_dir)
+    vocab = words.selectExpr(
+        "piece",
+        "CAST(length(piece) AS BIGINT) AS n_before",
+        "CAST(size(syms) AS BIGINT) AS n_after",
+    )
+    doc_pieces = (
+        _docs(spark, sf_dir)
+        .selectExpr(
+            "doc_id",
+            f"explode(regexp_extract_all(text, '{_BPE_RE}', 0)) AS piece",
+        )
+        .groupBy("doc_id", "piece")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        doc_pieces.join(F.broadcast(vocab), "piece")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_pieces"),
+            F.sum(F.col("n") * F.col("n_before")).cast("long").alias("n_syms_before"),
+            F.sum(F.col("n") * F.col("n_after")).cast("long").alias("n_syms_after"),
+        )
+        .selectExpr(
+            "doc_id", "n_pieces", "n_syms_before", "n_syms_after",
+            "n_syms_after / CAST(n_syms_before AS DOUBLE) AS compression",
+        )
+    )
+
+
+def _bpe_converged_cte(target: int) -> str:
+    """The unrolled-CTE replay of ``target`` rounds plus the stop-rule
+    gate: ``keep`` is the contiguous prefix of rounds whose best pair
+    meets ``_BPE_MIN_PAIR_N`` — beyond the driver's stopping point the
+    replayed rounds diverge (they apply the under-minimum merge), but
+    the gate excludes every such round, so the emitted prefix is
+    exactly the executed training run. An empty ``b{{i}}`` (no pairs
+    left) leaves ``w{{i}}`` unchanged (NULL scalar subqueries make
+    ``cand`` NULL -> CASE falls through) and breaks contiguity, so the
+    gate ends there too."""
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT piece, cnt, regexp_extract_all(piece, '.') AS syms
+  FROM (
+    SELECT piece, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(text, '{_BPE_RE}')) AS piece
+          FROM documents)
+    GROUP BY piece
+  )
+)"""
+    ]
+    parts += [_bpe_merge_round_sql(i).strip() for i in range(1, target + 1)]
+    allb = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS round, l, r, m, pair_n FROM b{i}"
+        for i in range(1, target + 1)
+    )
+    parts.append(
+        f"""allb AS ({allb}),
+gated AS (
+  SELECT round, l, r, m, pair_n,
+    MIN(pair_n) OVER (ORDER BY round) AS cum_min,
+    ROW_NUMBER() OVER (ORDER BY round) AS rn
+  FROM allb
+),
+keep AS (
+  SELECT round, l, r, m, pair_n FROM gated
+  WHERE round = rn AND cum_min >= {_BPE_MIN_PAIR_N}
+)"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+def _sql_bpe_merges_converged() -> str:
+    return f"""{_bpe_converged_cte(_BPE_TARGET_MERGES)}
+SELECT round, l AS lhs, r AS rhs, m AS merged, pair_n,
+  (SELECT COUNT(*) FROM keep) AS rounds_executed
+FROM keep
+"""
+
+
+def _sql_bpe_encode_converged() -> str:
+    tagged = " UNION ALL ".join(
+        f"SELECT {k} AS k, piece, cnt, syms FROM w{k}"
+        for k in range(_BPE_TARGET_MERGES + 1)
+    )
+    return f"""{_bpe_converged_cte(_BPE_TARGET_MERGES)},
+final AS (
+  SELECT piece, syms FROM ({tagged})
+  WHERE k = (SELECT COUNT(*) FROM keep)
+),
+docp AS (
+  SELECT doc_id, piece, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{_BPE_RE}')) AS piece
+        FROM documents)
+  GROUP BY doc_id, piece
+)
+SELECT doc_id,
+  CAST(SUM(n) AS BIGINT) AS n_pieces,
+  CAST(SUM(n * len(piece)) AS BIGINT) AS n_syms_before,
+  CAST(SUM(n * len(syms)) AS BIGINT) AS n_syms_after,
+  SUM(n * len(syms)) / CAST(SUM(n * len(piece)) AS DOUBLE) AS compression
+FROM docp JOIN final USING (piece)
+GROUP BY doc_id
+"""
+
+
 # --- fingerprinting -----------------------------------------------------------------
 
 
@@ -2210,6 +2415,16 @@ def register_all() -> None:
     register_extra("text_bpe_vocab", q_bpe_vocab, SQL_BPE_VOCAB)
     register_extra("text_bpe_merges", q_bpe_merges, _sql_bpe_merges())
     register_extra("text_bpe_encode", q_bpe_encode, _sql_bpe_encode())
+    register_extra(
+        "text_bpe_merges_converged",
+        q_bpe_merges_converged,
+        _sql_bpe_merges_converged(),
+    )
+    register_extra(
+        "text_bpe_encode_converged",
+        q_bpe_encode_converged,
+        _sql_bpe_encode_converged(),
+    )
     register_extra("text_fingerprint", q_fingerprint, SQL_FINGERPRINT)
     register_extra("dedup_minhash_accuracy", q_minhash_accuracy, _minhash_accuracy_sql())
     register_extra(
