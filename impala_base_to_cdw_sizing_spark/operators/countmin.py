@@ -130,5 +130,91 @@ GROUP BY token, exact_n
 """
 
 
+# --- sharded heavy-hitters global view (batch twin of streaming Space-Saving) -----
+#
+# streaming/heavyhitters.py keeps one capacity-`cap` Space-Saving
+# summary per item shard; its merged view (`global_topk`) unions the
+# shard summaries and states the honest combined guarantee (no false
+# negatives above max_g N_g / cap). This is the EXACT-batch twin of
+# that view over the events table: items = user_id, shards = user_id %
+# _HH_SHARDS (the portable shard router), per-shard "summary" = the
+# top-`cap` items by exact count (what a capacity-`cap` tracker
+# guarantees to hold: at most cap items can exceed N_g/cap, since
+# cap·(N_g/cap) = N_g), merged into the global top-k with the bound as
+# a column. The streaming test pins the stream's merged view against
+# exactly these semantics.
+
+_HH_SHARDS = 4
+_HH_CAP = 8
+_HH_TOPK = 10
+
+
+def q_hh_global_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.files import load_events
+
+    counts = (
+        load_events(spark, sf_dir)
+        .selectExpr("user_id AS item", f"user_id % {_HH_SHARDS} AS grp")
+        .groupBy("grp", "item")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+    )
+    wg = Window.partitionBy("grp")
+    wshard = Window.partitionBy("grp").orderBy(
+        F.col("exact_n").desc(), F.col("item").asc()
+    )
+    summary = (
+        counts.withColumn("n_g", F.sum("exact_n").over(wg).cast("long"))
+        .withColumn("shard_rank", F.row_number().over(wshard))
+        .filter(F.col("shard_rank") <= _HH_CAP)
+    )
+    # bounded input: at most _HH_SHARDS * _HH_CAP rows reach the global
+    # sort — the same bound the streaming merged view has
+    bound = summary.groupBy().agg(
+        (F.max("n_g") / F.lit(_HH_CAP)).alias("guarantee_bound")
+    )
+    wglob = Window.orderBy(F.col("exact_n").desc(), F.col("item").asc())
+    return (
+        summary.withColumn("rank", F.row_number().over(wglob).cast("long"))
+        .filter(F.col("rank") <= _HH_TOPK)
+        .crossJoin(F.broadcast(bound))
+        .selectExpr(
+            "rank", "item", "grp", "exact_n", "n_g", "guarantee_bound",
+            f"exact_n > n_g / {_HH_CAP} AS above_shard_bound",
+        )
+    )
+
+
+SQL_HH_GLOBAL = f"""
+WITH counts AS (
+  SELECT user_id % {_HH_SHARDS} AS grp, user_id AS item,
+    CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY 1, 2
+),
+summary AS (
+  SELECT grp, item, exact_n, n_g FROM (
+    SELECT grp, item, exact_n,
+      CAST(SUM(exact_n) OVER (PARTITION BY grp) AS BIGINT) AS n_g,
+      ROW_NUMBER() OVER (
+        PARTITION BY grp ORDER BY exact_n DESC, item ASC) AS shard_rank
+    FROM counts
+  ) WHERE shard_rank <= {_HH_CAP}
+),
+bound AS (
+  SELECT MAX(n_g) / CAST({_HH_CAP} AS DOUBLE) AS guarantee_bound FROM summary
+)
+SELECT rank, item, grp, exact_n, n_g, guarantee_bound,
+  exact_n > n_g / CAST({_HH_CAP} AS DOUBLE) AS above_shard_bound
+FROM (
+  SELECT grp, item, exact_n, n_g, ROW_NUMBER() OVER (
+    ORDER BY exact_n DESC, item ASC) AS rank
+  FROM summary
+), bound
+WHERE rank <= {_HH_TOPK}
+"""
+
+
 def register_all() -> None:
     register_extra("sketch_countmin_topk", q_countmin_heavy_hitters, SQL_COUNTMIN)
+    register_extra("sketch_heavyhitters_global", q_hh_global_batch, SQL_HH_GLOBAL)

@@ -71,41 +71,63 @@ def _centered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _e_basis(spark: SparkSession, d0: int) -> DataFrame:
+    """x0 = e_{d0} in nano units."""
+    return spark.range(1).selectExpr(
+        f"transform(sequence(0, {DIM - 1}),"
+        f" d -> CAST(IF(d = {d0}, 1000000000, 0) AS BIGINT)) AS xn"
+    )
+
+
+def _power_round(cent: DataFrame, x: DataFrame, v1: DataFrame | None) -> DataFrame:
+    """One quantized power round ``x → normalize((C x) ⊥ v1)``. With
+    ``v1`` the deflation direction (nano units, 1 row as ``xn1``), the
+    Gram–Schmidt step ``y − (y·v1) v1`` runs per-element in fixed index
+    order on both engines BEFORE the norm/quantize — deterministic
+    doubles, then back to integer nano-units."""
+    dots = cent.crossJoin(F.broadcast(x)).withColumn(
+        "dt", F.expr(_SPARK_DOT_XN.format(a="cv", b="xn"))
+    )
+    y = (
+        dots.select(F.posexplode("cv").alias("pos", "cval"), "dt")
+        .withColumn(
+            "t_nano",
+            F.floor(F.col("cval") * F.col("dt") * _NANO + 0.5).cast("long"),
+        )
+        .groupBy("pos")
+        .agg(F.sum(F.col("t_nano").cast("decimal(38,0)")).alias("s"))
+        .selectExpr("pos", f"CAST(s AS DOUBLE) / {_NANO} AS yd")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, yd))),"
+                " p -> p.yd)"
+            ).alias("ys")
+        )
+    )
+    if v1 is not None:
+        y = (
+            y.crossJoin(F.broadcast(v1.select("xn1")))
+            .withColumn("proj", F.expr(_SPARK_DOT_XN.format(a="ys", b="xn1")))
+            .selectExpr(
+                "zip_with(ys, xn1, (yv, vv) ->"
+                f" yv - proj * (vv / {_NANO})) AS ys"
+            )
+        )
+    return y.selectExpr(
+        "ys", f"sqrt({SPARK_DOT.format(a='ys', b='ys')}) AS nrm"
+    ).selectExpr(
+        "transform(ys, e -> CAST(floor(e / nrm * 1000000000.0 + 0.5)"
+        " AS BIGINT)) AS xn",
+        "nrm",
+    )
+
+
 def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = _centered(spark, sf_dir).localCheckpoint(eager=True)
     n_frame = cent.agg(F.count("*").alias("n"))
-    # x0 = e_0 in nano units
-    x = spark.range(1).selectExpr(
-        f"transform(sequence(0, {DIM - 1}),"
-        " d -> CAST(IF(d = 0, 1000000000, 0) AS BIGINT)) AS xn"
-    )
+    x = _e_basis(spark, 0)
     for _ in range(_PCA_ROUNDS):
-        dots = cent.crossJoin(F.broadcast(x)).withColumn(
-            "dt", F.expr(_SPARK_DOT_XN.format(a="cv", b="xn"))
-        )
-        y = (
-            dots.select(F.posexplode("cv").alias("pos", "cval"), "dt")
-            .withColumn(
-                "t_nano",
-                F.floor(F.col("cval") * F.col("dt") * _NANO + 0.5).cast("long"),
-            )
-            .groupBy("pos")
-            .agg(F.sum(F.col("t_nano").cast("decimal(38,0)")).alias("s"))
-            .selectExpr("pos", f"CAST(s AS DOUBLE) / {_NANO} AS yd")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, yd))),"
-                    " p -> p.yd)"
-                ).alias("ys")
-            )
-        )
-        x = y.selectExpr(
-            "ys", f"sqrt({SPARK_DOT.format(a='ys', b='ys')}) AS nrm"
-        ).selectExpr(
-            "transform(ys, e -> CAST(floor(e / nrm * 1000000000.0 + 0.5)"
-            " AS BIGINT)) AS xn",
-            "nrm",
-        )
+        x = _power_round(cent, x, None)
     out = (
         x.crossJoin(F.broadcast(n_frame))
         .selectExpr(
@@ -115,6 +137,54 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("CAST(pos AS BIGINT) AS pos", "loading_nano", "lambda_micro")
     )
     return out
+
+
+def q_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``_PCA_K`` principal directions by deflation (r5 verdict #6):
+    component 1 is the plain power chain; component 2 power-iterates
+    with a Gram–Schmidt re-orthogonalization against component 1 INSIDE
+    every round (not just at the end), so quantization noise cannot
+    re-grow a v1 contribution between rounds. Output ``(component, pos,
+    loading_nano, lambda_micro, ortho_nano)`` — ``ortho_nano`` is the
+    witness: |v1·v2| in nano units, pinned ≤ a few units in tests (the
+    two stored directions are orthogonal to integer precision)."""
+    cent = _centered(spark, sf_dir).localCheckpoint(eager=True)
+    n_frame = cent.agg(F.count("*").alias("n"))
+    x1 = _e_basis(spark, 0)
+    for _ in range(_PCA_ROUNDS):
+        x1 = _power_round(cent, x1, None)
+    # small frame, read by every comp-2 round + the witness — pin it
+    x1 = x1.selectExpr("xn AS xn1", "nrm AS nrm1").localCheckpoint(eager=True)
+    x2 = _e_basis(spark, 1)
+    for _ in range(_PCA_ROUNDS):
+        x2 = _power_round(cent, x2, x1)
+    # CAST to DOUBLE before dividing: a bare `p / 1000000000.0` is
+    # DECIMAL division in Spark, and the decimal×decimal product
+    # overflows precision 38 → scale silently truncates to 6 digits
+    both = x1.crossJoin(x2.selectExpr("xn AS xn2", "nrm AS nrm2")).withColumn(
+        "ortho_nano",
+        F.expr(
+            f"CAST(floor(abs(aggregate(zip_with(xn1, xn2, (p, q) ->"
+            f" (CAST(p AS DOUBLE) / {_NANO}) * (CAST(q AS DOUBLE) / {_NANO})),"
+            f" CAST(0 AS DOUBLE),"
+            f" (acc, t) -> acc + t)) * {_NANO} + 0.5) AS BIGINT)"
+        ),
+    )
+    out = both.crossJoin(F.broadcast(n_frame)).selectExpr(
+        "stack(2, CAST(1 AS BIGINT), xn1, nrm1, CAST(2 AS BIGINT), xn2, nrm2)"
+        " AS (component, xn, nrm)",
+        "ortho_nano",
+        "n",
+    )
+    return out.selectExpr(
+        "component",
+        "posexplode(xn) AS (pos, loading_nano)",
+        "CAST(floor(nrm / n * 1000000.0 + 0.5) AS BIGINT) AS lambda_micro",
+        "ortho_nano",
+    ).selectExpr(
+        "component", "CAST(pos AS BIGINT) AS pos", "loading_nano",
+        "lambda_micro", "ortho_nano",
+    )
 
 
 def _sql_pca_round(prev: str, i: int) -> str:
@@ -178,5 +248,80 @@ FROM {prev} x, nrow w, UNNEST(range(1, {DIM} + 1)) AS u(p)
     )
 
 
+def _sql_pca_round2(prev: str, i: int) -> str:
+    """One deflated round for component 2: apply C, then Gram–Schmidt
+    against ``v1``, then normalize/quantize."""
+    return f"""
+dots2{i} AS (
+  SELECT c.vec_id, c.cv, {_DUCK_DOT_XN.format(a='c.cv', b='x.xn')} AS dt
+  FROM cent c, {prev} x
+),
+yr2{i} AS (
+  SELECT list(yd ORDER BY pos) AS ys FROM (
+    SELECT pos, CAST(SUM(CAST(t_nano AS DECIMAL(38,0))) AS DOUBLE) / {_NANO} AS yd
+    FROM (
+      SELECT CAST(u.p AS INTEGER) AS pos,
+        CAST(floor(d.cv[u.p] * d.dt * {_NANO} + 0.5) AS BIGINT) AS t_nano
+      FROM dots2{i} d, UNNEST(range(1, {DIM} + 1)) AS u(p)
+    ) GROUP BY pos
+  )
+),
+yo2{i} AS (
+  SELECT list_transform(range(1, {DIM} + 1),
+    d -> ys[d] - proj * (xn1[d] / {_NANO})) AS ys
+  FROM (
+    SELECT y.ys, v.xn1, {_DUCK_DOT_XN.format(a='y.ys', b='v.xn1')} AS proj
+    FROM yr2{i} y, v1 v
+  )
+),
+x2{i} AS (
+  SELECT list_transform(ys, e -> CAST(floor(e / nrm * {_NANO} + 0.5) AS BIGINT))
+    AS xn, nrm
+  FROM (SELECT ys, sqrt({DUCK_DOT.format(a='ys', b='ys')}) AS nrm FROM yo2{i})
+)"""
+
+
+def _sql_pca_topk() -> str:
+    base = _sql_pca_power()
+    # reuse the component-1 chain (everything before its final SELECT)
+    cte_body = base.split("\nSELECT CAST(u.p - 1 AS BIGINT)")[0]
+    x2_0 = "[" + ", ".join(
+        "CAST(1000000000 AS BIGINT)" if d == 1 else "CAST(0 AS BIGINT)"
+        for d in range(DIM)
+    ) + "]"
+    parts = [
+        f"v1 AS (SELECT xn AS xn1, nrm AS nrm1 FROM x{_PCA_ROUNDS})",
+        f"x2_0 AS (SELECT {x2_0} AS xn)",
+    ]
+    prev = "x2_0"
+    for i in range(1, _PCA_ROUNDS + 1):
+        parts.append(_sql_pca_round2(prev, i).strip())
+        prev = f"x2{i}"
+    parts.append(
+        f"""ortho AS (
+  SELECT CAST(floor(abs(list_reduce([CAST(0 AS DOUBLE)] ||
+    list_transform(range(1, {DIM} + 1),
+      i -> (CAST(v.xn1[i] AS DOUBLE) / {_NANO})
+         * (CAST(x.xn[i] AS DOUBLE) / {_NANO})),
+    (acc, t) -> acc + t)) * {_NANO} + 0.5) AS BIGINT) AS ortho_nano
+  FROM v1 v, {prev} x
+)"""
+    )
+    return (
+        cte_body + ",\n" + ",\n".join(parts) + f"""
+SELECT CAST(1 AS BIGINT) AS component, CAST(u.p - 1 AS BIGINT) AS pos,
+  v.xn1[u.p] AS loading_nano,
+  CAST(floor(v.nrm1 / w.n * 1000000.0 + 0.5) AS BIGINT) AS lambda_micro,
+  o.ortho_nano
+FROM v1 v, nrow w, ortho o, UNNEST(range(1, {DIM} + 1)) AS u(p)
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(u.p - 1 AS BIGINT), x.xn[u.p],
+  CAST(floor(x.nrm / w.n * 1000000.0 + 0.5) AS BIGINT), o.ortho_nano
+FROM {prev} x, nrow w, ortho o, UNNEST(range(1, {DIM} + 1)) AS u(p)
+"""
+    )
+
+
 def register_all() -> None:
     register_extra("emb_pca_power", q_pca_power, _sql_pca_power())
+    register_extra("emb_pca_topk", q_pca_topk, _sql_pca_topk())

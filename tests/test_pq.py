@@ -59,3 +59,50 @@ def test_training_strictly_reduces_distortion_everywhere(spark):
     for r in rows:
         assert r.improved
         assert r.d_trained_micro < r.d_seed_micro, r
+
+
+def test_multiprobe_dominates_single_probe_within_budget(spark):
+    """r5 verdict #4 done-bar: the multi-probe refined search must be
+    at least as good as the single-probe refined search on BOTH fixture
+    corpora (structural: per-cell shortlists make the multi-probe
+    re-rank pool a superset of the single-probe pool), within an
+    nprobe× candidate budget (structural: top-_REFINE_R per probed
+    cell, nprobe cells)."""
+    from pyspark.sql import functions as F
+
+    from impala_base_to_cdw_sizing_spark.operators.pq import (
+        _PQ_NPROBE,
+        _REFINE_R,
+        _adc_scored,
+        q_pq_multiprobe_recall,
+        q_pq_refine_recall,
+    )
+
+    for sf in (SF_SMALL, SF_ORACLE):
+        single = q_pq_refine_recall(spark, sf).first()
+        multi = q_pq_multiprobe_recall(spark, sf).first()
+        assert multi["n_hits"] >= single["n_hits"], (sf, single, multi)
+        assert multi["recall_at3"] >= single["recall_at3"]
+
+    # candidate budget: per-query ADC pairs grow at most nprobe×, and
+    # the shortlist is capped at _REFINE_R per probed cell
+    n1 = _adc_scored(spark, SF_SMALL, nprobe=1).count()
+    n4 = _adc_scored(spark, SF_SMALL, nprobe=_PQ_NPROBE).count()
+    assert 0 < n1 <= n4 <= _PQ_NPROBE * n1
+
+    # superset property of the probed cells: every single-probe
+    # (q, candidate) pair is present in the multi-probe pair set
+    p1 = {
+        (r.q_id, r.c_id)
+        for r in _adc_scored(spark, SF_SMALL, nprobe=1)
+        .select("q_id", "c_id")
+        .collect()
+    }
+    p4 = {
+        (r.q_id, r.c_id)
+        for r in _adc_scored(spark, SF_SMALL, nprobe=_PQ_NPROBE)
+        .select("q_id", "c_id")
+        .collect()
+    }
+    assert p1 <= p4
+    assert _REFINE_R > 0
