@@ -142,7 +142,14 @@ GROUP BY token, exact_n
 # guarantees to hold: at most cap items can exceed N_g/cap, since
 # cap·(N_g/cap) = N_g), merged into the global top-k with the bound as
 # a column. The streaming test pins the stream's merged view against
-# exactly these semantics.
+# exactly these semantics. Two honesty caveats (r6 ADVICE): the shard
+# router here is `user_id % _HH_SHARDS` while the streaming twin routes
+# by `hash(item) % n_groups` — both partition the item space, so the
+# union-is-global argument is identical, but the correspondence is
+# structural (same shape, same bound), not row-for-row; and the output
+# keeps every `above_shard_bound` row IN ADDITION to the top-k, so the
+# no-false-negative guarantee survives the top-k truncation (a bare
+# `rank <= k` cut could drop a true heavy hitter when k is small).
 
 _HH_SHARDS = 4
 _HH_CAP = 8
@@ -177,7 +184,10 @@ def q_hh_global_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     wglob = Window.orderBy(F.col("exact_n").desc(), F.col("item").asc())
     return (
         summary.withColumn("rank", F.row_number().over(wglob).cast("long"))
-        .filter(F.col("rank") <= _HH_TOPK)
+        .filter(
+            (F.col("rank") <= _HH_TOPK)
+            | (F.col("exact_n") > F.col("n_g") / F.lit(_HH_CAP))
+        )
         .crossJoin(F.broadcast(bound))
         .selectExpr(
             "rank", "item", "grp", "exact_n", "n_g", "guarantee_bound",
@@ -211,7 +221,7 @@ FROM (
     ORDER BY exact_n DESC, item ASC) AS rank
   FROM summary
 ), bound
-WHERE rank <= {_HH_TOPK}
+WHERE rank <= {_HH_TOPK} OR exact_n > n_g / CAST({_HH_CAP} AS DOUBLE)
 """
 
 

@@ -210,7 +210,14 @@ x{i} AS (
 )"""
 
 
-def _sql_pca_power() -> str:
+def _sql_pca_ctes() -> tuple[list[str], str]:
+    """Component-1 power-iteration chain as ``(cte_parts, final_select)``.
+
+    ``_sql_pca_power`` joins the two; ``_sql_pca_topk`` reuses only the
+    CTE parts and appends the deflated component-2 chain (r6 ADVICE:
+    composing from shared parts replaces the old string-split on the
+    final SELECT's literal text, which broke on any cosmetic edit).
+    """
     x0 = "[" + ", ".join(
         "CAST(1000000000 AS BIGINT)" if d == 0 else "CAST(0 AS BIGINT)"
         for d in range(DIM)
@@ -239,13 +246,17 @@ def _sql_pca_power() -> str:
     for i in range(1, _PCA_ROUNDS + 1):
         parts.append(_sql_pca_round(prev, i).strip())
         prev = f"x{i}"
-    return (
-        "WITH " + ",\n".join(parts) + f"""
+    final_select = f"""
 SELECT CAST(u.p - 1 AS BIGINT) AS pos, x.xn[u.p] AS loading_nano,
   CAST(floor(x.nrm / w.n * 1000000.0 + 0.5) AS BIGINT) AS lambda_micro
 FROM {prev} x, nrow w, UNNEST(range(1, {DIM} + 1)) AS u(p)
 """
-    )
+    return parts, final_select
+
+
+def _sql_pca_power() -> str:
+    parts, final_select = _sql_pca_ctes()
+    return "WITH " + ",\n".join(parts) + final_select
 
 
 def _sql_pca_round2(prev: str, i: int) -> str:
@@ -282,9 +293,9 @@ x2{i} AS (
 
 
 def _sql_pca_topk() -> str:
-    base = _sql_pca_power()
-    # reuse the component-1 chain (everything before its final SELECT)
-    cte_body = base.split("\nSELECT CAST(u.p - 1 AS BIGINT)")[0]
+    # reuse the component-1 CTE chain; its final SELECT is discarded
+    c1_parts, _ = _sql_pca_ctes()
+    cte_body = "WITH " + ",\n".join(c1_parts)
     x2_0 = "[" + ", ".join(
         "CAST(1000000000 AS BIGINT)" if d == 1 else "CAST(0 AS BIGINT)"
         for d in range(DIM)

@@ -128,9 +128,15 @@ def global_topk(summary: DataFrame, k: int, cap: int = DEFAULT_CAP) -> DataFrame
     and is guaranteed present — no false negatives above the bound.
     Per-item bounds carry over unchanged: ``est - err <= true <= est``.
 
-    The global sort runs over at most ``n_groups * cap`` rows — bounded
-    by construction, never by the stream — so the partition-less window
-    is safe at any scale.
+    The output keeps EVERY row with ``est_count > guarantee_bound`` in
+    addition to the top-``k`` by estimate (r6 ADVICE: a plain
+    ``rank <= k`` cut could push a true heavy hitter out of the view
+    when other items carry inflated estimates, so the no-false-negative
+    guarantee would only hold pre-truncation). ``true <= est``, so any
+    item with ``true > guarantee_bound`` satisfies the kept predicate —
+    the guarantee survives truncation. The result is still bounded by
+    ``n_groups * cap`` rows by construction, never by the stream, so
+    the partition-less window is safe at any scale.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -145,8 +151,11 @@ def global_topk(summary: DataFrame, k: int, cap: int = DEFAULT_CAP) -> DataFrame
     return (
         summary.join(totals, "grp")
         .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
         .crossJoin(F.broadcast(bound))
+        .filter(
+            (F.col("rank") <= k)
+            | (F.col("est_count") > F.col("guarantee_bound"))
+        )
         .select(
             "rank", "item", "grp", "est_count", "err", "n_g",
             "guarantee_bound",

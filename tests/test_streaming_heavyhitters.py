@@ -217,7 +217,13 @@ def test_global_topk_merged_view_guarantees(spark, tmp_path):
 
     k = 6
     view = global_topk(summary, k=k, cap=CAP).toPandas()
-    assert len(view) == min(k, len(snap_rows))
+    # every emitted row is in the top-k OR above the combined bound
+    # (r6 ADVICE: above-bound rows survive the top-k truncation), and
+    # the view never exceeds the n_groups*cap structural bound
+    assert len(view) >= min(k, len(snap_rows))
+    assert len(view) <= len(snap_rows)
+    for r in view.itertuples():
+        assert r.rank <= k or r.est_count > r.guarantee_bound
     # (a) ranked by est_count desc, item asc; rows drawn from the union
     ests = list(view.est_count)
     assert ests == sorted(ests, reverse=True)
@@ -243,3 +249,11 @@ def test_global_topk_merged_view_guarantees(spark, tmp_path):
     # per-item bounds survive the merge
     for r in view.itertuples():
         assert r.est_count - r.err <= exact[r.item] <= r.est_count
+
+    # (d) truncation survival (r6 ADVICE): even with k=1 — small enough
+    # that a plain rank cut WOULD drop true heavy hitters — every item
+    # whose exact count exceeds the bound is still emitted, because
+    # true <= est implies est > bound for all of them
+    tiny = global_topk(summary, k=1, cap=CAP).toPandas()
+    assert above <= set(tiny.item), (above - set(tiny.item))
+    assert len(tiny) < len(snap_rows)  # still a selection, not the union
