@@ -292,10 +292,11 @@ x2{i} AS (
 )"""
 
 
-def _sql_pca_topk() -> str:
-    # reuse the component-1 CTE chain; its final SELECT is discarded
+def _sql_pca_topk_ctes() -> list[str]:
+    """Full two-component CTE chain (component-1 parts + deflated
+    component-2 parts + the ortho witness) — shared by ``_sql_pca_topk``
+    and the whitening projection."""
     c1_parts, _ = _sql_pca_ctes()
-    cte_body = "WITH " + ",\n".join(c1_parts)
     x2_0 = "[" + ", ".join(
         "CAST(1000000000 AS BIGINT)" if d == 1 else "CAST(0 AS BIGINT)"
         for d in range(DIM)
@@ -318,8 +319,13 @@ def _sql_pca_topk() -> str:
   FROM v1 v, {prev} x
 )"""
     )
+    return c1_parts + parts
+
+
+def _sql_pca_topk() -> str:
+    prev = f"x2{_PCA_ROUNDS}"
     return (
-        cte_body + ",\n" + ",\n".join(parts) + f"""
+        "WITH " + ",\n".join(_sql_pca_topk_ctes()) + f"""
 SELECT CAST(1 AS BIGINT) AS component, CAST(u.p - 1 AS BIGINT) AS pos,
   v.xn1[u.p] AS loading_nano,
   CAST(floor(v.nrm1 / w.n * 1000000.0 + 0.5) AS BIGINT) AS lambda_micro,
@@ -333,6 +339,57 @@ FROM {prev} x, nrow w, ortho o, UNNEST(range(1, {DIM} + 1)) AS u(p)
     )
 
 
+def q_emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening in the top-2 principal subspace: each vector's
+    coordinates along v1/v2, scaled by 1/sqrt(lambda_k) so both output
+    dimensions have ~unit variance — the standard embedding
+    post-processing (whitening-k) before cosine retrieval or as input
+    to a density model. Composes the two power chains verbatim; the
+    projection itself is one broadcast cross-join and a per-row fold —
+    the 100 TB cost is the PCA training pass, already amortized.
+    Per-vector coords quantize to integer micro-units AFTER the one
+    dot/sqrt/divide sequence (all correctly-rounded IEEE ops on
+    identical inputs — same doubles both engines).
+    ``tests/test_pca.py`` pins the unit-variance contract."""
+    cent = _centered(spark, sf_dir).localCheckpoint(eager=True)
+    n_frame = cent.agg(F.count("*").alias("n"))
+    x1 = _e_basis(spark, 0)
+    for _ in range(_PCA_ROUNDS):
+        x1 = _power_round(cent, x1, None)
+    x1 = x1.selectExpr("xn AS xn1", "nrm AS nrm1").localCheckpoint(eager=True)
+    x2 = _e_basis(spark, 1)
+    for _ in range(_PCA_ROUNDS):
+        x2 = _power_round(cent, x2, x1)
+    x2 = x2.selectExpr("xn AS xn2", "nrm AS nrm2")
+    return (
+        cent.crossJoin(F.broadcast(x1))
+        .crossJoin(F.broadcast(x2))
+        .crossJoin(F.broadcast(n_frame))
+        .selectExpr(
+            "vec_id",
+            f"CAST(floor({_SPARK_DOT_XN.format(a='cv', b='xn1')}"
+            " / sqrt(nrm1 / n) * 1000000.0 + 0.5) AS BIGINT) AS w1_micro",
+            f"CAST(floor({_SPARK_DOT_XN.format(a='cv', b='xn2')}"
+            " / sqrt(nrm2 / n) * 1000000.0 + 0.5) AS BIGINT) AS w2_micro",
+        )
+    )
+
+
+def _sql_emb_whitening() -> str:
+    prev = f"x2{_PCA_ROUNDS}"
+    return (
+        "WITH " + ",\n".join(_sql_pca_topk_ctes()) + f"""
+SELECT c.vec_id,
+  CAST(floor({_DUCK_DOT_XN.format(a='c.cv', b='v.xn1')}
+    / sqrt(v.nrm1 / w.n) * 1000000.0 + 0.5) AS BIGINT) AS w1_micro,
+  CAST(floor({_DUCK_DOT_XN.format(a='c.cv', b='x.xn')}
+    / sqrt(x.nrm / w.n) * 1000000.0 + 0.5) AS BIGINT) AS w2_micro
+FROM cent c, v1 v, {prev} x, nrow w
+"""
+    )
+
+
 def register_all() -> None:
     register_extra("emb_pca_power", q_pca_power, _sql_pca_power())
     register_extra("emb_pca_topk", q_pca_topk, _sql_pca_topk())
+    register_extra("emb_whitening", q_emb_whitening, _sql_emb_whitening())

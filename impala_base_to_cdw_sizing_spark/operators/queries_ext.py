@@ -87,9 +87,11 @@ def _load_providers() -> None:
         funnels,
         graph_rank,
         ingest_quality,
+        lm_quality,
         pca,
         pq,
         skew,
+        sq,
     )
 
     skew.register_all()
@@ -100,6 +102,8 @@ def _load_providers() -> None:
     curation.register_all()
     graph_rank.register_all()
     funnels.register_all()
+    sq.register_all()
+    lm_quality.register_all()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -258,8 +258,91 @@ FROM documents
 """
 
 
+# --- weighted reservoir sample (Efraimidis–Spirakis exponential race) -------------
+#
+# The distributed form of "sample k docs with probability proportional
+# to weight": each doc draws a key -ln(u)/w (u uniform, w = n_chars) and
+# the k SMALLEST keys win — the exponential-race equivalence of
+# Efraimidis & Spirakis's u^(1/w) top-k, provable by monotonicity of
+# -ln. Everything is engineered deterministic:
+#   u     = (h+1)/(M+1), h a Knuth hash of doc_id reduced mod 2^24 —
+#           an exact integer ratio, so -ln(u) = ln((M+1)/(h+1)) is a
+#           positive ln of an exact ratio,
+#   ln    = the shared sqrt/atanh construction (curation.py): the SAME
+#           double in Spark and DuckDB (ln(M+1) ≈ 16.6 sits at the
+#           documented |ln| range of the K=16 reduction; a wider hash
+#           would raise K),
+#   key   = ln_micro / w — one correctly-rounded IEEE division.
+# Plan shape: a narrow per-row map, then global top-k — Spark compiles
+# ORDER BY key LIMIT k to TakeOrderedAndProject (per-partition heaps +
+# driver merge of k*n_partitions rows), never a full sort. At 100 TB
+# this is the one-pass weighted sampler: no RNG state, no seed
+# plumbing, rerun-stable, and mergeable across days by unioning
+# selected sets and re-taking the k smallest keys.
+
+_RES_M = 1 << 24  # hash modulus: keeps ln((M+1)/(h+1)) <= ~16.6
+_RES_K = 64
+
+
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import _DET_LN_W, _DET_LN_Y, _DET_LN_Z, _DET_LN_Z2
+
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr(
+            "doc_id",
+            "n_chars",
+            f"(doc_id * {_KNUTH}) % {_RES_M} AS h",
+        )
+        .selectExpr(
+            "doc_id", "n_chars",
+            f"CAST({_RES_M} + 1 AS DOUBLE) / CAST(h + 1 AS DOUBLE) AS ratio",
+        )
+        .selectExpr("doc_id", "n_chars", f"{_DET_LN_Y} AS y")
+        .selectExpr("doc_id", "n_chars", f"{_DET_LN_Z} AS z")
+        .selectExpr("doc_id", "n_chars", "z", f"{_DET_LN_Z2} AS z2")
+        .selectExpr("doc_id", "n_chars", f"{_DET_LN_W} AS ln_micro")
+        .selectExpr(
+            "doc_id", "n_chars", "ln_micro",
+            "CAST(ln_micro AS DOUBLE) / CAST(n_chars AS DOUBLE) AS race_key",
+        )
+        .orderBy(F.col("race_key").asc(), F.col("doc_id").asc())
+        .limit(_RES_K)
+    )
+
+
+def _sql_sample_reservoir() -> str:
+    from .curation import _DET_LN_W, _DET_LN_Y, _DET_LN_Z, _DET_LN_Z2
+
+    return f"""
+SELECT doc_id, n_chars, ln_micro,
+  CAST(ln_micro AS DOUBLE) / CAST(n_chars AS DOUBLE) AS race_key
+FROM (
+  SELECT doc_id, n_chars, {_DET_LN_W} AS ln_micro FROM (
+    SELECT doc_id, n_chars, z, {_DET_LN_Z2} AS z2 FROM (
+      SELECT doc_id, n_chars, {_DET_LN_Z} AS z FROM (
+        SELECT doc_id, n_chars, {_DET_LN_Y} AS y FROM (
+          SELECT doc_id, n_chars,
+            CAST({_RES_M} + 1 AS DOUBLE) / CAST(h + 1 AS DOUBLE) AS ratio
+          FROM (
+            SELECT doc_id, n_chars, (doc_id * {_KNUTH}) % {_RES_M} AS h
+            FROM documents
+          )
+        )
+      )
+    )
+  )
+)
+ORDER BY race_key ASC, doc_id ASC
+LIMIT {_RES_K}
+"""
+
+
 def register_all() -> None:
     register("sample_stratified", q_sample_stratified, SQL_SAMPLE_STRATIFIED)
     register("pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES)
     register("corpus_decontaminate", q_decontaminate, _decontaminate_sql())
     register_extra("sample_split", q_sample_split, SQL_SAMPLE_SPLIT)
+    register_extra(
+        "sample_reservoir", q_sample_reservoir, _sql_sample_reservoir()
+    )

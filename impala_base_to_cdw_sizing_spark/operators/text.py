@@ -847,6 +847,75 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- overlapping chunker (RAG / context-window preparation) ------------------------
+#
+# The other chunking contract a pipeline needs: dedup_chunks TILES the
+# doc (disjoint windows, for boilerplate removal); retrieval and
+# long-context training SLIDE the window, so a fact straddling a chunk
+# boundary appears whole in the next chunk. Standard size/stride
+# (stride < size = overlap); each chunk carries its token span and an
+# md5 identity so a downstream index can dedup exact-repeat chunks
+# across docs. Pure per-row explode — zero shuffles, linear in corpus
+# size, nothing to salt or cap.
+
+_OCHUNK_SIZE = 32
+_OCHUNK_STRIDE = 24
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = _OCHUNK_SIZE, _OCHUNK_STRIDE
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(SPARK_TOKENS))
+        .selectExpr(
+            "doc_id",
+            # n <= size → 1 chunk; else ceil((n-size)/stride)+1, so the
+            # last window starts within the doc and covers its tail
+            f"greatest(1, CAST(ceil((size(tokens) - {c}) / {s}.0) AS INT) + 1)"
+            " AS n_chunks",
+            "tokens",
+        )
+        .selectExpr(
+            "doc_id",
+            "explode(transform(sequence(0, n_chunks - 1), i -> struct("
+            f" CAST(i AS BIGINT) AS chunk_idx,"
+            f" CAST(i * {s} AS BIGINT) AS tok_start,"
+            f" CAST(size(slice(tokens, i * {s} + 1, {c})) AS BIGINT)"
+            "   AS n_chunk_tokens,"
+            f" md5(encode(concat_ws(' ', slice(tokens, i * {s} + 1, {c})),"
+            "   'utf-8')) AS chunk_hash"
+            "))) AS ch",
+        )
+        .select("doc_id", "ch.chunk_idx", "ch.tok_start",
+                "ch.n_chunk_tokens", "ch.chunk_hash")
+    )
+
+
+def _chunk_overlap_sql() -> str:
+    c, s = _OCHUNK_SIZE, _OCHUNK_STRIDE
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKENS} AS tokens,
+    greatest(1, CAST(ceil((len({DUCK_TOKENS}) - {c}) / {s}.0) AS BIGINT) + 1)
+      AS n_chunks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+    unnest(list_transform(range(0, n_chunks), i -> {{
+      'chunk_idx': i,
+      'tok_start': i * {s},
+      'n_chunk_tokens': CAST(len(tokens[i * {s} + 1:i * {s} + {c}]) AS BIGINT),
+      'chunk_hash': md5(array_to_string(tokens[i * {s} + 1:i * {s} + {c}], ' '))
+    }})) AS ch
+  FROM toks
+)
+SELECT doc_id, ch.chunk_idx AS chunk_idx, ch.tok_start AS tok_start,
+  ch.n_chunk_tokens AS n_chunk_tokens, ch.chunk_hash AS chunk_hash
+FROM chunks
+"""
+
+
 def _chunks_sql() -> str:
     c = _CHUNK_TOKENS
     return f"""
@@ -2434,6 +2503,7 @@ def register_all() -> None:
     register_extra("dedup_cluster_rep", q_cluster_rep, _cluster_rep_sql())
     register_extra("dedup_incremental", q_dedup_incremental, _incremental_sql())
     register_extra("dedup_chunks", q_dedup_chunks, _chunks_sql())
+    register_extra("text_chunk_overlap", q_chunk_overlap, _chunk_overlap_sql())
     # the log-rounds CC shares dedup_components' recursive-CTE oracle:
     # both must reach the identical component-min fixpoint
     register_extra("dedup_components_star", q_dedup_components_star, _components_sql())

@@ -138,3 +138,27 @@ def test_pca_topk_orthogonal_and_matches_replica(spark):
     lam2 = c2.lambda_micro.iloc[0] / 1e6
     assert lam2 <= lam1 * 1.001
     assert lam2 >= w[-10] * 0.5  # clearly not noise-floor
+
+
+def test_whitening_unit_variance_and_decorrelation(spark):
+    """The whitening contract: each output coordinate has ~unit variance
+    (its PCA direction's Rayleigh lambda normalizes it) and the two
+    coordinates are uncorrelated (orthogonal directions of a symmetric
+    matrix). Tolerances cover the 3-round power iteration's residual
+    error, not float noise."""
+    from impala_base_to_cdw_sizing_spark.operators.pca import q_emb_whitening
+    from tests.conftest import SF_SMALL
+
+    rows = q_emb_whitening(spark, SF_SMALL).collect()
+    n = len(rows)
+    w1 = [r.w1_micro / 1e6 for r in rows]
+    w2 = [r.w2_micro / 1e6 for r in rows]
+    m1, m2 = sum(w1) / n, sum(w2) / n
+    # centered input → near-zero means
+    assert abs(m1) < 0.05 and abs(m2) < 0.05
+    v1 = sum((a - m1) ** 2 for a in w1) / n
+    v2 = sum((a - m2) ** 2 for a in w2) / n
+    assert abs(v1 - 1.0) < 0.1, v1
+    assert abs(v2 - 1.0) < 0.1, v2
+    cov = sum((a - m1) * (b - m2) for a, b in zip(w1, w2)) / n
+    assert abs(cov) < 0.1, cov

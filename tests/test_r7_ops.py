@@ -1,0 +1,230 @@
+"""Round-7 operators: weighted reservoir sampling, overlap chunking,
+SQ8 ANN, bigram-LM perplexity. Each test checks a property the oracle
+parity run can't: an independent pure-Python replication, a structural
+invariant, or a degenerate fixture."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _det_ln(ratio: float) -> int:
+    """Pure-Python replication of the shared sqrt/atanh deterministic
+    ln (curation.py): 16 IEEE sqrts + one polynomial, micro-quantized.
+    math.sqrt is the correctly-rounded IEEE sqrt, so this reproduces
+    the engines' doubles bit-for-bit."""
+    y = ratio
+    for _ in range(16):
+        y = math.sqrt(y)
+    z = (y - 1.0) / (y + 1.0)
+    z2 = z * z
+    series = 2.0 * z * (1.0 + z2 * (1.0 / 3.0 + z2 * (1.0 / 5.0 + z2 * (1.0 / 7.0))))
+    return int(math.floor(65536.0 * series * 1000000.0 + 0.5))
+
+
+# --- sample_reservoir -------------------------------------------------------------
+
+
+def test_reservoir_matches_python_replication(spark):
+    from impala_base_to_cdw_sizing_spark.operators.sampling import (
+        _KNUTH,
+        _RES_K,
+        _RES_M,
+        q_sample_reservoir,
+    )
+
+    got = q_sample_reservoir(spark, SF_SMALL).collect()
+    docs = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    keyed = []
+    for doc_id, n_chars in docs:
+        h = (doc_id * _KNUTH) % _RES_M
+        ln_micro = _det_ln(float(_RES_M + 1) / float(h + 1))
+        keyed.append((float(ln_micro) / float(n_chars), doc_id, n_chars, ln_micro))
+    keyed.sort()
+    expect = keyed[:_RES_K]
+    assert len(got) == min(_RES_K, len(docs))
+    got_sorted = sorted((r.race_key, r.doc_id) for r in got)
+    assert got_sorted == [(k, d) for k, d, _, _ in expect]
+    # per-row arithmetic matches exactly too
+    by_id = {d: (k, ln) for k, d, _, ln in expect}
+    for r in got:
+        k, ln = by_id[r.doc_id]
+        assert r.ln_micro == ln and r.race_key == k
+
+
+def test_reservoir_favors_heavy_docs(spark):
+    """P(select) increases with weight: the selected set's mean n_chars
+    must exceed the corpus mean (a weak but assumption-free check of
+    the exponential-race direction — dividing by w must FAVOR large w,
+    not penalize it)."""
+    from impala_base_to_cdw_sizing_spark.operators.sampling import (
+        q_sample_reservoir,
+    )
+
+    sel = [r.n_chars for r in q_sample_reservoir(spark, SF_SMALL).collect()]
+    all_chars = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT n_chars FROM '{SF_SMALL}/documents.parquet'"
+        ).fetchall()
+    ]
+    assert sum(sel) / len(sel) > sum(all_chars) / len(all_chars)
+
+
+# --- text_chunk_overlap -----------------------------------------------------------
+
+
+def test_chunk_overlap_covers_and_overlaps(spark):
+    from impala_base_to_cdw_sizing_spark.operators.text import (
+        _OCHUNK_SIZE,
+        _OCHUNK_STRIDE,
+        q_chunk_overlap,
+    )
+
+    rows = q_chunk_overlap(spark, SF_SMALL).collect()
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'"
+        ).fetchall()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id].split(" ")
+        chunks.sort(key=lambda r: r.chunk_idx)
+        # chunk count formula
+        n = len(toks)
+        expect_chunks = max(
+            1, math.ceil((n - _OCHUNK_SIZE) / _OCHUNK_STRIDE) + 1
+        )
+        assert len(chunks) == expect_chunks
+        # full coverage: last chunk reaches the final token
+        last = chunks[-1]
+        assert last.tok_start + last.n_chunk_tokens == n
+        # consecutive chunks overlap by size - stride (when full)
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.tok_start == a.tok_start + _OCHUNK_STRIDE
+            if a.n_chunk_tokens == _OCHUNK_SIZE:
+                assert b.tok_start < a.tok_start + a.n_chunk_tokens
+        # hash identity: recompute one chunk per doc in Python
+        probe = chunks[0]
+        text = " ".join(toks[probe.tok_start : probe.tok_start + _OCHUNK_SIZE])
+        assert probe.chunk_hash == hashlib.md5(text.encode()).hexdigest()
+
+
+# --- sim_sq8_ann ------------------------------------------------------------------
+
+
+def test_sq8_codes_bounded_and_recall_high(spark):
+    from impala_base_to_cdw_sizing_spark.operators.similarity import (
+        q_cosine_topk,
+    )
+    from impala_base_to_cdw_sizing_spark.operators.sq import (
+        _coded,
+        q_sq8_ann,
+        q_sq8_recall,
+    )
+
+    coded = _coded(spark, SF_SMALL).collect()
+    for r in coded:
+        assert all(0 <= c <= 255 for c in r.codes)
+    # 8-bit per-dim quantization distorts cosine by <1%: every approx
+    # score is within 0.01 of the exact score for the same pair
+    exact = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in q_cosine_topk(spark, SF_SMALL).collect()
+    }
+    approx = q_sq8_ann(spark, SF_SMALL).collect()
+    overlap = [
+        (r.approx_cosine, exact[(r.q_id, r.neighbor_id)])
+        for r in approx
+        if (r.q_id, r.neighbor_id) in exact
+    ]
+    assert overlap, "approx top-k shares pairs with exact top-k"
+    for a, e in overlap:
+        assert abs(a - e) < 0.01
+    rec = q_sq8_recall(spark, SF_SMALL).collect()[0]
+    assert rec.recall_at3 >= 0.8
+
+
+# --- text_bigram_perplexity -------------------------------------------------------
+
+
+@pytest.fixture()
+def tiny_corpus(spark, tmp_path):
+    """4 reference docs with a skewed bigram ('a b' dominates), one
+    OOV-gibberish doc, one doc made of the dominant bigram."""
+    rows = [
+        (0, "a b a b a b a b", "en", "s0", 15),
+        (1, "a b a c a d b b", "en", "s0", 15),
+        (2, "b a a b c a b b", "en", "s0", 15),
+        (3, "c c a b d a b a", "en", "s0", 15),
+        (10, "zz qq zz qq zz qq", "xx", "s1", 17),
+        (11, "a b a b a b", "xx", "s1", 11),
+    ]
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{p}/documents.parquet")
+    return p
+
+
+def test_bigram_perplexity_degenerate_docs(spark, tiny_corpus):
+    from impala_base_to_cdw_sizing_spark.operators.lm_quality import (
+        q_bigram_perplexity,
+    )
+
+    out = {r.doc_id: r for r in q_bigram_perplexity(spark, tiny_corpus).collect()}
+    # every doc scored, including the non-reference ones
+    assert set(out) == {0, 1, 2, 3, 10, 11}
+    # the all-OOV doc costs exactly ln(V) per bigram: c2 = c1 = 0
+    # (replicated with the same deterministic ln)
+    ref_text = [
+        "a b a b a b a b", "a b a c a d b b",
+        "b a a b c a b b", "c c a b d a b a",
+    ]
+    vocab = {t for s in ref_text for t in s.split(" ")}
+    v = len(vocab)
+    expect_oov = _det_ln(float(v))  # ratio (0+V)/(0+1)
+    assert out[10].sum_micro == expect_oov * out[10].n_bigrams
+    # the dominant-bigram doc is cheaper than every reference doc's own
+    # score, and the OOV doc is the most expensive
+    assert out[11].xent_nats < min(out[d].xent_nats for d in range(4))
+    assert out[10].xent_nats == max(o.xent_nats for o in out.values())
+    # exact replication of one seen bigram's cost: 'a b' appears
+    # c2 times, context 'a' c1 times in the reference bigram counts
+    bigrams = [
+        (s.split(" ")[i], s.split(" ")[i + 1])
+        for s in ref_text
+        for i in range(len(s.split(" ")) - 1)
+    ]
+    c2 = bigrams.count(("a", "b"))
+    c1 = sum(1 for p, _ in bigrams if p == "a")
+    per_ab = _det_ln(float(c1 + v) / float(c2 + 1))
+    # doc 11 is 'a b' x3 + 'b a' x2
+    c2_ba = bigrams.count(("b", "a"))
+    c1_b = sum(1 for p, _ in bigrams if p == "b")
+    per_ba = _det_ln(float(c1_b + v) / float(c2_ba + 1))
+    assert out[11].sum_micro == 3 * per_ab + 2 * per_ba
+
+
+def test_bigram_perplexity_buckets_nonvacuous(spark):
+    from impala_base_to_cdw_sizing_spark.operators.lm_quality import (
+        q_bigram_perplexity,
+    )
+
+    buckets = {
+        r.ppl_bucket
+        for r in q_bigram_perplexity(spark, SF_SMALL).collect()
+    }
+    assert buckets == {"head", "middle", "tail"}

@@ -5,7 +5,9 @@ run at two sfs and feed both outputs to tools/scaling_report.py to find
 super-linear growth in the pytest-verified tier the way BASELINE.md r5
 did for the declared tier (which caught dedup_simhash at alpha=2.0).
 
-Usage: SPARK_GRAFT_SF_DIR=... python tools/time_extra.py
+Usage: SPARK_GRAFT_SF_DIR=... python tools/time_extra.py [name ...]
+(names filter the run to a subset — the sf3 exponent passes only re-run
+the heavy queries, not all 90+)
 """
 
 from __future__ import annotations
@@ -28,7 +30,14 @@ def main() -> None:
 
     spark = build_spark("time-extra")
     timings: dict[str, float] = {}
-    for name, fn in ent.extra_queries().items():
+    wanted = set(sys.argv[1:])
+    registry = ent.extra_queries()
+    if wanted:
+        missing = wanted - set(registry)
+        if missing:
+            sys.exit(f"unknown extra queries: {sorted(missing)}")
+        registry = {n: registry[n] for n in sorted(wanted)}
+    for name, fn in registry.items():
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
