@@ -840,6 +840,76 @@ GROUP BY o_orderpriority
 """
 
 
+# --- skyline / Pareto frontier -----------------------------------------------------
+
+_SKY_SALTS = 16
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline of orders — maximize ``o_totalprice``, minimize
+    ``o_orderdate`` (the "largest order seen by each date" frontier).
+    A dominates B iff price_A >= price_B AND date_A <= date_B with one
+    strict; coincident (price, date) points keep only the lowest
+    orderkey (a deterministic distinct-frontier convention).
+
+    The 2-D skyline needs no pairwise dominance join: sort by (price
+    DESC, date ASC, key ASC) and a row is on the frontier iff its date
+    beats the running MIN date of everything before it — one window
+    scan. Distribution is the classic two-phase skyline: a LOCAL scan
+    per salt partition (prunes all but each partition's frontier — the
+    16 parallel windows carry the bulk of the data), then the SAME scan
+    globally over the union of local frontiers. The global window is
+    partition-less but its input is frontier-sized by construction
+    (sum of local frontiers, not the table — the global_topk bounded-
+    input precedent), and the result provably equals the single-pass
+    skyline: a row dominated anywhere is dominated by something that
+    survives its own salt's local pass."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+
+    def scan(df: DataFrame, part) -> DataFrame:
+        base = (
+            Window.partitionBy(*part) if part else Window.partitionBy(F.lit(1))
+        )
+        w = base.orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        return df.withColumn(
+            "best_d", F.min("o_orderdate").over(w)
+        ).filter(
+            F.col("best_d").isNull()
+            | (F.col("o_orderdate") < F.col("best_d"))
+        ).drop("best_d")
+
+    local = scan(
+        orders.withColumn(
+            "salt", (F.col("o_orderkey") % _SKY_SALTS).cast("int")
+        ),
+        ["salt"],
+    ).drop("salt")
+    return scan(local, None).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+            "orderdate_ms"
+        ),
+    )
+
+
+SQL_SKYLINE = """
+SELECT o_orderkey, o_totalprice, epoch_ms(o_orderdate) AS orderdate_ms FROM (
+  SELECT o_orderkey, o_totalprice, o_orderdate,
+    MIN(o_orderdate) OVER (
+      ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_d
+  FROM orders
+) WHERE best_d IS NULL OR o_orderdate < best_d
+"""
+
+
 def register_all() -> None:
     register("rel_correlated_subquery", q_correlated_subquery, SQL_CORRELATED)
     register("rel_exact_percentiles", q_exact_percentiles, SQL_EXACT_PERCENTILES)
@@ -868,4 +938,5 @@ def register_all() -> None:
     )
     register_extra("rel_null_semantics", q_null_semantics, SQL_NULL_SEMANTICS)
     register_extra("rel_calendar_funcs", q_calendar_funcs, SQL_CALENDAR_FUNCS)
+    register_extra("rel_skyline", q_skyline, SQL_SKYLINE)
     register_extra("rel_file_provenance", q_file_provenance, _provenance_sql())

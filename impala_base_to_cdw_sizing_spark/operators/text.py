@@ -792,6 +792,44 @@ FROM documents GROUP BY 1
 """
 
 
+def q_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (SoftDeDup / D4-style): instead of DROPPING duplicate
+    documents, every copy survives with sampling weight 1/n_copies, so
+    a training sampler sees each distinct text with equal expected mass
+    while noisy near-boundary dedup decisions cost reweighting, not
+    data loss. Clusters are the exact-hash groups of
+    :func:`q_dedup_exact`; the weight is integer micro-units (exact
+    cross-engine: floor(1e6/n + 0.5) on a BIGINT count). Shape: one
+    hash groupBy + one join back on the hash — both on the same key, so
+    AQE coalesces them into one exchange; linear at any corpus size.
+    ``is_canonical`` marks the min-doc_id member, making hard dedup a
+    downstream filter rather than a separate pass."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text_hash", F.md5(F.encode("text", "UTF-8"))
+    )
+    clusters = docs.groupBy("text_hash").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+    return docs.join(clusters, "text_hash").selectExpr(
+        "doc_id", "text_hash", "n_copies",
+        "CAST(floor(1000000.0 / n_copies + 0.5) AS BIGINT) AS weight_micro",
+        "CAST(doc_id = keep_id AS BIGINT) AS is_canonical",
+    )
+
+
+SQL_DEDUP_SOFT = """
+WITH docs AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+clusters AS (
+  SELECT text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+  FROM docs GROUP BY 1
+)
+SELECT doc_id, text_hash, n_copies,
+  CAST(floor(1000000.0 / n_copies + 0.5) AS BIGINT) AS weight_micro,
+  CAST(doc_id = keep_id AS BIGINT) AS is_canonical
+FROM docs JOIN clusters USING (text_hash)
+"""
+
+
 # --- chunk-level dedup (paragraph dedup's shape on separator-free text) -----------
 
 _CHUNK_TOKENS = 8
@@ -2504,6 +2542,7 @@ def register_all() -> None:
     register_extra("dedup_incremental", q_dedup_incremental, _incremental_sql())
     register_extra("dedup_chunks", q_dedup_chunks, _chunks_sql())
     register_extra("text_chunk_overlap", q_chunk_overlap, _chunk_overlap_sql())
+    register_extra("dedup_soft_weights", q_dedup_soft, SQL_DEDUP_SOFT)
     # the log-rounds CC shares dedup_components' recursive-CTE oracle:
     # both must reach the identical component-min fixpoint
     register_extra("dedup_components_star", q_dedup_components_star, _components_sql())

@@ -228,3 +228,62 @@ def test_bigram_perplexity_buckets_nonvacuous(spark):
         for r in q_bigram_perplexity(spark, SF_SMALL).collect()
     }
     assert buckets == {"head", "middle", "tail"}
+
+
+# --- rel_skyline ------------------------------------------------------------------
+
+
+def test_skyline_equals_bruteforce_dominance(spark):
+    from impala_base_to_cdw_sizing_spark.operators.olap_extra import q_skyline
+
+    got = {
+        (r.o_orderkey, float(r.o_totalprice), r.orderdate_ms)
+        for r in q_skyline(spark, SF_SMALL).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, o_totalprice, epoch_ms(o_orderdate)"
+        f" FROM '{SF_SMALL}/orders.parquet'"
+    ).fetchall()
+    # brute force O(n^2) dominance: keep rows no other row dominates;
+    # coincident (price, date) points keep the lowest key only
+    keep = set()
+    for k, p, d in rows:
+        dominated = any(
+            (p2 >= p and d2 <= d and (p2 > p or d2 < d))
+            or (p2 == p and d2 == d and k2 < k)
+            for k2, p2, d2 in rows
+            if k2 != k
+        )
+        if not dominated:
+            keep.add((k, float(p), d))
+    assert got == keep
+    assert got, "frontier must be non-empty"
+    # two-phase equals single-phase: the oracle SQL is the single global
+    # scan and parity already pins it; here pin the local phase prunes
+    # nothing that belongs (frontier is a subset of every salt's input)
+
+
+# --- dedup_soft_weights -----------------------------------------------------------
+
+
+def test_soft_weights_conserve_cluster_mass(spark):
+    from impala_base_to_cdw_sizing_spark.operators.text import q_dedup_soft
+
+    rows = q_dedup_soft(spark, SF_SMALL).collect()
+    by_hash: dict[str, list] = {}
+    for r in rows:
+        by_hash.setdefault(r.text_hash, []).append(r)
+    n_canonical = 0
+    for members in by_hash.values():
+        n = len(members)
+        assert all(m.n_copies == n for m in members)
+        # every copy carries weight 1e6/n (rounded): cluster mass stays
+        # ~1e6 regardless of copy count
+        total = sum(m.weight_micro for m in members)
+        assert abs(total - 1_000_000) <= n // 2 + 1
+        n_canonical += sum(m.is_canonical for m in members)
+        assert sum(m.is_canonical for m in members) == 1
+        assert min(m.doc_id for m in members) == next(
+            m.doc_id for m in members if m.is_canonical
+        )
+    assert n_canonical == len(by_hash)
