@@ -840,6 +840,125 @@ GROUP BY o_orderpriority
 """
 
 
+# --- incremental aggregate maintenance ---------------------------------------------
+
+# snapshot/delta cut: events strictly before 2024-01-21 UTC are the
+# "already rolled up" history, the rest is the newly-arrived partition
+_INC_CUT_NS = 1_705_795_200_000_000_000
+
+# null-safe two-sided min/max merge — written once, used verbatim in
+# both dialects (Spark's least() skips NULLs but DuckDB's returns NULL,
+# so the explicit CASE is the portable form)
+_MERGE_MIN = (
+    "CASE WHEN {a} IS NULL THEN {b} WHEN {b} IS NULL THEN {a}"
+    " ELSE least({a}, {b}) END"
+)
+_MERGE_MAX = (
+    "CASE WHEN {a} IS NULL THEN {b} WHEN {b} IS NULL THEN {a}"
+    " ELSE greatest({a}, {b}) END"
+)
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance — the algebraic-merge contract a
+    100 TB warehouse depends on, as a query with its own proof.
+
+    History (events before the cut) is aggregated once; the new
+    partition is aggregated alone; the published rollup is the MERGE of
+    the two states (counts add, decimal sums add exactly, min/max
+    combine null-safely) — history is never rescanned. The operator
+    emits the merged rollup per event_type PLUS a ``consistent``
+    witness comparing every merged figure against a full recompute, so
+    the mergeability claim is checked row-by-row in both engines, not
+    asserted. Decimal sums merge BEFORE the double conversion: merging
+    after (double + double of per-part sums) is where real pipelines
+    silently drift from their recompute.
+
+    Scale: three partial-agg passes over disjoint slices (the recompute
+    pass exists only for the witness; production drops it), merge join
+    on the group key, event_type cardinality rows out."""
+    from ..sources.files import load_events
+
+    e = load_events(spark, sf_dir)
+    DEC = "decimal(38,6)"
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").cast("long").alias(f"n_{tag}"),
+            F.sum(F.col("value").cast(DEC)).alias(f"sum_{tag}"),
+            F.min("value").alias(f"min_{tag}"),
+            F.max("value").alias(f"max_{tag}"),
+        )
+    snap = agg(e.filter(F.col("ts") < _INC_CUT_NS), "s")
+    delta = agg(e.filter(F.col("ts") >= _INC_CUT_NS), "d")
+    full = agg(e, "f")
+    merged = (
+        snap.join(delta, "event_type", "full_outer")
+        .selectExpr(
+            "event_type",
+            "coalesce(n_s, 0) + coalesce(n_d, 0) AS n",
+            f"CAST(coalesce(sum_s, CAST(0 AS {DEC}))"
+            f" + coalesce(sum_d, CAST(0 AS {DEC})) AS {DEC}) AS sum_dec",
+            _MERGE_MIN.format(a="min_s", b="min_d") + " AS min_v",
+            _MERGE_MAX.format(a="max_s", b="max_d") + " AS max_v",
+        )
+    )
+    return (
+        merged.join(full, "event_type")
+        .selectExpr(
+            "event_type", "n",
+            "CAST(sum_dec AS DOUBLE) AS sum_value",
+            "min_v", "max_v",
+            "CAST(n = n_f AND sum_dec = sum_f AND min_v = min_f"
+            " AND max_v = max_f AS BIGINT) AS consistent",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_incremental_rollup() -> str:
+    from .aggregates import dec_to_double_sql
+
+    mmin = _MERGE_MIN.format(a="min_s", b="min_d")
+    mmax = _MERGE_MAX.format(a="max_s", b="max_d")
+    return f"""
+WITH e AS (SELECT event_type, epoch_ns(ts) AS ts, value FROM events),
+snap AS (
+  SELECT event_type, COUNT(*) AS n_s,
+    SUM(CAST(value AS DECIMAL(38,6))) AS sum_s,
+    MIN(value) AS min_s, MAX(value) AS max_s
+  FROM e WHERE ts < {_INC_CUT_NS} GROUP BY 1
+),
+delta AS (
+  SELECT event_type, COUNT(*) AS n_d,
+    SUM(CAST(value AS DECIMAL(38,6))) AS sum_d,
+    MIN(value) AS min_d, MAX(value) AS max_d
+  FROM e WHERE ts >= {_INC_CUT_NS} GROUP BY 1
+),
+full_agg AS (
+  SELECT event_type, COUNT(*) AS n_f,
+    SUM(CAST(value AS DECIMAL(38,6))) AS sum_f,
+    MIN(value) AS min_f, MAX(value) AS max_f
+  FROM e GROUP BY 1
+),
+merged AS (
+  SELECT coalesce(s.event_type, d.event_type) AS event_type,
+    coalesce(n_s, 0) + coalesce(n_d, 0) AS n,
+    CAST(coalesce(sum_s, CAST(0 AS DECIMAL(38,6)))
+      + coalesce(sum_d, CAST(0 AS DECIMAL(38,6))) AS DECIMAL(38,6))
+      AS sum_dec,
+    {mmin} AS min_v, {mmax} AS max_v
+  FROM snap s FULL OUTER JOIN delta d ON s.event_type = d.event_type
+)
+SELECT event_type, n, {dec_to_double_sql('sum_dec')} AS sum_value,
+  min_v, max_v,
+  CAST(n = n_f AND sum_dec = sum_f AND min_v = min_f
+    AND max_v = max_f AS BIGINT) AS consistent
+FROM merged JOIN full_agg USING (event_type)
+ORDER BY event_type
+"""
+
+
 # --- skyline / Pareto frontier -----------------------------------------------------
 
 _SKY_SALTS = 16
@@ -939,4 +1058,7 @@ def register_all() -> None:
     register_extra("rel_null_semantics", q_null_semantics, SQL_NULL_SEMANTICS)
     register_extra("rel_calendar_funcs", q_calendar_funcs, SQL_CALENDAR_FUNCS)
     register_extra("rel_skyline", q_skyline, SQL_SKYLINE)
+    register_extra(
+        "rel_incremental_rollup", q_incremental_rollup, _sql_incremental_rollup()
+    )
     register_extra("rel_file_provenance", q_file_provenance, _provenance_sql())

@@ -287,3 +287,26 @@ def test_soft_weights_conserve_cluster_mass(spark):
             m.doc_id for m in members if m.is_canonical
         )
     assert n_canonical == len(by_hash)
+
+
+# --- rel_incremental_rollup -------------------------------------------------------
+
+
+def test_incremental_rollup_witness_nonvacuous(spark):
+    """merge ≡ recompute must hold (consistent=1 on every group) and
+    the test must prove BOTH sides contribute: the snapshot/delta cut
+    has to split the events non-trivially or the merge is the identity
+    and the witness proves nothing."""
+    from impala_base_to_cdw_sizing_spark.operators.olap_extra import (
+        _INC_CUT_NS,
+        q_incremental_rollup,
+    )
+    from impala_base_to_cdw_sizing_spark.sources.files import load_events
+
+    rows = q_incremental_rollup(spark, SF_SMALL).collect()
+    assert rows and all(r.consistent == 1 for r in rows)
+    e = load_events(spark, SF_SMALL)
+    n_snap = e.filter(e.ts < _INC_CUT_NS).count()
+    n_delta = e.filter(e.ts >= _INC_CUT_NS).count()
+    assert n_snap > 0 and n_delta > 0
+    assert sum(r.n for r in rows) == n_snap + n_delta
