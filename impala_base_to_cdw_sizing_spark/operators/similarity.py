@@ -1103,6 +1103,124 @@ FROM q a JOIN q b ON a.vec_id < b.vec_id
 """
 
 
+# --- hard-negative mining (contrastive training pairs) -----------------------------
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for embedding training: for EVERY vector, the most
+    similar candidate with a DIFFERENT label (the hard negative) and the
+    most similar with the SAME label (the positive), plus the margin
+    ``pos_cosine - neg_cosine`` a triplet loss would see. Anchors with a
+    negative margin are the training signal — the corpus rows where the
+    embedding currently ranks a wrong-label item above a right-label
+    one.
+
+    The candidate set is the SAME OR-banded LSH structure as
+    ``sim_lsh_ann`` — bands on the anchor side uncapped, bucket-capped
+    candidate side — so the pair count is O(n * bands * cap), never
+    n²: this is the shape that makes all-anchors mining feasible at
+    100 TB (exact all-pairs mining is the one thing you never do).
+    Anchors whose buckets contain no different-label candidate drop out
+    (hard negatives are the product; ``pos_*`` is NULL-able the other
+    way)."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "norm2", F.expr(SPARK_DOT.format(a="v", b="v"))
+    )
+    banded = _banded_spark(emb)
+    anchors = banded.selectExpr("vec_id AS a_id", "band_id", "band_key")
+    cand = _capped_spark(banded).selectExpr(
+        "vec_id AS c_id", "band_id", "band_key"
+    )
+    pairs = (
+        anchors.join(cand, ["band_id", "band_key"])
+        .filter(F.col("a_id") != F.col("c_id"))
+        .select("a_id", "c_id")
+        .distinct()
+    )
+    av = emb.selectExpr(
+        "vec_id AS a_id", "label AS a_label", "v AS avec", "norm2 AS a_norm2"
+    )
+    cv = emb.selectExpr(
+        "vec_id AS c_id", "label AS c_label", "v AS cvec", "norm2 AS c_norm2"
+    )
+    scored = (
+        pairs.join(av, "a_id")
+        .join(cv, "c_id")
+        .withColumn(
+            "cosine",
+            F.expr(SPARK_DOT.format(a="avec", b="cvec"))
+            / F.sqrt(F.col("a_norm2") * F.col("c_norm2")),
+        )
+        .select("a_id", "a_label", "c_id", "c_label", "cosine")
+    )
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id").asc()
+    )
+    neg = (
+        scored.filter(F.col("c_label") != F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .selectExpr(
+            "a_id", "a_label", "c_id AS neg_id", "cosine AS neg_cosine"
+        )
+    )
+    pos = (
+        scored.filter(F.col("c_label") == F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .selectExpr("a_id", "c_id AS pos_id", "cosine AS pos_cosine")
+    )
+    return neg.join(pos, "a_id", "left").selectExpr(
+        "a_id", "a_label", "neg_id", "neg_cosine", "pos_id", "pos_cosine",
+        "pos_cosine - neg_cosine AS margin",
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH emb AS ({DUCK_EMB}),
+normed AS (
+  SELECT vec_id, v, {DUCK_DOT.format(a='v', b='v')} AS norm2 FROM emb
+),
+bands AS ({_DUCK_BANDS}),
+capped AS ({_DUCK_CAPPED}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS a_id, c.vec_id AS c_id
+  FROM bands a JOIN capped c
+    ON a.band_id = c.band_id AND a.band_key = c.band_key
+   AND a.vec_id <> c.vec_id
+),
+labeled AS (SELECT vec_id, label FROM embeddings),
+scored AS (
+  SELECT p.a_id, la.label AS a_label, p.c_id, lc.label AS c_label,
+    {DUCK_DOT.format(a='a.v', b='c.v')} / sqrt(a.norm2 * c.norm2) AS cosine
+  FROM pairs p
+  JOIN normed a ON p.a_id = a.vec_id
+  JOIN normed c ON p.c_id = c.vec_id
+  JOIN labeled la ON p.a_id = la.vec_id
+  JOIN labeled lc ON p.c_id = lc.vec_id
+),
+neg AS (
+  SELECT a_id, a_label, c_id AS neg_id, cosine AS neg_cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY a_id ORDER BY cosine DESC, c_id ASC) AS rn
+    FROM scored WHERE c_label <> a_label
+  ) WHERE rn = 1
+),
+pos AS (
+  SELECT a_id, c_id AS pos_id, cosine AS pos_cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY a_id ORDER BY cosine DESC, c_id ASC) AS rn
+    FROM scored WHERE c_label = a_label
+  ) WHERE rn = 1
+)
+SELECT a_id, a_label, neg_id, neg_cosine, pos_id, pos_cosine,
+  pos_cosine - neg_cosine AS margin
+FROM neg LEFT JOIN pos USING (a_id)
+"""
+
+
 def register_all() -> None:
     from .queries_ext import register_extra
 
@@ -1129,3 +1247,4 @@ def register_all() -> None:
     register_extra("emb_random_projection", q_random_projection, _rp_sql())
     register_extra("emb_outliers", q_emb_outliers, SQL_EMB_OUTLIERS)
     register_extra("sim_rp_cosines", q_rp_cosines, _rp_cosines_sql())
+    register_extra("emb_hard_negatives", q_hard_negatives, SQL_HARD_NEGATIVES)
