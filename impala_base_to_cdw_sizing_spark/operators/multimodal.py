@@ -377,6 +377,132 @@ FROM dims
 """
 
 
+# --- perceptual-hash dedup over the real container path ----------------------------
+
+_PH_GW, _PH_GH = 9, 8  # dHash grid: 9x8 lumas -> 64 horizontal-gradient bits
+
+
+def _dhash_bmp(payload: bytes) -> str:
+    """dHash of a 24-bit BMP: parse the container (same validation as
+    :func:`_decode_payload_bmp`), nearest-neighbor-sample a 9x8 luma
+    grid (luma = R+G+B — channel-order invariant), emit the 64
+    left<right gradient bits MSB-first as 16 hex chars."""
+    if len(payload) < _BMP_HDR or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+
+    def le(off: int, n: int) -> int:
+        return int.from_bytes(payload[off : off + n], "little")
+
+    pixel_off = le(10, 4)
+    width, height = le(18, 4), le(22, 4)
+    if le(28, 2) != 24 or le(30, 4) != 0:
+        raise ValueError("unsupported BMP")
+    stride = (width * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, np.uint8, count=stride * height, offset=pixel_off
+    ).reshape(height, stride)[::-1, : width * 3]
+    lum = [
+        [
+            int(rows[(gy * height) // _PH_GH, 3 * ((gx * width) // _PH_GW)])
+            + int(rows[(gy * height) // _PH_GH, 3 * ((gx * width) // _PH_GW) + 1])
+            + int(rows[(gy * height) // _PH_GH, 3 * ((gx * width) // _PH_GW) + 2])
+            for gx in range(_PH_GW)
+        ]
+        for gy in range(_PH_GH)
+    ]
+    h = 0
+    for gy in range(_PH_GH):
+        for gx in range(_PH_GW - 1):
+            h = (h << 1) | (1 if lum[gy][gx] < lum[gy][gx + 1] else 0)
+    return f"{h:016x}"
+
+
+def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by perceptual hash — the multimodal twin of
+    ``dedup_exact``: identical-LOOKING media dedups even when container
+    bytes differ (re-encode, metadata changes). Pipeline: synthesize a
+    real BMP per doc (``with_bmp_payload``), dHash it through the REAL
+    container parse in an Arrow ``mapInPandas`` kernel, hash-group the
+    64-bit perceptual hashes.
+
+    The oracle never sees the container: it recomputes every sampled
+    luma FROM THE SOURCE BYTES (the BMP raster is the doc's UTF-8 bytes
+    tiled — ASCII corpus, so ``ascii(substring(text, k+1, 1))`` is byte
+    k) and assembles the same 64 gradient bits in SQL. Parity therefore
+    cross-validates the entire encode → parse → sample → hash chain
+    against an independent from-source derivation — the strongest form
+    of the ``mm_decode_stub`` oracle-replay pattern.
+
+    Scale: payloads and hashes are one Arrow-batched narrow map (no
+    shuffle); the dedup is one 8-byte-key groupBy. Near-dup (hamming
+    ≤ k) banding composes exactly like ``dedup_simhash``'s 4x16-bit
+    band tables over the same 64 bits."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pdf["payload"].map(_dhash_bmp),
+                }
+            )
+
+    hashed = with_bmp_payload(docs).mapInPandas(
+        _batches, "doc_id long, phash string"
+    )
+    return hashed.groupBy("phash").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def _phash_sql() -> str:
+    gw, gh = _PH_GW, _PH_GH
+    # luma list: element i (0-based) = grid point (gy=i//gw, gx=i%gw);
+    # x = (gx*w)//gw, y = (gy*h)//gh, source byte offset p = (y*w+x)*3
+    byte = (
+        "CASE WHEN L = 0 THEN 0"
+        " ELSE ascii(substring(text, (({q}) % L) + 1, 1)) END"
+    )
+    p = f"((((i // {gw}) * h) // {gh}) * w + (((i % {gw}) * w) // {gw})) * 3"
+    elem = " + ".join(byte.format(q=f"({p}) + {c}") for c in range(3))
+    halves = []
+    for lo_half in (0, 1):
+        terms = []
+        for k in range(32):
+            bit = lo_half * 32 + k
+            gy, gx = bit // (gw - 1), bit % (gw - 1)
+            left = f"lv[{gy * gw + gx + 1}]"
+            right = f"lv[{gy * gw + gx + 2}]"
+            terms.append(
+                f"(CASE WHEN {left} < {right} THEN 1 ELSE 0 END"
+                f" * {1 << (31 - k)})"
+            )
+        halves.append("CAST(" + " + ".join(terms) + " AS BIGINT)")
+    return f"""
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 5 AS h,
+    length(text) AS L, text
+  FROM documents
+),
+lum AS (
+  SELECT doc_id,
+    list_transform(range(0, {gw * gh}), i -> {elem}) AS lv
+  FROM g
+),
+hashes AS (
+  SELECT doc_id, printf('%08x%08x', {halves[0]}, {halves[1]}) AS phash
+  FROM lum
+)
+SELECT phash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM hashes GROUP BY phash
+"""
+
+
 def register_all() -> None:
     register("mm_meta", q_mm_meta, SQL_MM_META)
     register("mm_decode_stub", q_mm_decode, SQL_MM_DECODE)
+    from .queries_ext import register_extra
+
+    register_extra("mm_phash_dedup", q_mm_phash_dedup, _phash_sql())

@@ -959,6 +959,172 @@ ORDER BY event_type
 """
 
 
+# --- distribution drift (population stability index) -------------------------------
+
+_PSI_BINS = 10
+_PSI_BIN_W = 50.0  # value in [0, ~500] → floor(value/50) clamped to 0..9
+# industry-standard PSI bands: <0.1 stable, 0.1-0.25 moderate, >0.25 major
+_PSI_BAND = (
+    "CASE WHEN psi < 0.1 THEN 'stable' "
+    "WHEN psi <= 0.25 THEN 'moderate' ELSE 'major' END"
+)
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: PSI of the ``value`` distribution per
+    event_type between the reference window (events before the
+    incremental-rollup cut) and the current window — the number an
+    ingest pipeline alarms on before a silent upstream change poisons
+    training data. PSI = sum_b (c_b - r_b)(ln c_b - ln r_b) over binned
+    shares, add-one smoothed on a DENSE type x bin grid so empty bins
+    are defined in both windows.
+
+    Portability is the DSIR construction end-to-end: each bin's
+    ``ln((c'*R')/(r'*C'))`` is a ln of an exact BIGINT-product ratio
+    through the shared sqrt/atanh deterministic ln, each term quantized
+    to integer nano-units BEFORE the per-type sum (order-independent),
+    one double division at the end. Scale: two partial-agg passes over
+    disjoint slices, a #types x #bins grid (tiny, broadcast-joined),
+    output one row per type."""
+    from .curation import _DET_LN_W, _DET_LN_Y, _DET_LN_Z, _DET_LN_Z2
+    from ..sources.files import load_events
+
+    e = load_events(spark, sf_dir).selectExpr(
+        "event_type",
+        "ts",
+        f"least({_PSI_BINS - 1}, greatest(0,"
+        f" CAST(floor(value / {_PSI_BIN_W}) AS INT))) AS bin",
+    )
+
+    def counts(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("event_type", "bin").agg(
+            F.count("*").cast("long").alias(tag)
+        )
+
+    ref = counts(e.filter(F.col("ts") < _INC_CUT_NS), "r")
+    cur = counts(e.filter(F.col("ts") >= _INC_CUT_NS), "c")
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .selectExpr(
+            "event_type",
+            f"explode(sequence(0, {_PSI_BINS - 1})) AS bin",
+        )
+    )
+    terms = (
+        grid.join(ref, ["event_type", "bin"], "left")
+        .join(cur, ["event_type", "bin"], "left")
+        .selectExpr(
+            "event_type", "bin",
+            "coalesce(r, 0) + 1 AS rp", "coalesce(c, 0) + 1 AS cp",
+        )
+        .withColumn(
+            "r_tot", F.sum("rp").over(Window.partitionBy("event_type"))
+        )
+        .withColumn(
+            "c_tot", F.sum("cp").over(Window.partitionBy("event_type"))
+        )
+        .selectExpr(
+            "event_type", "rp", "cp", "r_tot", "c_tot",
+            "CAST(cp * r_tot AS DOUBLE) / CAST(rp * c_tot AS DOUBLE) AS ratio",
+        )
+        .selectExpr(
+            "event_type", "rp", "cp", "r_tot", "c_tot", f"{_DET_LN_Y} AS y"
+        )
+        .selectExpr(
+            "event_type", "rp", "cp", "r_tot", "c_tot", f"{_DET_LN_Z} AS z"
+        )
+        .selectExpr(
+            "event_type", "rp", "cp", "r_tot", "c_tot", "z",
+            f"{_DET_LN_Z2} AS z2",
+        )
+        .selectExpr(
+            "event_type", "rp", "cp", "r_tot", "c_tot",
+            f"{_DET_LN_W} AS ln_micro",
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(floor((CAST(cp AS DOUBLE) / c_tot"
+            " - CAST(rp AS DOUBLE) / r_tot)"
+            " * (CAST(ln_micro AS DOUBLE) / 1000000.0)"
+            " * 1000000000.0 + 0.5) AS BIGINT) AS term_nano",
+        )
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(F.sum("term_nano").alias("psi_nano"))
+        .selectExpr(
+            "event_type", "psi_nano",
+            "CAST(psi_nano AS DOUBLE) / 1000000000.0 AS psi",
+        )
+        .selectExpr("event_type", "psi_nano", "psi", f"{_PSI_BAND} AS band")
+        .orderBy("event_type")
+    )
+
+
+def _sql_drift_psi() -> str:
+    from .curation import _DET_LN_W, _DET_LN_Y, _DET_LN_Z, _DET_LN_Z2
+
+    return f"""
+WITH e AS (
+  SELECT event_type, epoch_ns(ts) AS ts,
+    least({_PSI_BINS - 1}, greatest(0,
+      CAST(floor(value / {_PSI_BIN_W}) AS INT))) AS bin
+  FROM events
+),
+ref AS (
+  SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS r
+  FROM e WHERE ts < {_INC_CUT_NS} GROUP BY 1, 2
+),
+cur AS (
+  SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e WHERE ts >= {_INC_CUT_NS} GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, CAST(u.b AS INT) AS bin
+  FROM (SELECT DISTINCT event_type FROM e),
+       UNNEST(range(0, {_PSI_BINS})) AS u(b)
+),
+smoothed AS (
+  SELECT g.event_type, g.bin,
+    coalesce(r, 0) + 1 AS rp, coalesce(c, 0) + 1 AS cp,
+    CAST(SUM(coalesce(r, 0) + 1)
+      OVER (PARTITION BY g.event_type) AS BIGINT) AS r_tot,
+    CAST(SUM(coalesce(c, 0) + 1)
+      OVER (PARTITION BY g.event_type) AS BIGINT) AS c_tot
+  FROM grid g
+  LEFT JOIN ref USING (event_type, bin)
+  LEFT JOIN cur USING (event_type, bin)
+),
+terms AS (
+  SELECT event_type,
+    CAST(floor((CAST(cp AS DOUBLE) / c_tot - CAST(rp AS DOUBLE) / r_tot)
+      * (CAST(ln_micro AS DOUBLE) / 1000000.0)
+      * 1000000000.0 + 0.5) AS BIGINT) AS term_nano
+  FROM (
+    SELECT event_type, rp, cp, r_tot, c_tot, {_DET_LN_W} AS ln_micro FROM (
+      SELECT event_type, rp, cp, r_tot, c_tot, z, {_DET_LN_Z2} AS z2 FROM (
+        SELECT event_type, rp, cp, r_tot, c_tot, {_DET_LN_Z} AS z FROM (
+          SELECT event_type, rp, cp, r_tot, c_tot, {_DET_LN_Y} AS y FROM (
+            SELECT event_type, rp, cp, r_tot, c_tot,
+              CAST(cp * r_tot AS DOUBLE) / CAST(rp * c_tot AS DOUBLE) AS ratio
+            FROM smoothed
+          )
+        )
+      )
+    )
+  )
+)
+SELECT event_type, psi_nano, psi, {_PSI_BAND} AS band
+FROM (
+  SELECT event_type, CAST(SUM(term_nano) AS BIGINT) AS psi_nano,
+    CAST(SUM(term_nano) AS DOUBLE) / 1000000000.0 AS psi
+  FROM terms GROUP BY 1
+)
+ORDER BY event_type
+"""
+
+
 # --- skyline / Pareto frontier -----------------------------------------------------
 
 _SKY_SALTS = 16
@@ -1061,4 +1227,5 @@ def register_all() -> None:
     register_extra(
         "rel_incremental_rollup", q_incremental_rollup, _sql_incremental_rollup()
     )
+    register_extra("rel_drift_psi", q_drift_psi, _sql_drift_psi())
     register_extra("rel_file_provenance", q_file_provenance, _provenance_sql())

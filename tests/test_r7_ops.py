@@ -368,3 +368,64 @@ def test_hard_negatives_vs_exact_mining(spark):
     # the mined set carries real training signal: some anchors rank a
     # wrong-label item above their best same-label item
     assert any(r.margin is not None and r.margin < 0 for r in rows)
+
+
+# --- rel_drift_psi ----------------------------------------------------------------
+
+
+def test_drift_psi_stable_corpus_and_injected_drift(spark, tmp_path):
+    """The synthetic corpus has no distribution change across the time
+    cut, so no type can cross the 'major' threshold (the tiny sf0.001
+    window does show sampling-noise PSI up to ~0.11 — honest moderate);
+    a deliberately shifted current window must cross 'major'. Also
+    replicates one type's PSI in pure Python through the same
+    deterministic-ln construction."""
+    from impala_base_to_cdw_sizing_spark.operators.olap_extra import (
+        _INC_CUT_NS,
+        _PSI_BINS,
+        _PSI_BIN_W,
+        q_drift_psi,
+    )
+
+    natural = q_drift_psi(spark, SF_SMALL).collect()
+    assert natural and all(r.band in ("stable", "moderate") for r in natural)
+    assert all(r.psi <= 0.25 for r in natural)
+
+    # python replication for the first type (exact, incl. quantization)
+    from impala_base_to_cdw_sizing_spark.sources.files import load_events
+
+    et = natural[0].event_type
+    e = load_events(spark, SF_SMALL).filter(f"event_type = '{et}'")
+    rows = e.selectExpr(
+        "ts", f"least({_PSI_BINS - 1}, greatest(0,"
+        f" CAST(floor(value / {_PSI_BIN_W}) AS INT))) AS bin"
+    ).collect()
+    ref = [1] * _PSI_BINS
+    cur = [1] * _PSI_BINS
+    for r in rows:
+        (ref if r.ts < _INC_CUT_NS else cur)[r.bin] += 1
+    R, C = sum(ref), sum(cur)
+    psi_nano = 0
+    for b in range(_PSI_BINS):
+        ln_micro = _det_ln((cur[b] * R) / (ref[b] * C))
+        diff = cur[b] / C - ref[b] / R
+        psi_nano += int(math.floor(diff * (ln_micro / 1e6) * 1e9 + 0.5))
+    assert natural[0].psi_nano == psi_nano
+
+    # inject drift: same schema, current window values shifted +300
+    import pyspark.sql.functions as F
+
+    drifted = (
+        load_events(spark, SF_SMALL)
+        .withColumn(
+            "value",
+            F.when(F.col("ts") >= _INC_CUT_NS, F.col("value") + 300.0)
+            .otherwise(F.col("value")),
+        )
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    p = str(tmp_path / "drift")
+    drifted.write.parquet(f"{p}/events.parquet")
+    shifted = q_drift_psi(spark, p).collect()
+    assert shifted and all(r.band == "major" for r in shifted)
+    assert all(r.psi > 0.25 for r in shifted)
