@@ -429,3 +429,58 @@ def test_drift_psi_stable_corpus_and_injected_drift(spark, tmp_path):
     shifted = q_drift_psi(spark, p).collect()
     assert shifted and all(r.band == "major" for r in shifted)
     assert all(r.psi > 0.25 for r in shifted)
+
+
+# --- asof_view_nearest ------------------------------------------------------------
+
+
+def test_asof_nearest_matches_pandas(spark):
+    """pd.merge_asof(direction='nearest') is the reference semantics —
+    with the one deliberate divergence pinned separately: on an exact
+    |delta| tie this op chooses the BACKWARD (earlier) view
+    deterministically, while pandas nearest also takes the earlier side,
+    so the two agree everywhere including ties."""
+    import pandas as pd
+
+    from impala_base_to_cdw_sizing_spark.operators.asof import (
+        q_asof_view_nearest,
+    )
+    from impala_base_to_cdw_sizing_spark.sources.files import load_events
+
+    got = {
+        r.purchase_id: (r.view_id, r.direction, r.delta_ns)
+        for r in q_asof_view_nearest(spark, SF_SMALL).collect()
+    }
+    ev = load_events(spark, SF_SMALL).select(
+        "user_id", "event_id", "event_type", "ts"
+    ).toPandas()
+    p = (
+        ev[ev.event_type == "purchase"]
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    v = (
+        ev[ev.event_type == "view"]
+        .sort_values(["ts", "event_id"])
+        .rename(columns={"event_id": "view_id"})
+        .reset_index(drop=True)
+    )
+    ref = pd.merge_asof(
+        p, v[["user_id", "view_id", "ts"]],
+        on="ts", by="user_id", direction="nearest", suffixes=("", "_v"),
+    )
+    # pandas nearest breaks exact-|delta| ties toward backward as well;
+    # compare the matched view id row-by-row
+    mism = 0
+    for r in ref.itertuples():
+        g = got.get(r.event_id)
+        assert g is not None
+        if g[0] != r.view_id:
+            mism += 1
+    assert mism == 0, mism
+    # witness sanity: delta sign matches direction
+    for vid, direction, delta in got.values():
+        if direction == "backward":
+            assert delta <= 0
+        elif direction == "forward":
+            assert delta >= 0
