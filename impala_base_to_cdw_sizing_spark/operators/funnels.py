@@ -247,8 +247,98 @@ FROM per_run
 """
 
 
+def q_hourly_spikes_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust spike detection: flag hours where the per-type count
+    exceeds ``median + 3 * MAD`` — the robust-statistics upgrade of
+    ``rel_hourly_spikes``'s mean threshold. A real incident (one huge
+    hour) inflates a mean enough to mask smaller spikes, but cannot
+    move a median; MAD (median absolute deviation) is the matching
+    robust spread. Both are LOWER medians picked by rank arithmetic
+    (``rn = (cnt+1) div 2`` over a deterministic (value, hour) order),
+    so every quantity stays an exact integer and the flag has no float,
+    no epsilon, and no cross-engine hazard. Two windows per type over
+    hour-count rows (thousands, not events) — negligible at any event
+    volume."""
+    from pyspark.sql import Window
+
+    hourly = (
+        load_events(spark, sf_dir)
+        .selectExpr(
+            "event_type",
+            "(ts div 1000000) div 3600000 * 3600000 AS hour_ms",
+        )
+        .groupBy("event_type", "hour_ms")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(
+            F.col(col).asc(), F.col("hour_ms").asc()
+        )
+        wall = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("cnt", F.count("*").over(wall))
+            .filter(F.expr("rn = (cnt + 1) div 2"))
+            .selectExpr("event_type", f"{col} AS {out}")
+        )
+
+    med = lower_median(hourly, "n", "med")
+    dev = hourly.join(F.broadcast(med), "event_type").selectExpr(
+        "event_type", "hour_ms", "abs(n - med) AS dev"
+    )
+    mad = lower_median(dev, "dev", "mad")
+    return (
+        hourly.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .selectExpr(
+            "hour_ms", "event_type", "n", "med", "mad",
+            "n > med + 3 * mad AS is_spike",
+        )
+    )
+
+
+SQL_HOURLY_SPIKES_MAD = """
+WITH hourly AS (
+  SELECT event_type, (epoch_ns(ts) // 1000000) // 3600000 * 3600000 AS hour_ms,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, n AS med FROM (
+    SELECT event_type, n,
+      ROW_NUMBER() OVER (PARTITION BY event_type
+        ORDER BY n ASC, hour_ms ASC) AS rn,
+      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+    FROM hourly
+  ) WHERE rn = (cnt + 1) // 2
+),
+dev AS (
+  SELECT h.event_type, h.hour_ms, abs(h.n - m.med) AS dev
+  FROM hourly h JOIN med m ON h.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, dev AS mad FROM (
+    SELECT event_type, dev,
+      ROW_NUMBER() OVER (PARTITION BY event_type
+        ORDER BY dev ASC, hour_ms ASC) AS rn,
+      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+    FROM dev
+  ) WHERE rn = (cnt + 1) // 2
+)
+SELECT h.hour_ms, h.event_type, h.n, m.med, d.mad,
+  h.n > m.med + 3 * d.mad AS is_spike
+FROM hourly h
+JOIN med m ON h.event_type = m.event_type
+JOIN mad d ON h.event_type = d.event_type
+"""
+
+
 def register_all() -> None:
     register_extra("rel_scd2_intervals", q_scd2_intervals, SQL_SCD2_INTERVALS)
+    register_extra(
+        "rel_hourly_spikes_mad", q_hourly_spikes_mad, SQL_HOURLY_SPIKES_MAD
+    )
     register_extra("rel_funnel_steps", q_funnel_steps, SQL_FUNNEL_STEPS)
     register_extra("rel_retention_cohorts", q_retention_cohorts, SQL_RETENTION_COHORTS)
     register_extra("rel_hourly_spikes", q_hourly_spikes, SQL_HOURLY_SPIKES)

@@ -2120,6 +2120,42 @@ SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id
 """
 
 
+def q_dedup_soft_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup over NEAR-duplicate clusters: ``dedup_soft_weights``
+    gives exact-copy clusters 1/n mass; this op applies the same
+    down-weighting to the MinHash connected components
+    (:func:`q_dedup_components`), so a page with 7 near-identical
+    variants trains with total mass 1, not 7 — the fuzzy form of
+    SoftDeDup that production pipelines actually want (exact-hash soft
+    weights miss every boilerplate variant). One extra groupBy + join
+    on the cluster id beyond the CC pass; the oracle composes the
+    recursive-reachability fixpoint with the same weight arithmetic."""
+    labels = q_dedup_components(spark, sf_dir)
+    sizes = labels.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster").selectExpr(
+        "doc_id", "cluster", "cluster_size",
+        "CAST(floor(1000000.0 / cluster_size + 0.5) AS BIGINT)"
+        " AS weight_micro",
+        "CAST(doc_id = cluster AS BIGINT) AS is_canonical",
+    )
+
+
+def _soft_fuzzy_sql() -> str:
+    return f"""
+WITH labels AS ({_components_sql().strip()}),
+sizes AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM labels GROUP BY 1
+)
+SELECT doc_id, cluster, cluster_size,
+  CAST(floor(1000000.0 / cluster_size + 0.5) AS BIGINT) AS weight_micro,
+  CAST(doc_id = cluster AS BIGINT) AS is_canonical
+FROM labels JOIN sizes USING (cluster)
+"""
+
+
 # --- Gopher-style repetition / quality filters ------------------------------
 
 # thresholds adapted from the public Gopher corpus-filtering rules
@@ -2543,6 +2579,7 @@ def register_all() -> None:
     register_extra("dedup_chunks", q_dedup_chunks, _chunks_sql())
     register_extra("text_chunk_overlap", q_chunk_overlap, _chunk_overlap_sql())
     register_extra("dedup_soft_weights", q_dedup_soft, SQL_DEDUP_SOFT)
+    register_extra("dedup_soft_fuzzy", q_dedup_soft_fuzzy, _soft_fuzzy_sql())
     # the log-rounds CC shares dedup_components' recursive-CTE oracle:
     # both must reach the identical component-min fixpoint
     register_extra("dedup_components_star", q_dedup_components_star, _components_sql())

@@ -484,3 +484,85 @@ def test_asof_nearest_matches_pandas(spark):
             assert delta <= 0
         elif direction == "forward":
             assert delta >= 0
+
+
+# --- dedup_soft_fuzzy + rel_hourly_spikes_mad -------------------------------------
+
+
+def test_soft_fuzzy_mass_and_cluster_consistency(spark):
+    """Fuzzy soft weights: mass ~1e6 per CC cluster, canonical = the
+    cluster-min doc, and clusters agree with dedup_components."""
+    from impala_base_to_cdw_sizing_spark.operators.text import (
+        q_dedup_components,
+        q_dedup_soft_fuzzy,
+    )
+
+    rows = q_dedup_soft_fuzzy(spark, SF_SMALL).collect()
+    cc = {r.doc_id: r.cluster for r in q_dedup_components(spark, SF_SMALL).collect()}
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        assert cc[r.doc_id] == r.cluster
+        by_cluster.setdefault(r.cluster, []).append(r)
+    multi = 0
+    for cid, members in by_cluster.items():
+        n = len(members)
+        assert all(m.cluster_size == n for m in members)
+        assert abs(sum(m.weight_micro for m in members) - 1_000_000) <= n
+        assert sum(m.is_canonical for m in members) == 1
+        assert min(m.doc_id for m in members) == cid
+        if n > 1:
+            multi += 1
+    assert multi > 0, "fixture must contain near-dup clusters"
+
+
+def test_mad_spikes_robust_vs_mean(spark, tmp_path):
+    """MAD flags survive a masking incident: one colossal hour inflates
+    the MEAN threshold (rel_hourly_spikes stops flagging a 4x hour) but
+    not the median/MAD one. Built on a synthetic log where the property
+    is provable by hand."""
+    import pyspark.sql.functions as F
+
+    from impala_base_to_cdw_sizing_spark.operators.funnels import (
+        q_hourly_spikes,
+        q_hourly_spikes_mad,
+    )
+
+    hour = 3_600_000_000  # us
+    rows = []
+    eid = 0
+    # 20 quiet hours of 10 events, one 40-event hour (the real spike),
+    # one 4000-event hour (the masking incident)
+    for h in range(20):
+        for i in range(10):
+            rows.append((eid, (h * hour + i) * 1000, 1, "click", 1.0, "{}"))
+            eid += 1
+    for i in range(40):
+        rows.append((eid, (20 * hour + i) * 1000, 1, "click", 1.0, "{}")); eid += 1
+    for i in range(4000):
+        rows.append((eid, (21 * hour + i) * 1000, 1, "click", 1.0, "{}")); eid += 1
+    p = str(tmp_path / "madlog")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts_ns long, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).write.parquet(f"{p}/events.parquet")
+
+    mad_flags = {
+        r.hour_ms: r.is_spike
+        for r in q_hourly_spikes_mad(spark, p).collect()
+    }
+    mean_flags = {
+        r.hour_ms: r.is_spike for r in q_hourly_spikes(spark, p).collect()
+    }
+    h40 = 20 * 3_600_000
+    h4000 = 21 * 3_600_000
+    # mean threshold is masked by the incident: (10*20+40+4000)/22*1.5
+    # ≈ 289 > 40 → the 4x hour is NOT flagged by the mean rule
+    assert mean_flags[h40] is False
+    # the median rule flags both the spike and the incident
+    assert mad_flags[h40] is True and mad_flags[h4000] is True
+    assert all(not v for h, v in mad_flags.items() if h not in (h40, h4000))
