@@ -334,8 +334,62 @@ JOIN mad d ON h.event_type = d.event_type
 """
 
 
+_BAND_MS = 60_000  # time-proximity window: |t_click - t_error| <= 60 s
+
+
+def q_interval_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-proximity join WITHOUT an equi key: every (error, click)
+    pair within ±60 s, corpus-wide — the "what happened around each
+    incident" correlation hunt. The naive plan is a cartesian product
+    with a range filter; the scale form BANDS time into window-width
+    buckets: each error explodes to its bucket ±1, clicks keep their
+    own bucket, and the range condition becomes an EQUI-join on the
+    bucket plus an exact |Δt| filter. A pair can only meet in the
+    click's own bucket, so no dedup pass is needed. One shuffle on a
+    dense integer key instead of |A|x|B| comparisons — the same
+    banding that makes the stream-stream interval join's state
+    bounded, applied to the batch plan. ``tests/test_plan_audit``-class
+    check: zero CartesianProduct (asserted for the whole extra tier).
+    The oracle states the range condition directly (DuckDB's IEJoin
+    handles non-equi)."""
+    ev = load_events(spark, sf_dir).selectExpr(
+        "event_id", "event_type", "(ts div 1000000) AS tms"
+    )
+    err = ev.filter(F.col("event_type") == "error").selectExpr(
+        "event_id AS error_id", "tms AS ets",
+        f"explode(sequence(tms div {_BAND_MS} - 1, tms div {_BAND_MS} + 1))"
+        " AS bucket",
+    )
+    clk = ev.filter(F.col("event_type") == "click").selectExpr(
+        "event_id AS click_id", "tms AS cts",
+        f"tms div {_BAND_MS} AS bucket",
+    )
+    return (
+        err.join(clk, "bucket")
+        .filter(F.expr(f"abs(cts - ets) <= {_BAND_MS}"))
+        .selectExpr("error_id", "click_id", "cts - ets AS delta_ms")
+    )
+
+
+SQL_INTERVAL_JOIN_BANDED = f"""
+WITH ev AS (
+  SELECT event_id, event_type, epoch_ns(ts) // 1000000 AS tms FROM events
+)
+SELECT e.event_id AS error_id, c.event_id AS click_id,
+  c.tms - e.tms AS delta_ms
+FROM ev e JOIN ev c
+  ON e.event_type = 'error' AND c.event_type = 'click'
+ AND abs(c.tms - e.tms) <= {_BAND_MS}
+"""
+
+
 def register_all() -> None:
     register_extra("rel_scd2_intervals", q_scd2_intervals, SQL_SCD2_INTERVALS)
+    register_extra(
+        "rel_interval_join_banded",
+        q_interval_join_banded,
+        SQL_INTERVAL_JOIN_BANDED,
+    )
     register_extra(
         "rel_hourly_spikes_mad", q_hourly_spikes_mad, SQL_HOURLY_SPIKES_MAD
     )

@@ -566,3 +566,45 @@ def test_mad_spikes_robust_vs_mean(spark, tmp_path):
     # the median rule flags both the spike and the incident
     assert mad_flags[h40] is True and mad_flags[h4000] is True
     assert all(not v for h, v in mad_flags.items() if h not in (h40, h4000))
+
+
+# --- rel_interval_join_banded -----------------------------------------------------
+
+
+def test_banded_interval_join_equals_direct(spark):
+    """The banded equi-join must produce EXACTLY the pairs of the
+    direct non-equi range join (banding is a plan rewrite, not an
+    approximation), with no duplicates from the 3-bucket explode."""
+    from impala_base_to_cdw_sizing_spark.operators.funnels import (
+        _BAND_MS,
+        q_interval_join_banded,
+    )
+    from impala_base_to_cdw_sizing_spark.sources.files import load_events
+
+    from tests.conftest import SF_ORACLE
+
+    # sf0.001 is too sparse for any +-60s cross-type pair; sf0.01 has ~194
+    got = [
+        (r.error_id, r.click_id, r.delta_ms)
+        for r in q_interval_join_banded(spark, SF_ORACLE).collect()
+    ]
+    assert len(got) == len(set(got)), "explode must not duplicate pairs"
+    ev = load_events(spark, SF_ORACLE).selectExpr(
+        "event_id", "event_type", "(ts div 1000000) AS tms"
+    )
+    err = ev.filter("event_type = 'error'").selectExpr(
+        "event_id AS error_id", "tms AS ets"
+    )
+    clk = ev.filter("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "tms AS cts"
+    )
+    direct = {
+        (r.error_id, r.click_id, r.delta_ms)
+        for r in err.crossJoin(clk)
+        .filter(f"abs(cts - ets) <= {_BAND_MS}")
+        .selectExpr("error_id", "click_id", "cts - ets AS delta_ms")
+        .collect()
+    }
+    assert set(got) == direct
+    assert direct, "window must be non-vacuous on the fixture"
+    assert all(abs(d) <= _BAND_MS for *_ids, d in got)
