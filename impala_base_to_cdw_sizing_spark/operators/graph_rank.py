@@ -287,7 +287,89 @@ FROM nodes n JOIN {prev} r ON n.doc_id = r.doc_id
     )
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    near-dup graph — the cohesion signal that separates a true
+    duplicate CLIQUE (template family, coefficient → 1) from a hub
+    page that merely touches many documents (star, coefficient → 0);
+    curation treats the two very differently.
+
+    Triangles enumerate on the canonical a<b<c orientation: join the
+    (a<b) pair list with itself on the middle node, close with a third
+    equi-join — every triangle found exactly once, no dedup. At 100 TB
+    the standard hardening is degree-orientation (point each edge at
+    the higher-degree endpoint) which bounds the middle-node fan-out
+    by sqrt(m); the near-dup edge list is already band-capped upstream
+    so the canonical orientation suffices here. Coefficient =
+    2*tri/(deg*(deg-1)) quantized to micro-units (one double divide of
+    exact integers — deterministic)."""
+    pairs = (
+        q_dedup_minhash(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # read 4x (wedge join both sides,
+        # closing edge, degrees) — materialize the banded MinHash
+        # pipeline once; eager so the blocks exist before reuse
+    )
+    wedges = (
+        pairs.selectExpr("doc_a AS a", "doc_b AS b")
+        .join(pairs.selectExpr("doc_a AS b", "doc_b AS c"), "b")
+        .join(pairs.selectExpr("doc_a AS a", "doc_b AS c"), ["a", "c"])
+    )
+    tri = (
+        wedges.selectExpr("explode(array(a, b, c)) AS doc_id")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    deg = (
+        pairs.selectExpr("doc_a AS doc_id")
+        .union(pairs.selectExpr("doc_b AS doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    return deg.join(tri, "doc_id", "left").selectExpr(
+        "doc_id", "degree",
+        "coalesce(triangles, 0) AS triangles",
+        "CASE WHEN degree < 2 THEN 0 ELSE CAST(floor("
+        " 2000000.0 * coalesce(triangles, 0) / (degree * (degree - 1))"
+        " + 0.5) AS BIGINT) END AS clustcoef_micro",
+    )
+
+
+def _sql_graph_triangles() -> str:
+    pairs_sql = _minhash_sql().strip()
+    return f"""
+WITH allpairs AS MATERIALIZED ({pairs_sql}),
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM allpairs WHERE est_jaccard >= 0.5
+),
+wedges AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+tri AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+    SELECT unnest([a, b, c]) AS doc_id FROM wedges
+  ) GROUP BY 1
+),
+deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL SELECT doc_b FROM pairs
+  ) GROUP BY 1
+)
+SELECT d.doc_id, d.degree, coalesce(t.triangles, 0) AS triangles,
+  CASE WHEN d.degree < 2 THEN 0 ELSE CAST(floor(
+    2000000.0 * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1))
+    + 0.5) AS BIGINT) END AS clustcoef_micro
+FROM deg d LEFT JOIN tri t ON d.doc_id = t.doc_id
+"""
+
+
 def register_all() -> None:
+    register_extra("graph_triangles", q_graph_triangles, _sql_graph_triangles())
     register_extra("graph_pagerank", q_graph_pagerank, _sql_graph_pagerank())
     register_extra(
         "graph_pagerank_conserving",

@@ -608,3 +608,49 @@ def test_banded_interval_join_equals_direct(spark):
     assert set(got) == direct
     assert direct, "window must be non-vacuous on the fixture"
     assert all(abs(d) <= _BAND_MS for *_ids, d in got)
+
+
+# --- graph_triangles --------------------------------------------------------------
+
+
+def test_triangles_vs_networkx_free_bruteforce(spark):
+    """Brute-force triangle enumeration over the same edge cut must
+    agree per node, and the coefficient must separate cliques from
+    stars: every 3+-member duplicate clique node shows coefficient 1.0
+    (1e6 micro)."""
+    from impala_base_to_cdw_sizing_spark.operators.graph_rank import (
+        q_graph_triangles,
+    )
+    from impala_base_to_cdw_sizing_spark.operators.text import q_dedup_minhash
+
+    got = {r.doc_id: r for r in q_graph_triangles(spark, SF_SMALL).collect()}
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in q_dedup_minhash(spark, SF_SMALL)
+        .filter("est_jaccard >= 0.5")
+        .collect()
+    }
+    adj: dict[int, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for doc, nbrs in adj.items():
+        tri = sum(
+            1
+            for x in nbrs
+            for y in nbrs
+            if x < y and (x, y) in pairs
+        )
+        r = got[doc]
+        assert r.degree == len(nbrs)
+        assert r.triangles == tri
+        if len(nbrs) >= 2:
+            expect = int(
+                math.floor(2e6 * tri / (len(nbrs) * (len(nbrs) - 1)) + 0.5)
+            )
+            assert r.clustcoef_micro == expect
+    # the duplicate-family cliques give coefficient exactly 1.0
+    clique_nodes = [
+        r for r in got.values() if r.degree >= 2 and r.clustcoef_micro == 1_000_000
+    ]
+    assert clique_nodes, "fixture must contain a 3+-clique of near-dups"
