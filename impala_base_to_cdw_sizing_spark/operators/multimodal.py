@@ -457,10 +457,76 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _phash_sql() -> str:
+# hamming near-dup over the perceptual hashes: 4 bands of 16 bits —
+# two near-identical images (hamming <= _PH_HAM_MAX) must agree on at
+# least one band whenever their flipped bits miss one of the 4 bands
+# (guaranteed for hamming <= 3; probabilistic above, the standard
+# banding S-curve — same contract as dedup_simhash's 4x12-bit bands)
+_PH_BANDS = 4
+_PH_HAM_MAX = 6
+
+
+def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate images: pairs of docs whose dHashes differ in at
+    most ``_PH_HAM_MAX`` of 64 bits — the re-encoded/lightly-edited
+    image case exact phash grouping misses. The 64 bits split into 4
+    16-bit band keys; candidate pairs come from band-key collisions
+    (equi-join, never all-pairs), the exact hamming distance
+    (``bit_count(xor)``) filters, and DISTINCT collapses multi-band
+    hits. Same banded shape as ``dedup_simhash``, applied to media.
+    The hash halves are BIGINTs computed alongside the hex form, so no
+    cross-engine hex parsing is involved."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            full = [int(_dhash_bmp(p), 16) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "hi": [h >> 32 for h in full],
+                    "lo": [h & 0xFFFFFFFF for h in full],
+                }
+            )
+
+    hashed = with_bmp_payload(docs).mapInPandas(
+        _batches, "doc_id long, hi long, lo long"
+    )
+    banded = hashed.selectExpr(
+        "doc_id", "hi", "lo",
+        "explode(array("
+        " struct(0 AS band_id, hi div 65536 AS band_val),"
+        " struct(1 AS band_id, hi % 65536 AS band_val),"
+        " struct(2 AS band_id, lo div 65536 AS band_val),"
+        " struct(3 AS band_id, lo % 65536 AS band_val))) AS band",
+    ).select("doc_id", "hi", "lo", "band.band_id", "band.band_val")
+    a = banded.selectExpr(
+        "doc_id AS doc_a", "hi AS hi_a", "lo AS lo_a", "band_id", "band_val"
+    )
+    b = banded.selectExpr(
+        "doc_id AS doc_b", "hi AS hi_b", "lo AS lo_b", "band_id", "band_val"
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .selectExpr(
+            "doc_a", "doc_b",
+            "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"
+            " AS BIGINT) AS hamming",
+        )
+        .filter(F.col("hamming") <= _PH_HAM_MAX)
+        .distinct()
+    )
+
+
+def _phash_halves_ctes() -> str:
+    """Shared from-source derivation: CTEs ending in
+    ``halves(doc_id, hi, lo)`` — the two 32-bit words of the dHash,
+    rebuilt from the document bytes (no container involved). Both the
+    exact-group oracle and the hamming-band oracle compose from this
+    (shared-parts composition, not string surgery — the PCA-SQL
+    lesson from the r6 ADVICE)."""
     gw, gh = _PH_GW, _PH_GH
-    # luma list: element i (0-based) = grid point (gy=i//gw, gx=i%gw);
-    # x = (gx*w)//gw, y = (gy*h)//gh, source byte offset p = (y*w+x)*3
     byte = (
         "CASE WHEN L = 0 THEN 0"
         " ELSE ascii(substring(text, (({q}) % L) + 1, 1)) END"
@@ -480,8 +546,7 @@ def _phash_sql() -> str:
                 f" * {1 << (31 - k)})"
             )
         halves.append("CAST(" + " + ".join(terms) + " AS BIGINT)")
-    return f"""
-WITH g AS (
+    return f"""g AS (
   SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 5 AS h,
     length(text) AS L, text
   FROM documents
@@ -491,12 +556,39 @@ lum AS (
     list_transform(range(0, {gw * gh}), i -> {elem}) AS lv
   FROM g
 ),
+halves AS (
+  SELECT doc_id, {halves[0]} AS hi, {halves[1]} AS lo FROM lum
+)"""
+
+
+def _phash_sql() -> str:
+    return f"""
+WITH {_phash_halves_ctes()},
 hashes AS (
-  SELECT doc_id, printf('%08x%08x', {halves[0]}, {halves[1]}) AS phash
-  FROM lum
+  SELECT doc_id, printf('%08x%08x', hi, lo) AS phash FROM halves
 )
 SELECT phash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM hashes GROUP BY phash
+"""
+
+
+def _phash_neardup_sql() -> str:
+    return f"""
+WITH {_phash_halves_ctes()},
+banded AS (
+  SELECT doc_id, hi, lo, b.band_id AS band_id,
+    CASE b.band_id WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+      WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS band_val
+  FROM halves, UNNEST(range(0, {_PH_BANDS})) AS b(band_id)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+    AS BIGINT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+  <= {_PH_HAM_MAX}
 """
 
 
@@ -506,3 +598,6 @@ def register_all() -> None:
     from .queries_ext import register_extra
 
     register_extra("mm_phash_dedup", q_mm_phash_dedup, _phash_sql())
+    register_extra(
+        "mm_phash_neardup", q_mm_phash_neardup, _phash_neardup_sql()
+    )

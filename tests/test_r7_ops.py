@@ -654,3 +654,53 @@ def test_triangles_vs_networkx_free_bruteforce(spark):
         r for r in got.values() if r.degree >= 2 and r.clustcoef_micro == 1_000_000
     ]
     assert clique_nodes, "fixture must contain a 3+-clique of near-dups"
+
+
+# --- mm_phash_neardup -------------------------------------------------------------
+
+
+def test_phash_neardup_banding_guarantee(spark):
+    """Banding guarantee: a pair with hamming <= 3 MUST collide in at
+    least one of the 4 16-bit bands (pigeonhole: 3 flipped bits cannot
+    touch all 4 bands), so every such pair appears. Above 3 the bands
+    are probabilistic; measure and floor the hamming<=6 recall. Every
+    reported pair is verified against a from-scratch Python dHash."""
+    from impala_base_to_cdw_sizing_spark.operators.multimodal import (
+        _PH_HAM_MAX,
+        _dhash_bmp,
+        encode_bmp,
+        q_mm_phash_neardup,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in q_mm_phash_neardup(spark, SF_SMALL).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    hashes = {}
+    for doc_id, text in docs:
+        w = 4 + doc_id % 13
+        h = 3 + doc_id % 5
+        src = text.encode() or b"\x00"
+        reps = -(-w * h * 3 // len(src))
+        payload = encode_bmp(w, h, (src * reps)[: w * h * 3])
+        hashes[doc_id] = int(_dhash_bmp(payload), 16)
+    ids = sorted(hashes)
+    all_pairs = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= _PH_HAM_MAX:
+                all_pairs[(a, b)] = d
+    # reported pairs: exact hamming values, and all within the cap
+    for pair, d in got.items():
+        assert all_pairs.get(pair) == d
+    # guarantee: hamming <= 3 found without exception
+    low = {p for p, d in all_pairs.items() if d <= 3}
+    assert low <= set(got)
+    # measured recall at <= 6 on this fixture; floor conservatively
+    if all_pairs:
+        recall = len(got) / len(all_pairs)
+        assert recall >= 0.6, recall
