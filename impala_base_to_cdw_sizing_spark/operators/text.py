@@ -2120,6 +2120,80 @@ SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id
 """
 
 
+def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the ExactSubstr cut list: remove every token covered by a
+    duplicated span (:func:`q_dedup_substring_spans`) and emit the
+    cleaned document's stats + content hash — the step that turns the
+    span report into training data. Survivors keep their original
+    order (positions filtered, then re-joined in index order), so the
+    cleaned hash is deterministic; a doc whose every token is covered
+    degrades to the empty-string hash, not a dropped row.
+
+    Shape: the span list aggregates per doc (a handful of structs) and
+    joins back on doc_id — the coverage test is an order-independent
+    ``exists`` over that tiny array, evaluated per token WITHIN the
+    row (no explode, no second shuffle). Scale is the spans pipeline's;
+    the apply pass is one narrow map + one per-doc join."""
+    spans = (
+        q_dedup_substring_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "collect_list(struct(span_start AS s, span_end AS e)) AS spans"
+            )
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", F.expr(SPARK_TOKENS))
+        .join(spans, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "tokens",
+            "CAST(size(tokens) AS BIGINT) AS n_tokens",
+            "filter(sequence(1, size(tokens)), i -> spans IS NULL OR"
+            " NOT exists(spans, s -> i >= s.s AND i <= s.e)) AS kept",
+        )
+        .selectExpr(
+            "doc_id", "n_tokens",
+            "CAST(size(kept) AS BIGINT) AS n_kept",
+            "n_tokens - size(kept) AS n_removed",
+            "md5(encode(concat_ws(' ',"
+            " transform(kept, i -> element_at(tokens, i))), 'utf-8'))"
+            " AS cleaned_hash",
+        )
+    )
+
+
+def _substring_scrub_sql() -> str:
+    return f"""
+WITH span_rows AS ({_substring_spans_sql().strip()}),
+spans AS (
+  SELECT doc_id,
+    list({{'s': span_start, 'e': span_end}}) AS spans
+  FROM span_rows GROUP BY doc_id
+),
+docs_t AS (
+  SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents
+),
+kept AS (
+  SELECT d.doc_id, d.tokens,
+    CAST(len(d.tokens) AS BIGINT) AS n_tokens,
+    CASE WHEN s.spans IS NULL THEN range(1, len(d.tokens) + 1)
+      ELSE list_filter(range(1, len(d.tokens) + 1),
+        i -> len(list_filter(s.spans, sp -> i >= sp.s AND i <= sp.e)) = 0)
+    END AS kept
+  FROM docs_t d LEFT JOIN spans s ON d.doc_id = s.doc_id
+)
+SELECT doc_id, n_tokens,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  n_tokens - len(kept) AS n_removed,
+  md5(coalesce(array_to_string(list_transform(kept, i -> tokens[i]), ' '),
+    '')) AS cleaned_hash
+FROM kept
+"""
+
+
 def q_dedup_soft_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft dedup over NEAR-duplicate clusters: ``dedup_soft_weights``
     gives exact-copy clusters 1/n mass; this op applies the same
@@ -2580,6 +2654,9 @@ def register_all() -> None:
     register_extra("text_chunk_overlap", q_chunk_overlap, _chunk_overlap_sql())
     register_extra("dedup_soft_weights", q_dedup_soft, SQL_DEDUP_SOFT)
     register_extra("dedup_soft_fuzzy", q_dedup_soft_fuzzy, _soft_fuzzy_sql())
+    register_extra(
+        "dedup_substring_scrub", q_substring_scrub, _substring_scrub_sql()
+    )
     # the log-rounds CC shares dedup_components' recursive-CTE oracle:
     # both must reach the identical component-min fixpoint
     register_extra("dedup_components_star", q_dedup_components_star, _components_sql())

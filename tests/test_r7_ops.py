@@ -704,3 +704,44 @@ def test_phash_neardup_banding_guarantee(spark):
     if all_pairs:
         recall = len(got) / len(all_pairs)
         assert recall >= 0.6, recall
+
+
+# --- dedup_substring_scrub --------------------------------------------------------
+
+
+def test_substring_scrub_applies_cut_list_exactly(spark):
+    """The apply pass must remove EXACTLY the span-covered positions:
+    replicate the surgery in Python from the span report and compare
+    hashes; fully-covered docs degrade to the empty hash, not a
+    dropped row."""
+    from impala_base_to_cdw_sizing_spark.operators.text import (
+        q_dedup_substring_spans,
+        q_substring_scrub,
+    )
+
+    spans: dict[int, list] = {}
+    for r in q_dedup_substring_spans(spark, SF_SMALL).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'"
+        ).fetchall()
+    )
+    got = {r.doc_id: r for r in q_substring_scrub(spark, SF_SMALL).collect()}
+    assert set(got) == set(docs)
+    scrubbed_any = empty_any = False
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        cover = set()
+        for a, b in spans.get(doc_id, []):
+            cover.update(range(a, b + 1))  # 1-based inclusive
+        kept = [t for i, t in enumerate(toks, start=1) if i not in cover]
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_kept == len(kept)
+        assert r.n_removed == len(toks) - len(kept)
+        assert r.cleaned_hash == hashlib.md5(" ".join(kept).encode()).hexdigest()
+        scrubbed_any |= bool(cover)
+        empty_any |= not kept
+    assert scrubbed_any, "fixture must exercise span removal"
+    assert empty_any, "fixture must exercise the fully-covered case"
