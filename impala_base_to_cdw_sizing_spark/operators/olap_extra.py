@@ -986,7 +986,6 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     one double division at the end. Scale: two partial-agg passes over
     disjoint slices, a #types x #bins grid (tiny, broadcast-joined),
     output one row per type."""
-    from .curation import _DET_LN_W, _DET_LN_Y, _DET_LN_Z, _DET_LN_Z2
     from ..sources.files import load_events
 
     e = load_events(spark, sf_dir).selectExpr(
@@ -1003,13 +1002,28 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ref = counts(e.filter(F.col("ts") < _INC_CUT_NS), "r")
     cur = counts(e.filter(F.col("ts") >= _INC_CUT_NS), "c")
-    grid = (
-        e.select("event_type")
-        .distinct()
-        .selectExpr(
-            "event_type",
-            f"explode(sequence(0, {_PSI_BINS - 1})) AS bin",
-        )
+    types = e.select("event_type").distinct()
+    return psi_table(ref, cur, types)
+
+
+def psi_bin_expr(value_col: str = "value") -> str:
+    """The shared binning expression (Spark SQL dialect)."""
+    return (
+        f"least({_PSI_BINS - 1}, greatest(0,"
+        f" CAST(floor({value_col} / {_PSI_BIN_W}) AS INT)))"
+    )
+
+
+def psi_table(ref: DataFrame, cur: DataFrame, types: DataFrame) -> DataFrame:
+    """PSI per event_type from two count frames ``(event_type, bin, r)``
+    / ``(event_type, bin, c)`` — the batch op and the streaming drift
+    monitor share this exact arithmetic, so stream-cumulative PSI ==
+    batch PSI is a testable identity, not an analogy."""
+    from .curation import _DET_LN_W, _DET_LN_Y, _DET_LN_Z, _DET_LN_Z2
+
+    grid = types.selectExpr(
+        "event_type",
+        f"explode(sequence(0, {_PSI_BINS - 1})) AS bin",
     )
     terms = (
         grid.join(ref, ["event_type", "bin"], "left")
