@@ -383,8 +383,92 @@ FROM ev e JOIN ev c
 """
 
 
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the hourly rate shifted, per event_type — CUSUM changepoint
+    localization, the complement of the spike detectors (a spike is one
+    bad hour; a changepoint is a new regime). For counts x_1..x_T the
+    cumulative deviation from a flat rate is ``C_k = sum_{i<=k} x_i -
+    k*S/T``; the changepoint estimate is ``argmax_k |C_k|``. Scaling by
+    T (``T*prefix - k*S``) keeps every quantity an exact BIGINT — no
+    float mean, no epsilon, ties to the earliest hour. One ordered
+    prefix-sum window per type over HOUR-COUNT rows (not events) + a
+    1-row argmax window; both tiny at any event volume."""
+    from pyspark.sql import Window
+
+    hourly = (
+        load_events(spark, sf_dir)
+        .selectExpr(
+            "event_type",
+            "(ts div 1000000) div 3600000 * 3600000 AS hour_ms",
+        )
+        .groupBy("event_type", "hour_ms")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    word = Window.partitionBy("event_type").orderBy("hour_ms").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("event_type")
+    word_rn = Window.partitionBy("event_type").orderBy("hour_ms")
+    cusum = (
+        hourly.withColumn("prefix", F.sum("n").over(word))
+        .withColumn("k", F.row_number().over(word_rn).cast("long"))
+        .withColumn("total", F.sum("n").over(wall))
+        .withColumn("n_hours", F.count("*").over(wall))
+        .selectExpr(
+            "event_type", "hour_ms", "n_hours", "total",
+            "n_hours * prefix - k * total AS c_scaled",
+        )
+    )
+    warg = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("c_scaled")).desc(), F.col("hour_ms").asc()
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(warg))
+        .filter(F.col("rn") == 1)
+        .selectExpr(
+            "event_type", "hour_ms AS cp_hour_ms",
+            "abs(c_scaled) AS cusum_abs_scaled", "n_hours", "total",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_CHANGEPOINT_CUSUM = """
+WITH hourly AS (
+  SELECT event_type, (epoch_ns(ts) // 1000000) // 3600000 * 3600000 AS hour_ms,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+cusum AS (
+  SELECT event_type, hour_ms, n_hours, total,
+    n_hours * prefix - k * total AS c_scaled
+  FROM (
+    SELECT event_type, hour_ms,
+      CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hour_ms
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+      CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        ORDER BY hour_ms) AS BIGINT) AS k,
+      CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+      CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_hours
+    FROM hourly
+  )
+)
+SELECT event_type, hour_ms AS cp_hour_ms,
+  abs(c_scaled) AS cusum_abs_scaled, n_hours, total
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+    ORDER BY abs(c_scaled) DESC, hour_ms ASC) AS rn
+  FROM cusum
+) WHERE rn = 1
+ORDER BY event_type
+"""
+
+
 def register_all() -> None:
     register_extra("rel_scd2_intervals", q_scd2_intervals, SQL_SCD2_INTERVALS)
+    register_extra(
+        "rel_changepoint_cusum", q_changepoint_cusum, SQL_CHANGEPOINT_CUSUM
+    )
     register_extra(
         "rel_interval_join_banded",
         q_interval_join_banded,

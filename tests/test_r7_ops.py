@@ -745,3 +745,52 @@ def test_substring_scrub_applies_cut_list_exactly(spark):
         empty_any |= not kept
     assert scrubbed_any, "fixture must exercise span removal"
     assert empty_any, "fixture must exercise the fully-covered case"
+
+
+# --- rel_changepoint_cusum --------------------------------------------------------
+
+
+def test_cusum_localizes_injected_regime_shift(spark, tmp_path):
+    """A synthetic rate series with a known mean shift must localize
+    the changepoint at EXACTLY the last pre-shift hour (argmax |CUSUM|
+    sits at the boundary), and a pure-Python CUSUM replication must
+    match the scaled integer."""
+    import pyspark.sql.functions as F
+
+    from impala_base_to_cdw_sizing_spark.operators.funnels import (
+        q_changepoint_cusum,
+    )
+
+    hour_us = 3_600_000_000
+    rows = []
+    eid = 0
+    # rate 5/hour for 30 hours, then 20/hour for 30 hours → boundary 29
+    counts = [5] * 30 + [20] * 30
+    for h, c in enumerate(counts):
+        for i in range(c):
+            rows.append((eid, (h * hour_us + i) * 1000, 1, "click", 1.0, "{}"))
+            eid += 1
+    p = str(tmp_path / "cusumlog")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts_ns long, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).write.parquet(f"{p}/events.parquet")
+
+    r = q_changepoint_cusum(spark, p).collect()[0]
+    assert r.cp_hour_ms == 29 * 3_600_000  # last pre-shift hour
+    # python replication of the scaled CUSUM
+    T, S = len(counts), sum(counts)
+    prefix = 0
+    best = (0, None)
+    for k, x in enumerate(counts, start=1):
+        prefix += x
+        c = abs(T * prefix - k * S)
+        if c > best[0]:
+            best = (c, k - 1)
+    assert r.cusum_abs_scaled == best[0]
+    assert r.n_hours == T and r.total == S
