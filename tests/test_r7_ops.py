@@ -794,3 +794,43 @@ def test_cusum_localizes_injected_regime_shift(spark, tmp_path):
             best = (c, k - 1)
     assert r.cusum_abs_scaled == best[0]
     assert r.n_hours == T and r.total == S
+
+
+# --- sample_reservoir_dedup -------------------------------------------------------
+
+
+def test_reservoir_dedup_cluster_mass_semantics(spark, tmp_path):
+    """Python replication with the combined weight n_chars*soft_weight
+    on a constructed corpus containing a 4-copy cluster — the discount
+    must bite (each copy carries ~1/4 mass) and the selected set must
+    match the exact-arithmetic replication. (The static test corpora
+    have no exact-duplicate texts, so the fixture is synthesized.)"""
+    from impala_base_to_cdw_sizing_spark.operators.sampling import (
+        _KNUTH,
+        _RES_K,
+        _RES_M,
+        q_sample_reservoir_dedup,
+    )
+    from impala_base_to_cdw_sizing_spark.operators.text import q_dedup_soft
+
+    rows = []
+    for d in range(80):
+        text = "dup dup dup" if d % 20 == 0 else f"uniq text number {d}"
+        rows.append((d, text, "en", "s0", len(text)))
+    p = str(tmp_path / "dupcorpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{p}/documents.parquet")
+
+    soft = {r.doc_id: r.weight_micro for r in q_dedup_soft(spark, p).collect()}
+    # the 4-copy cluster (docs 0, 20, 40, 60) carries 250000 micro each
+    assert all(soft[d] == 250_000 for d in (0, 20, 40, 60))
+    keyed = []
+    for doc_id, text, *_rest in rows:
+        h = (doc_id * _KNUTH) % _RES_M
+        ln_micro = _det_ln(float(_RES_M + 1) / float(h + 1))
+        w = len(text) * soft[doc_id]
+        keyed.append((float(ln_micro) / float(w), doc_id))
+    keyed.sort()
+    got = q_sample_reservoir_dedup(spark, p).collect()
+    assert sorted((r.race_key, r.doc_id) for r in got) == keyed[: _RES_K]
