@@ -176,15 +176,36 @@ def q_hh_global_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shard_rank", F.row_number().over(wshard))
         .filter(F.col("shard_rank") <= _HH_CAP)
     )
-    # bounded input: at most _HH_SHARDS * _HH_CAP rows reach the global
-    # sort — the same bound the streaming merged view has
+    # bounded input: at most _HH_SHARDS * _HH_CAP rows survive the
+    # per-shard cut — the same bound the streaming merged view has. The
+    # eager localCheckpoint materializes those ≤32 rows once (the
+    # sketch_countmin_topk precedent), so neither downstream read
+    # recomputes the events aggregation; the global rank then comes
+    # from a triangular self-join over the checkpoint (≤32² pairs)
+    # instead of a partition-less row_number window — zero global
+    # windows anywhere in the registry's primary plans
+    # (tests/test_segmented_rank.py enforces it).
+    summary = summary.localCheckpoint()
     bound = summary.groupBy().agg(
         (F.max("n_g") / F.lit(_HH_CAP)).alias("guarantee_bound")
     )
-    wglob = Window.orderBy(F.col("exact_n").desc(), F.col("item").asc())
+    s1, s2 = summary.alias("s1"), summary.alias("s2")
+    strictly_before = (F.col("s2.exact_n") > F.col("s1.exact_n")) | (
+        (F.col("s2.exact_n") == F.col("s1.exact_n"))
+        & (F.col("s2.item") < F.col("s1.item"))
+    )
+    ranked = (
+        s1.join(F.broadcast(s2), strictly_before, "left")
+        .groupBy(
+            F.col("s1.grp").alias("grp"),
+            F.col("s1.item").alias("item"),
+            F.col("s1.exact_n").alias("exact_n"),
+            F.col("s1.n_g").alias("n_g"),
+        )
+        .agg((F.count(F.col("s2.item")) + 1).cast("long").alias("rank"))
+    )
     return (
-        summary.withColumn("rank", F.row_number().over(wglob).cast("long"))
-        .filter(
+        ranked.filter(
             (F.col("rank") <= _HH_TOPK)
             | (F.col("exact_n") > F.col("n_g") / F.lit(_HH_CAP))
         )

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from .kmeans import _assign, _cte_chain, _emb_norm, trained_centroids
 from .queries_ext import register_extra
+from .segmented import ntile_expr, segmented_row_number
 from .similarity import DUCK_DOT, SPARK_DOT
 from .text import DUCK_TOKENS, SPARK_TOKENS, duck_charfold, spark_charfold
 
@@ -265,18 +266,9 @@ _DSIR_RATIO = (
 )
 
 
-def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc DSIR importance score and top-quarter selection.
-
-    Bucket b's weight is the add-one-smoothed log-likelihood ratio
-    ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)) of the target (lang='en')
-    versus raw unigram distributions over hashed buckets; a doc's score
-    is the sum of its tokens' bucket weights. Each per-token weight is
-    quantized to integer micro-units before the sum, so the per-doc
-    reduction is order-independent (raw double sums are not). The ln is
-    the deterministic sqrt/atanh construction above — bit-identical in
-    Spark and DuckDB, so the micro-unit floor can never flip between
-    engines."""
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared DSIR scoring pass: per-doc token count and integer
+    micro-unit importance score (see :func:`q_sample_importance`)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = docs.selectExpr(
         "doc_id", "lang", f"explode({SPARK_TOKENS}) AS token"
@@ -300,7 +292,7 @@ def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("bucket", "z", f"{_DET_LN_Z2} AS z2")
         .selectExpr("bucket", f"{_DET_LN_W} AS w_micro")
     )
-    scored = (
+    return (
         toks.join(F.broadcast(weights), "bucket")
         .groupBy("doc_id")
         .agg(
@@ -308,9 +300,24 @@ def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w_micro").alias("score_micro"),
         )
     )
-    # the selection rank needs one global ordering (inherent to exact
-    # top-k); the population size does NOT need a second global window —
-    # a broadcast 1-row aggregate supplies it
+
+
+def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR importance score and top-quarter selection — the
+    SEQUENTIAL twin (one global row_number window).
+
+    Bucket b's weight is the add-one-smoothed log-likelihood ratio
+    ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)) of the target (lang='en')
+    versus raw unigram distributions over hashed buckets; a doc's score
+    is the sum of its tokens' bucket weights. Each per-token weight is
+    quantized to integer micro-units before the sum, so the per-doc
+    reduction is order-independent (raw double sums are not). The ln is
+    the deterministic sqrt/atanh construction above — bit-identical in
+    Spark and DuckDB, so the micro-unit floor can never flip between
+    engines."""
+    scored = _dsir_scored(spark, sf_dir)
+    # the population size does not need a second global window — a
+    # broadcast 1-row aggregate supplies it
     w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
     n_docs = scored.agg(F.count("*").alias("n_docs"))
     return (
@@ -320,6 +327,41 @@ def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_tokens", "score_micro",
             f"rk <= CAST(ceil({_KEEP_FRAC} * n_docs) AS INT) AS selected",
         )
+    )
+
+
+_DSIR_COARSE = 32  # coarse score-range buckets for the segmented form
+
+
+def q_sample_importance_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented DSIR selection — the PRIMARY form (r7 verdict #1): the
+    fraction-of-population cut is a rank threshold, and the exact global
+    rank decomposes into per-bucket local ranks + a broadcast carry-in
+    (``segmented.segmented_row_number``), the same two-phase shape as
+    budget selection. Coarse buckets are uniform slices of the integer
+    micro-unit score, DESC-oriented (bucket 0 = best) so bucket order
+    matches rank order; equal scores always share a bucket, so the
+    bucketing is ordering-consistent for the
+    ``(score_micro DESC, doc_id ASC)`` total order. The bounds lookup is
+    a 2-value action on the cached scored frame (n_docs rows — already
+    reduced from the token explosion); ranks are integers, so the
+    decomposition is bit-equal to the one-window twin and runs against
+    the same sequential DuckDB oracle."""
+    scored = _dsir_scored(spark, sf_dir).cache()
+    lo, hi = scored.agg(F.min("score_micro"), F.max("score_micro")).first()
+    if lo is None:
+        lo, hi = 0, 0
+    span = max(1, (hi - lo) // _DSIR_COARSE + 1)
+    ev = scored.withColumn(
+        "bucket", F.expr(f"CAST(({hi} - score_micro) DIV {span} AS INT)")
+    )
+    ranked = segmented_row_number(
+        ev, [F.col("score_micro").desc(), F.col("doc_id").asc()]
+    )
+    n_docs = scored.agg(F.count("*").alias("n_docs"))
+    return ranked.crossJoin(F.broadcast(n_docs)).selectExpr(
+        "doc_id", "n_tokens", "score_micro",
+        f"grank <= CAST(ceil({_KEEP_FRAC} * n_docs) AS INT) AS selected",
     )
 
 
@@ -458,6 +500,24 @@ FROM quality, budget
 """
 
 
+def _quality_bucket(n_buckets: int):
+    """DESC-oriented coarse bucket over quality_score ∈ [0, 1] (bucket 0
+    = best band). Static quantization — O(1) per row, no bounds action,
+    and ties can never straddle buckets (equal quality ⇒ equal
+    bucket), so the bucketing is ordering-consistent for every
+    ``(quality_score DESC, doc_id ASC)`` total order used here."""
+    return (
+        F.lit(n_buckets - 1)
+        - F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                F.floor(F.col("quality_score") * 1_000_000 + 0.5)
+                / (1_000_000 / n_buckets)
+            ),
+        )
+    ).cast("int")
+
+
 def q_select_budget_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRIMARY registered form of budget selection (since r5): the
     global ordered cumulative sum decomposes into parallel per-bucket
@@ -473,18 +533,7 @@ def q_select_budget_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     making the equivalence oracle-gated, not just property-tested."""
     n_buckets = 16
     scored = _spark_quality_frame(spark, sf_dir).withColumn(
-        # quality ∈ [0, 1]; DESC ordering ⇒ bucket 0 is the best band
-        "bucket",
-        (
-            F.lit(n_buckets - 1)
-            - F.least(
-                F.lit(n_buckets - 1),
-                F.floor(
-                    F.floor(F.col("quality_score") * 1_000_000 + 0.5)
-                    / (1_000_000 / n_buckets)
-                ),
-            )
-        ).cast("int"),
+        "bucket", _quality_bucket(n_buckets)
     )
     w_local = (
         Window.partitionBy("bucket")
@@ -492,21 +541,17 @@ def q_select_budget_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = scored.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    # carry-in for bucket b = Σ token mass of buckets < b. The frame is
+    # tiny (n_buckets rows) but a partition-less Window here would still
+    # be the one plan shape the registry-wide audit forbids — a
+    # triangular self-join computes the same prefix sums with no window
+    # at all (the sweep's precedent, sweep.py:190; ≤ n_buckets² pairs).
+    btok = local.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    t, p = btok.alias("t"), btok.alias("p")
     totals = (
-        local.groupBy("bucket")
-        .agg(F.sum("n_tokens").alias("bucket_tokens"))
-        .withColumn(
-            "carry",
-            F.coalesce(
-                F.sum("bucket_tokens").over(
-                    Window.orderBy("bucket").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("bucket", "carry")
+        t.join(F.broadcast(p), F.col("p.bucket") < F.col("t.bucket"), "left")
+        .groupBy(F.col("t.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("p.bucket_tokens"), F.lit(0)).alias("carry"))
     )
     budget = scored.agg(
         F.floor(F.sum("n_tokens") * _BUDGET_FRAC).cast("long").alias("budget")
@@ -544,6 +589,39 @@ def q_quality_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_strata_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented decile profile — the PRIMARY form (r7 verdict #1): the
+    global NTILE becomes (exact segmented rank) + (closed-form tile
+    split). Coarse buckets reuse the static quality quantizer (no bounds
+    action — quality ∈ [0, 1] by construction); the global rank is
+    local-rank + broadcast carry (``segmented.segmented_row_number``)
+    and ``segmented.ntile_expr`` assigns the stratum as a per-row O(1)
+    expression. Bit-equal to the one-window twin; both run against the
+    same sequential-NTILE DuckDB oracle."""
+    scored = _spark_quality_frame(spark, sf_dir).withColumn(
+        "bucket", _quality_bucket(16)
+    )
+    ranked = segmented_row_number(
+        scored, [F.col("quality_score").desc(), F.col("doc_id").asc()]
+    )
+    n_docs = scored.agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        ranked.crossJoin(F.broadcast(n_docs))
+        .selectExpr(
+            "quality_score",
+            "n_tokens",
+            f"CAST({ntile_expr('grank', 'n_docs', _N_STRATA)} AS BIGINT) AS stratum",
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("quality_score").alias("q_lo"),
+            F.max("quality_score").alias("q_hi"),
+        )
+    )
+
+
 def _sql_quality_strata() -> str:
     return f"""
 WITH {_duck_quality_cte().strip()}
@@ -562,7 +640,16 @@ GROUP BY stratum
 def register_all() -> None:
     register_extra("dedup_semantic", q_dedup_semantic, _sql_dedup_semantic())
     register_extra("dedup_hybrid", q_dedup_hybrid, _sql_dedup_hybrid())
-    register_extra("sample_importance", q_sample_importance, SQL_SAMPLE_IMPORTANCE)
+    # segmented forms are the PRIMARY registration (r7 verdict #1); the
+    # one-window forms stay as *_sequential twins. Every pair shares one
+    # sequential DuckDB oracle, so the two-phase bit-equality is
+    # oracle-gated on both sides.
+    register_extra(
+        "sample_importance", q_sample_importance_segmented, SQL_SAMPLE_IMPORTANCE
+    )
+    register_extra(
+        "sample_importance_sequential", q_sample_importance, SQL_SAMPLE_IMPORTANCE
+    )
     # the segmented decomposition IS the operator (r4 verdict #6 — the
     # sweep and pack_sequences already register their scale-safe forms
     # as primary); the single-global-sort form stays registered as the
@@ -574,4 +661,9 @@ def register_all() -> None:
     register_extra(
         "corpus_select_budget_sequential", q_select_budget, _sql_select_budget()
     )
-    register_extra("corpus_quality_strata", q_quality_strata, _sql_quality_strata())
+    register_extra(
+        "corpus_quality_strata", q_quality_strata_segmented, _sql_quality_strata()
+    )
+    register_extra(
+        "corpus_quality_strata_sequential", q_quality_strata, _sql_quality_strata()
+    )

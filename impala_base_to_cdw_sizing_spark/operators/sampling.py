@@ -284,7 +284,10 @@ _RES_M = 1 << 24  # hash modulus: keeps ln((M+1)/(h+1)) <= ~16.6
 _RES_K = 64
 
 
-def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _reservoir_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared race-key frame: (doc_id, n_chars, ln_micro, race_key)
+    for every document — the narrow per-row map both reservoir forms
+    top-k over."""
     from .curation import _DET_LN_W, _DET_LN_Y, _DET_LN_Z, _DET_LN_Z2
 
     return (
@@ -306,7 +309,47 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_chars", "ln_micro",
             "CAST(ln_micro AS DOUBLE) / CAST(n_chars AS DOUBLE) AS race_key",
         )
+    )
+
+
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _reservoir_keyed(spark, sf_dir)
         .orderBy(F.col("race_key").asc(), F.col("doc_id").asc())
+        .limit(_RES_K)
+    )
+
+
+_RES_DAYS = 3
+
+
+def q_sample_reservoir_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability witness for the weighted reservoir — registered as
+    an oracle-gated twin (r7 verdict #6): the corpus is split into
+    ``_RES_DAYS`` disjoint "days" (a hash of doc_id, mimicking daily
+    ingest partitions), each day keeps its own k-smallest-key reservoir
+    (per-day window top-k — partitioned, parallel), and the day
+    reservoirs are merged by re-taking the k smallest keys from their
+    union (≤ days·k rows). Because each race key is a pure function of
+    (doc_id, n_chars) — no RNG state — every global winner is
+    necessarily a winner of its own day, so merged ≡ single-pass
+    bit-for-bit, and BOTH run against the same single-pass DuckDB
+    oracle. This is the property that lets a 100 TB corpus be sampled
+    day-by-day and folded: reservoir(A ∪ B) = merge(reservoir(A),
+    reservoir(B))."""
+    keyed = _reservoir_keyed(spark, sf_dir).withColumn(
+        "day", F.expr(f"(doc_id * {_KNUTH}) % {_RES_DAYS}")
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("race_key").asc(), F.col("doc_id").asc()
+    )
+    per_day = (
+        keyed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _RES_K)
+        .drop("_rk", "day")
+    )
+    return (
+        per_day.orderBy(F.col("race_key").asc(), F.col("doc_id").asc())
         .limit(_RES_K)
     )
 
@@ -419,6 +462,11 @@ def register_all() -> None:
     register_extra("sample_split", q_sample_split, SQL_SAMPLE_SPLIT)
     register_extra(
         "sample_reservoir", q_sample_reservoir, _sql_sample_reservoir()
+    )
+    # same oracle as the single-pass form — oracle-gates the merge
+    # identity reservoir(∪ days) = merge(per-day reservoirs)
+    register_extra(
+        "sample_reservoir_merged", q_sample_reservoir_merged, _sql_sample_reservoir()
     )
     register_extra(
         "sample_reservoir_dedup",
