@@ -464,6 +464,17 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # banding S-curve — same contract as dedup_simhash's 4x12-bit bands)
 _PH_BANDS = 4
 _PH_HAM_MAX = 6
+# per-(band, value) anchor cap — the SemDeDup/simhash `_BUCKET_CAP`
+# precedent, added in r8 after the sf3→sf10 exponent probe measured
+# α = 0.95: without it a bucket of B colliding hashes contributes B²
+# pairs (the population of a 16-bit key grows ~n/65536, so total work
+# grows ~n²/65536 — quadratic past ~10⁵ docs, exactly the
+# dedup_simhash r5 defect reappearing one modality over). With the cap
+# each bucket contributes ≤ CAP·B pairs — linear. Recall contract
+# becomes the simhash one: a pair is guaranteed found iff its lower
+# doc_id is among the CAP smallest of some shared band bucket
+# (unconditional while buckets are < CAP deep — every tested sf).
+_PH_BUCKET_CAP = 128
 
 
 def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,7 +482,8 @@ def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     most ``_PH_HAM_MAX`` of 64 bits — the re-encoded/lightly-edited
     image case exact phash grouping misses. The 64 bits split into 4
     16-bit band keys; candidate pairs come from band-key collisions
-    (equi-join, never all-pairs), the exact hamming distance
+    (equi-join, never all-pairs), capped-anchor side (see
+    ``_PH_BUCKET_CAP``), the exact hamming distance
     (``bit_count(xor)``) filters, and DISTINCT collapses multi-band
     hits. Same banded shape as ``dedup_simhash``, applied to media.
     The hash halves are BIGINTs computed alongside the hex form, so no
@@ -500,7 +512,15 @@ def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         " struct(2 AS band_id, lo div 65536 AS band_val),"
         " struct(3 AS band_id, lo % 65536 AS band_val))) AS band",
     ).select("doc_id", "hi", "lo", "band.band_id", "band.band_val")
-    a = banded.selectExpr(
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_val").orderBy("doc_id")
+    anchors = (
+        banded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PH_BUCKET_CAP)
+        .drop("rn")
+    )
+    a = anchors.selectExpr(
         "doc_id AS doc_a", "hi AS hi_a", "lo AS lo_a", "band_id", "band_val"
     )
     b = banded.selectExpr(
@@ -580,11 +600,18 @@ banded AS (
     CASE b.band_id WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
       WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS band_val
   FROM halves, UNNEST(range(0, {_PH_BANDS})) AS b(band_id)
+),
+anchors AS (
+  SELECT doc_id, hi, lo, band_id, band_val FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY band_id, band_val ORDER BY doc_id) AS rn
+    FROM banded
+  ) WHERE rn <= {_PH_BUCKET_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
     AS BIGINT) AS hamming
-FROM banded a JOIN banded b
+FROM anchors a JOIN banded b
   ON a.band_id = b.band_id AND a.band_val = b.band_val
  AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))

@@ -105,6 +105,10 @@ def _load_providers() -> None:
     sq.register_all()
     lm_quality.register_all()
 
+    from . import retrieval
+
+    retrieval.register_all()
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_providers()

@@ -1133,6 +1133,20 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _capped_spark(banded).selectExpr(
         "vec_id AS c_id", "band_id", "band_key"
     )
+    # Scale note (r8, from the sf3→sf10 exponent probe): α measured
+    # ≈ 1.0 here, and that IS this operator's floor — the output is one
+    # row per anchor (Θ(n)), and the candidate structure is cap-bounded
+    # at ≤ bands·_BUCKET_CAP = 256 scored pairs per anchor. Measured:
+    # pairs/anchor = 234.5 at sf3 AND 234.5 at sf10 — the buckets are
+    # saturated at the ceiling and the per-anchor work is CONSTANT
+    # across a 3.3× scale-up, i.e. the cap holds exactly and total work
+    # is 234.5·n (BASELINE.md r8 table). A tighter per-anchor cap was
+    # tried and REVERTED: ranking candidates by band collision count
+    # collapses the mined-quality floors (top-1 recall 0.45 → 0.17;
+    # ties in a 4-band collision count make the cut arbitrary), and
+    # trading the mining contract for a constant factor is the wrong
+    # side of the bargain. tests/test_pair_growth_bounds.py pins the
+    # pairs ≤ n·bands·cap linearity bound structurally.
     pairs = (
         anchors.join(cand, ["band_id", "band_key"])
         .filter(F.col("a_id") != F.col("c_id"))

@@ -33,9 +33,13 @@ def main() -> None:
     wanted = set(sys.argv[1:])
     registry = ent.extra_queries()
     if wanted:
+        # explicit names may come from either tier — the sf-scaling
+        # passes probe declared heavies (dedup_components, ...) too
+        registry = dict(registry)
+        registry.update(ent.queries())
         missing = wanted - set(registry)
         if missing:
-            sys.exit(f"unknown extra queries: {sorted(missing)}")
+            sys.exit(f"unknown queries: {sorted(missing)}")
         registry = {n: registry[n] for n in sorted(wanted)}
     for name, fn in registry.items():
         spark.catalog.clearCache()
