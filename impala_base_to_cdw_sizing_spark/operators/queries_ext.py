@@ -105,9 +105,10 @@ def _load_providers() -> None:
     sq.register_all()
     lm_quality.register_all()
 
-    from . import retrieval
+    from . import retrieval, sketch_sets
 
     retrieval.register_all()
+    sketch_sets.register_all()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
