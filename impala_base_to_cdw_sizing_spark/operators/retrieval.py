@@ -89,10 +89,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
     toks = docs.selectExpr("doc_id", "explode(tokens) AS term")
-    # df over query terms only: semi-restrict before the distinct
+    # ONE corpus explode: restrict to query terms immediately (broadcast
+    # semi-join), materialize the tiny matched frame, and derive both
+    # the df table and the tf table from it — without the checkpoint the
+    # two branches each re-run the corpus-wide explode
+    matched = toks.join(
+        F.broadcast(q.select("term").distinct()), "term"
+    ).localCheckpoint()
     df_tbl = (
-        toks.join(F.broadcast(q.select("term").distinct()), "term")
-        .select("doc_id", "term")
+        matched.select("doc_id", "term")
         .distinct()
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("df"))
@@ -106,7 +111,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("term", "avg_len", f"{_DET_LN_W} AS idf_micro")
     )
     tf = (
-        toks.join(F.broadcast(q), "term")
+        matched.join(F.broadcast(q), "term")
         .groupBy("query_id", "doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
@@ -195,8 +200,15 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(f"explode({_SPARK_BIGRAMS}) AS b")
         .selectExpr("b.prev AS prev", "b.cur AS cur")
     )
-    c12 = bg.groupBy("prev", "cur").agg(F.count("*").cast("long").alias("c12"))
-    # marginals from the SAME pair table — no second pass over the corpus
+    # eager localCheckpoint (the sketch_countmin_topk precedent): c12 is
+    # read four times below (marginals, total, main) and is bigram-TYPE
+    # sized — without the materialization each branch re-runs the
+    # corpus-wide explode+groupBy (the plan audit showed 4 scans)
+    c12 = (
+        bg.groupBy("prev", "cur")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .localCheckpoint()
+    )
     c1 = c12.groupBy("prev").agg(F.sum("c12").cast("long").alias("c1"))
     c2 = c12.groupBy("cur").agg(F.sum("c12").cast("long").alias("c2"))
     n_bg = c12.agg(F.sum("c12").cast("long").alias("n_bg"))

@@ -101,7 +101,11 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(user_id * {_KNUTH}) % {_KMV_M} AS h",
         "user_id % 2 AS half",
     )
-    hashes = ev.select("event_type", "h", "half").distinct()
+    # the distinct hash frame feeds three window branches (full sketch,
+    # per-half sketches); it is (types × users)-sized — materialize it
+    # once (eager localCheckpoint, GC-scoped) instead of re-running the
+    # corpus distinct per branch
+    hashes = ev.select("event_type", "h", "half").distinct().localCheckpoint()
     w_full = Window.partitionBy("event_type").orderBy("h")
     full = (
         hashes.withColumn("rk", F.row_number().over(w_full))
