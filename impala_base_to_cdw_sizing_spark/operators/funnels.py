@@ -464,8 +464,165 @@ ORDER BY event_type
 """
 
 
+def q_hourly_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of the hourly rate — closed-form OLS with
+    EXACT integer sufficient statistics. x is the hour index from each
+    type's first hour (small integers), y the hourly count; n·Σxy−Σx·Σy
+    and n·Σxx−Σx² are exact BIGINTs (hours and counts keep every
+    product far under 2⁶³), so the slope is ONE correctly-rounded
+    double division — bit-equal cross-engine, the det-ln philosophy
+    applied to regression. The intercept reuses the slope with an
+    identical expression tree on both engines. Two partial aggregates
+    over hour-count rows; no window at all."""
+    hourly = (
+        load_events(spark, sf_dir)
+        .selectExpr("event_type", "(ts div 1000000) div 3600000 AS hr")
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    base = hourly.groupBy("event_type").agg(F.min("hr").alias("hr0"))
+    xy = hourly.join(F.broadcast(base), "event_type").selectExpr(
+        "event_type", "CAST(hr - hr0 AS BIGINT) AS x", "y"
+    )
+    sums = xy.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return sums.selectExpr(
+        "event_type", "n_hours", "sx", "sy",
+        "CASE WHEN n_hours * sxx - sx * sx = 0 THEN NULL"
+        " ELSE CAST(n_hours * sxy - sx * sy AS DOUBLE)"
+        " / CAST(n_hours * sxx - sx * sx AS DOUBLE) END AS slope",
+    ).selectExpr(
+        "event_type", "n_hours", "sy", "slope",
+        "CAST(sy AS DOUBLE) / n_hours"
+        " - slope * (CAST(sx AS DOUBLE) / n_hours) AS intercept",
+    )
+
+
+SQL_HOURLY_TREND_OLS = """
+WITH hourly AS (
+  SELECT event_type, epoch_ns(ts) // 1000000 // 3600000 AS hr,
+    CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+base AS (SELECT event_type, MIN(hr) AS hr0 FROM hourly GROUP BY 1),
+xy AS (
+  SELECT event_type, CAST(hr - hr0 AS BIGINT) AS x, y
+  FROM hourly JOIN base USING (event_type)
+),
+sums AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT event_type, n_hours, sy, slope,
+  CAST(sy AS DOUBLE) / n_hours - slope * (CAST(sx AS DOUBLE) / n_hours)
+    AS intercept
+FROM (
+  SELECT *, CASE WHEN n_hours * sxx - sx * sx = 0 THEN NULL
+    ELSE CAST(n_hours * sxy - sx * sy AS DOUBLE)
+      / CAST(n_hours * sxx - sx * sx AS DOUBLE) END AS slope
+  FROM sums
+)
+"""
+
+
+def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: baseline = per
+    (event_type, hour-of-day) LOWER MEDIAN of the daily counts (exact
+    rank arithmetic — no float), residual = count − its slot's
+    baseline, flag cells where residual > 3 × the slot family's MAD.
+    A recurring rush hour is BASELINE here, not an anomaly — the
+    upgrade over rel_hourly_spikes_mad, whose single per-type median
+    flags every busy-season hour. All medians are lower medians picked
+    by ``rn = (cnt+1) div 2`` over deterministic orders; every quantity
+    is an exact integer, so the flag carries no epsilon. Windows
+    partition by (event_type, hod) — thousands of small partitions."""
+    from pyspark.sql import Window
+
+    cells = (
+        load_events(spark, sf_dir)
+        .selectExpr(
+            "event_type",
+            "(ts div 1000000) div 86400000 AS day",
+            "((ts div 1000000) div 3600000) % 24 AS hod",
+        )
+        .groupBy("event_type", "day", "hod")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+    def slot_lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type", "hod").orderBy(
+            F.col(col).asc(), F.col("day").asc()
+        )
+        wall = Window.partitionBy("event_type", "hod")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("cnt", F.count("*").over(wall))
+            .filter(F.expr("rn = (cnt + 1) div 2"))
+            .selectExpr("event_type", "hod", f"{col} AS {out}")
+        )
+
+    base = slot_lower_median(cells, "n", "baseline")
+    resid = cells.join(F.broadcast(base), ["event_type", "hod"]).selectExpr(
+        "event_type", "day", "hod", "n", "baseline",
+        "n - baseline AS resid",
+    )
+    dev = resid.selectExpr("event_type", "hod", "day", "abs(resid) AS adev")
+    mad = slot_lower_median(dev, "adev", "mad")
+    return resid.join(F.broadcast(mad), ["event_type", "hod"]).selectExpr(
+        "event_type", "day", "hod", "n", "baseline", "resid",
+        "mad", "resid > 3 * mad AS is_anomaly",
+    )
+
+
+SQL_SEASONAL_RESIDUALS = """
+WITH cells AS (
+  SELECT event_type, epoch_ns(ts) // 1000000 // 86400000 AS day,
+    (epoch_ns(ts) // 1000000 // 3600000) % 24 AS hod,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+base AS (
+  SELECT event_type, hod, n AS baseline FROM (
+    SELECT event_type, hod, day, n,
+      ROW_NUMBER() OVER (PARTITION BY event_type, hod
+        ORDER BY n ASC, day ASC) AS rn,
+      COUNT(*) OVER (PARTITION BY event_type, hod) AS cnt
+    FROM cells
+  ) WHERE rn = (cnt + 1) // 2
+),
+resid AS (
+  SELECT c.event_type, c.day, c.hod, c.n, b.baseline,
+    c.n - b.baseline AS resid
+  FROM cells c JOIN base b ON c.event_type = b.event_type AND c.hod = b.hod
+),
+mad AS (
+  SELECT event_type, hod, adev AS mad FROM (
+    SELECT event_type, hod, day, abs(resid) AS adev,
+      ROW_NUMBER() OVER (PARTITION BY event_type, hod
+        ORDER BY abs(resid) ASC, day ASC) AS rn,
+      COUNT(*) OVER (PARTITION BY event_type, hod) AS cnt
+    FROM resid
+  ) WHERE rn = (cnt + 1) // 2
+)
+SELECT r.event_type, r.day, r.hod, r.n, r.baseline, r.resid, m.mad,
+  r.resid > 3 * m.mad AS is_anomaly
+FROM resid r JOIN mad m ON r.event_type = m.event_type AND r.hod = m.hod
+"""
+
+
 def register_all() -> None:
     register_extra("rel_scd2_intervals", q_scd2_intervals, SQL_SCD2_INTERVALS)
+    register_extra("rel_hourly_trend_ols", q_hourly_trend_ols, SQL_HOURLY_TREND_OLS)
+    register_extra(
+        "rel_seasonal_residuals", q_seasonal_residuals, SQL_SEASONAL_RESIDUALS
+    )
     register_extra(
         "rel_changepoint_cusum", q_changepoint_cusum, SQL_CHANGEPOINT_CUSUM
     )
