@@ -567,6 +567,84 @@ def q_select_budget_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_select_budget_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware budget selection — the composition a production
+    curation run actually wants: admit docs by quality until the budget
+    of EFFECTIVE tokens is spent, where a doc's effective cost is
+    ``n_tokens × soft-dedup mass`` (``q_dedup_soft``'s 1/n_copies
+    micro-weight). A text duplicated 7× costs its cluster one document's
+    tokens in total, so near-duplicate floods cannot eat the budget —
+    "pay for unique information, not bytes". Costs are exact BIGINT
+    micro-token units; the cumulative selection is the same segmented
+    two-phase decomposition as ``q_select_budget_segmented`` (coarse
+    quality buckets + parallel local cumsums + triangular-join carry),
+    so the plan has zero partition-less windows and the DuckDB oracle's
+    sequential window gates the decomposition."""
+    from .text import q_dedup_soft
+
+    weights = q_dedup_soft(spark, sf_dir).select("doc_id", "weight_micro")
+    scored = (
+        _spark_quality_frame(spark, sf_dir)
+        .join(weights, "doc_id")
+        .withColumn("bucket", _quality_bucket(16))
+        .withColumn(
+            "cost_micro", (F.col("n_tokens") * F.col("weight_micro")).cast("long")
+        )
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = scored.withColumn("local_cum", F.sum("cost_micro").over(w_local))
+    bcost = local.groupBy("bucket").agg(F.sum("cost_micro").alias("bucket_cost"))
+    t, p = bcost.alias("t"), bcost.alias("p")
+    totals = (
+        t.join(F.broadcast(p), F.col("p.bucket") < F.col("t.bucket"), "left")
+        .groupBy(F.col("t.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("p.bucket_cost"), F.lit(0)).alias("carry"))
+    )
+    budget = scored.agg(
+        F.floor(F.sum("cost_micro") * _BUDGET_FRAC).cast("long").alias("budget")
+    )
+    return (
+        local.join(F.broadcast(totals), "bucket")
+        .crossJoin(F.broadcast(budget))
+        .selectExpr(
+            "doc_id", "n_tokens", "weight_micro", "quality_score",
+            "CAST(local_cum + carry AS BIGINT) AS cum_cost_micro",
+            "local_cum + carry <= budget AS selected",
+        )
+    )
+
+
+def _sql_select_budget_dedup() -> str:
+    from .text import SQL_DEDUP_SOFT
+
+    return f"""
+WITH {_duck_quality_cte().strip()},
+soft AS ({SQL_DEDUP_SOFT.strip()}),
+costed AS (
+  SELECT q.doc_id, q.n_tokens, s.weight_micro, q.quality_score,
+    CAST(q.n_tokens * s.weight_micro AS BIGINT) AS cost_micro
+  FROM quality q JOIN soft s ON q.doc_id = s.doc_id
+),
+budget AS (
+  SELECT CAST(floor(SUM(cost_micro) * {_BUDGET_FRAC}) AS BIGINT) AS budget
+  FROM costed
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, weight_micro,
+  quality_score,
+  CAST(SUM(cost_micro) OVER (ORDER BY quality_score DESC, doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_cost_micro,
+  CAST(SUM(cost_micro) OVER (ORDER BY quality_score DESC, doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    <= budget AS selected
+FROM costed, budget
+"""
+
+
 # --- quality strata ---------------------------------------------------------------
 
 _N_STRATA = 10
@@ -660,6 +738,11 @@ def register_all() -> None:
     )
     register_extra(
         "corpus_select_budget_sequential", q_select_budget, _sql_select_budget()
+    )
+    register_extra(
+        "corpus_select_budget_dedup",
+        q_select_budget_dedup,
+        _sql_select_budget_dedup(),
     )
     register_extra(
         "corpus_quality_strata", q_quality_strata_segmented, _sql_quality_strata()

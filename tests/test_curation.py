@@ -137,3 +137,63 @@ def test_quality_strata_partition_the_corpus(spark):
     assert max(sizes) - min(sizes) <= 1
     # stratum 1 is the best-quality band; bounds must descend
     assert rows[0].q_lo >= rows[-1].q_hi
+
+
+def test_select_budget_dedup_on_duplicated_corpus(spark, tmp_path):
+    """The static corpora carry ZERO exact duplicates, so the dedup
+    discount never bites in the registry parity runs — this fixture
+    synthesizes a 10-copy flood and (1) runs the FULL oracle comparison
+    on it (dedup semantics oracle-gated on data where they matter),
+    (2) asserts the flood cluster pays for one document's tokens in
+    total, not ten."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import duckdb
+
+    from tools.compare_oracle import compare_frames
+
+    from impala_base_to_cdw_sizing_spark.operators.curation import (
+        q_select_budget_dedup,
+    )
+    from impala_base_to_cdw_sizing_spark.operators.queries_ext import (
+        extra_oracle_sql,
+    )
+
+    def _con(sf_dir):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+        )
+        return con
+
+    flood_text = "the fast key order sort table scan merge part window"
+    rows = []
+    for d in range(60):
+        text = flood_text if d < 10 else f"uniq value row data number {d} stream"
+        rows.append((d, text, "en", "s0", len(text)))
+    p = str(tmp_path / "dupcorpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{p}/documents.parquet")
+
+    out = q_select_budget_dedup(spark, p)
+    issues = compare_frames(
+        "corpus_select_budget_dedup",
+        out.toPandas(),
+        _con(p).execute(
+            extra_oracle_sql()["corpus_select_budget_dedup"]
+        ).fetch_df(),
+    )
+    assert not issues, issues
+
+    got = {r.doc_id: r for r in out.collect()}
+    flood = [got[d] for d in range(10)]
+    assert all(r.weight_micro == 100_000 for r in flood)
+    n_tok = flood[0].n_tokens
+    cluster_cost = sum(r.n_tokens * r.weight_micro for r in flood)
+    assert cluster_cost == n_tok * 1_000_000  # the cluster pays ONCE
+    uniq = [r for d, r in got.items() if d >= 10]
+    assert all(r.weight_micro == 1_000_000 for r in uniq)
