@@ -233,6 +233,105 @@ FROM (
 """
 
 
+_SLIDE_K = 32
+_SLIDE_HOURS = 24
+
+
+def q_kmv_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users — THE query exact methods cannot
+    window (distinct doesn't decompose over overlapping frames) and the
+    reason mergeable sketches exist: build one KMV sketch per
+    (event_type, hour), then answer "distinct users in the trailing
+    24 h" for EVERY hour by merging the window's hourly sketches
+    (union the ≤ 24·k hashes, re-take the k smallest — the KMV merge).
+    The fan-out is each hourly sketch row exploding into the ≤24 target
+    hours it serves: intermediate size is hours·k·24, a function of the
+    clock and the sketch — INDEPENDENT of event volume, which is the
+    100 TB story (the exact computation would carry every distinct user
+    into every overlapping window). Targets are restricted to hours
+    that exist in the data; estimates are the same exact-integer
+    arithmetic as :func:`q_kmv_distinct`."""
+    ev = load_events(spark, sf_dir).selectExpr(
+        "event_type",
+        f"{_HOUR} AS hr",
+        f"(user_id * {_KNUTH}) % {_KMV_M} AS h",
+    )
+    hourly_hashes = ev.select("event_type", "hr", "h").distinct()
+    w_h = Window.partitionBy("event_type", "hr").orderBy("h")
+    sketch = (
+        hourly_hashes.withColumn("rn", F.row_number().over(w_h))
+        .filter(F.col("rn") <= _SLIDE_K)
+        .select("event_type", "hr", "h")
+    )
+    hours = hourly_hashes.select("event_type", "hr").distinct().selectExpr(
+        "event_type", "hr AS target_hr"
+    )
+    fanned = (
+        sketch.selectExpr(
+            "event_type", "h",
+            f"explode(sequence(hr, hr + {_SLIDE_HOURS - 1})) AS target_hr",
+        )
+        .join(hours, ["event_type", "target_hr"])
+        .select("event_type", "target_hr", "h")
+        .distinct()
+    )
+    w_t = Window.partitionBy("event_type", "target_hr").orderBy("h")
+    merged = (
+        fanned.withColumn("rn", F.row_number().over(w_t))
+        .filter(F.col("rn") <= _SLIDE_K)
+    )
+    return merged.groupBy("event_type", "target_hr").agg(
+        F.count("*").cast("long").alias("sketch_n"),
+        F.max("h").cast("long").alias("kth_hash"),
+    ).selectExpr(
+        "event_type", "target_hr", "sketch_n", "kth_hash",
+        f"CASE WHEN sketch_n < {_SLIDE_K} THEN CAST(sketch_n AS DOUBLE)"
+        f" ELSE CAST(({_SLIDE_K} - 1) * CAST({_KMV_M} AS BIGINT) AS DOUBLE)"
+        f" / CAST(kth_hash AS DOUBLE) END AS est_distinct_24h",
+    )
+
+
+SQL_KMV_SLIDING = f"""
+WITH ev AS (
+  SELECT event_type, {_DUCK_HOUR} AS hr,
+    (user_id * {_KNUTH}) % {_KMV_M} AS h
+  FROM events
+),
+hourly_hashes AS (SELECT DISTINCT event_type, hr, h FROM ev),
+sketch AS (
+  SELECT event_type, hr, h FROM (
+    SELECT event_type, hr, h, ROW_NUMBER() OVER (
+      PARTITION BY event_type, hr ORDER BY h) AS rn
+    FROM hourly_hashes
+  ) WHERE rn <= {_SLIDE_K}
+),
+hours AS (SELECT DISTINCT event_type, hr AS target_hr FROM hourly_hashes),
+fanned AS (
+  SELECT DISTINCT s.event_type, s.hr + o.off AS target_hr, s.h
+  FROM sketch s, UNNEST(range(0, {_SLIDE_HOURS})) AS o(off)
+  JOIN hours t ON t.event_type = s.event_type
+    AND t.target_hr = s.hr + o.off
+),
+merged AS (
+  SELECT event_type, target_hr, h FROM (
+    SELECT event_type, target_hr, h, ROW_NUMBER() OVER (
+      PARTITION BY event_type, target_hr ORDER BY h) AS rn
+    FROM fanned
+  ) WHERE rn <= {_SLIDE_K}
+)
+SELECT event_type, target_hr, sketch_n, kth_hash,
+  CASE WHEN sketch_n < {_SLIDE_K} THEN CAST(sketch_n AS DOUBLE)
+    ELSE CAST(({_SLIDE_K} - 1) * CAST({_KMV_M} AS BIGINT) AS DOUBLE)
+      / CAST(kth_hash AS DOUBLE) END AS est_distinct_24h
+FROM (
+  SELECT event_type, target_hr, CAST(COUNT(*) AS BIGINT) AS sketch_n,
+    CAST(MAX(h) AS BIGINT) AS kth_hash
+  FROM merged GROUP BY 1, 2
+)
+"""
+
+
 def register_all() -> None:
     register_extra("sketch_bitmap_rollup", q_bitmap_rollup, SQL_BITMAP_ROLLUP)
     register_extra("sketch_kmv_distinct", q_kmv_distinct, SQL_KMV_DISTINCT)
+    register_extra("sketch_kmv_sliding", q_kmv_sliding, SQL_KMV_SLIDING)

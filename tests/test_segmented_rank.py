@@ -82,6 +82,47 @@ def test_ntile_closed_form_matches_spark_ntile(spark):
         assert sorted(got.collect()) == sorted(expected.collect()), (n, k)
 
 
+def test_segmented_rank_fuzz_random_values_and_quantizations(spark):
+    """Property: for ARBITRARY integer values and ANY monotone coarse
+    quantization (value DIV span), segmented rank == the global
+    row_number — including heavy ties, empty buckets, negative values,
+    and span 1 (every value its own bucket) / huge span (one bucket).
+    Hypothesis hunts the boundary the hand-picked cases miss."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+        ),
+        span=st.integers(min_value=1, max_value=700),
+    )
+    def inner(vals, span):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, v long"
+        ).withColumn(
+            # floor-div quantization is monotone, so ordering-consistent
+            "bucket",
+            (F.floor(F.col("v") / span)).cast("int"),
+        )
+        got = {
+            r.id: r.grank
+            for r in segmented_row_number(
+                df, [F.col("v").asc(), F.col("id").asc()]
+            ).collect()
+        }
+        order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+        expected = {i: rk + 1 for rk, i in enumerate(order)}
+        assert got == expected
+
+    inner()
+
+
 def test_segmented_row_number_empty_and_single_bucket(spark):
     empty = spark.range(0).selectExpr("id", "CAST(0 AS INT) AS bucket")
     assert segmented_row_number(empty, [F.col("id").asc()]).count() == 0
