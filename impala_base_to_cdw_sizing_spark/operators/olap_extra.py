@@ -1144,6 +1144,90 @@ ORDER BY event_type
 _SKY_SALTS = 16
 
 
+# join-view IVM snapshot/delta cut on o_orderdate (mid-range)
+_IVM_CUT = "1996-01-01"
+
+
+def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance — the materialized-view
+    algebra ``rel_incremental_rollup`` proves for plain rollups,
+    extended to an aggregate over a join: the view is per-nation order
+    counts and decimal revenue over ``orders ⋈ customer``. An
+    insert-only delta of orders (orderdate ≥ the cut) maintains the
+    view as ``V_new = merge(V_old, agg(ΔA ⋈ B))`` — the ΔA⋈B term of
+    the classic delta-join rule (the A⋈ΔB term is zero for a
+    dimension-stable fact delta, which is exactly the nightly-load
+    shape). History is never rescanned; the ``consistent`` witness
+    column re-derives every figure from a full recompute so the
+    algebra is checked per nation in both engines. Decimal sums merge
+    BEFORE any double conversion (the rollup lesson)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    DEC = "decimal(38,6)"
+
+    def view(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.join(cust, "o_custkey")
+            .groupBy("c_nationkey")
+            .agg(
+                F.count("*").cast("long").alias(f"n_{tag}"),
+                F.sum(F.col("o_totalprice").cast(DEC)).alias(f"rev_{tag}"),
+            )
+        )
+
+    snap = view(orders.filter(F.col("o_orderdate") < _IVM_CUT), "s")
+    delta = view(orders.filter(F.col("o_orderdate") >= _IVM_CUT), "d")
+    full = view(orders, "f")
+    merged = snap.join(delta, "c_nationkey", "full_outer").selectExpr(
+        "c_nationkey",
+        "coalesce(n_s, 0) + coalesce(n_d, 0) AS n",
+        f"CAST(coalesce(rev_s, CAST(0 AS {DEC}))"
+        f" + coalesce(rev_d, CAST(0 AS {DEC})) AS {DEC}) AS rev_dec",
+    )
+    return merged.join(full, "c_nationkey").selectExpr(
+        "c_nationkey", "n",
+        "CAST(rev_dec AS DOUBLE) AS revenue",
+        "n = n_f AND rev_dec = rev_f AS consistent",
+    )
+
+
+def _sql_incremental_join_view() -> str:
+    from .aggregates import dec_to_double_sql
+
+    return f"""
+WITH cust AS (SELECT c_custkey AS o_custkey, c_nationkey FROM customer),
+snap AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_s,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS rev_s
+  FROM orders JOIN cust USING (o_custkey)
+  WHERE o_orderdate < '{_IVM_CUT}' GROUP BY 1
+),
+delta AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_d,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS rev_d
+  FROM orders JOIN cust USING (o_custkey)
+  WHERE o_orderdate >= '{_IVM_CUT}' GROUP BY 1
+),
+f AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_f,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS rev_f
+  FROM orders JOIN cust USING (o_custkey) GROUP BY 1
+),
+merged AS (
+  SELECT COALESCE(snap.c_nationkey, delta.c_nationkey) AS c_nationkey,
+    COALESCE(n_s, 0) + COALESCE(n_d, 0) AS n,
+    CAST(COALESCE(rev_s, CAST(0 AS DECIMAL(38,6)))
+      + COALESCE(rev_d, CAST(0 AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS rev_dec
+  FROM snap FULL JOIN delta ON snap.c_nationkey = delta.c_nationkey
+)
+SELECT c_nationkey, n, {dec_to_double_sql('rev_dec')} AS revenue,
+  n = n_f AND rev_dec = rev_f AS consistent
+FROM merged JOIN f USING (c_nationkey)
+"""
+
+
 def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline of orders — maximize ``o_totalprice``, minimize
     ``o_orderdate`` (the "largest order seen by each date" frontier).
@@ -1240,6 +1324,11 @@ def register_all() -> None:
     register_extra("rel_skyline", q_skyline, SQL_SKYLINE)
     register_extra(
         "rel_incremental_rollup", q_incremental_rollup, _sql_incremental_rollup()
+    )
+    register_extra(
+        "rel_incremental_join_view",
+        q_incremental_join_view,
+        _sql_incremental_join_view(),
     )
     register_extra("rel_drift_psi", q_drift_psi, _sql_drift_psi())
     register_extra("rel_file_provenance", q_file_provenance, _provenance_sql())
