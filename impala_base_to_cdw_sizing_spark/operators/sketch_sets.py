@@ -263,7 +263,23 @@ def q_kmv_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _SLIDE_K)
         .select("event_type", "hr", "h")
     )
-    hours = hourly_hashes.select("event_type", "hr").distinct().selectExpr(
+    return kmv_sliding_from_sketch(sketch)
+
+
+def kmv_sliding_from_sketch(sketch: DataFrame) -> DataFrame:
+    """The sliding merge + estimate over an hourly-sketch frame
+    (event_type, hr, h) — SHARED by the batch op above and the
+    streaming sketch maintainer (``streaming/kmv_stream.py``), so the
+    stream ≡ batch identity is the same code path, not a mirrored
+    reimplementation (the drift_stream/psi_table contract).
+
+    The sketch frame is hours × k rows — the eager localCheckpoint
+    both materializes it once for the two reads below (hours + fan-out)
+    and severs the lineage so the internal self-join resolves for ANY
+    caller (the memory-sink snapshot the streaming test feeds in
+    otherwise trips conflicting-reference resolution)."""
+    sketch = sketch.localCheckpoint()
+    hours = sketch.select("event_type", "hr").distinct().selectExpr(
         "event_type", "hr AS target_hr"
     )
     fanned = (
