@@ -323,9 +323,127 @@ SELECT 'lineitem_quantity_in_1_50',
 """
 
 
+_Z_AUDIT_BITS = 16
+_Z_AUDIT_FILES = 16
+
+
+def _z_interleave(a: str, b: str, shift: str) -> str:
+    """Morton interleave of two 16-bit keys; ``shift`` is the dialect's
+    right-shift spelling with {x} and {i} slots."""
+    terms = []
+    for i in range(_Z_AUDIT_BITS):
+        terms.append(f"({shift.format(x=a, i=i)} % 2) * {1 << (2 * i)}")
+        terms.append(f"({shift.format(x=b, i=i)} % 2) * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def q_zorder_audit(spark, sf_dir: str):
+    """Z-order vs single-column layout, as a measurable query: project
+    orders onto a 16-bit × 16-bit (custkey, order-day) keyspace,
+    assign each row to one of 16 files under (a) Morton-key range
+    layout and (b) plain by-date layout, and report each file's row
+    count and its min/max SPAN in both dimensions. Parquet row-group
+    skipping is driven exactly by those per-file spans: the by-date
+    layout leaves every file spanning the full custkey range (a
+    custkey predicate skips nothing), while the z-order layout keeps
+    files compact in BOTH dimensions — the Delta OPTIMIZE ZORDER BY
+    rationale, here as oracle-checked arithmetic
+    (``sinks/layout.py::write_zordered`` is the write-side twin whose
+    real parquet footers ``tests/test_zorder.py`` measures). Keys
+    normalize to the 16-bit space by IN-QUERY bounds
+    ((v−lo)·2¹⁶ DIV (hi−lo+1), exact BIGINT arithmetic against a
+    broadcast 1-row min/max aggregate — the same stats
+    ``write_zordered`` collects at write time, here kept inside the
+    query so the oracle runs the identical normalization)."""
+    from pyspark.sql import functions as F
+
+    spark_shift = "shiftright({x}, {i})"
+    M = 1 << _Z_AUDIT_BITS
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_custkey AS ck",
+        "CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT) AS dk",
+    )
+    b = raw.agg(
+        F.min("ck").alias("ck_lo"), F.max("ck").alias("ck_hi"),
+        F.min("dk").alias("dk_lo"), F.max("dk").alias("dk_hi"),
+    )
+    ka = f"((ck - ck_lo) * {M} DIV (ck_hi - ck_lo + 1))"
+    kb = f"((dk - dk_lo) * {M} DIV (dk_hi - dk_lo + 1))"
+    z = _z_interleave("cust_k", "day_k", spark_shift)
+    span = (1 << (2 * _Z_AUDIT_BITS)) // _Z_AUDIT_FILES
+    base = (
+        raw.crossJoin(F.broadcast(b))
+        .selectExpr(f"{ka} AS cust_k", f"{kb} AS day_k")
+        .selectExpr("cust_k", "day_k", f"{z} AS zval")
+    )
+    zfiles = (
+        base.withColumn("file_id", F.expr(f"CAST(zval DIV {span} AS BIGINT)"))
+        .groupBy("file_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.max("cust_k") - F.min("cust_k")).cast("long").alias("cust_span"),
+            (F.max("day_k") - F.min("day_k")).cast("long").alias("day_span"),
+        )
+        .selectExpr("'zorder' AS layout", "file_id", "n", "cust_span", "day_span")
+    )
+    dspan = (1 << _Z_AUDIT_BITS) // _Z_AUDIT_FILES
+    dfiles = (
+        base.withColumn("file_id", F.expr(f"CAST(day_k DIV {dspan} AS BIGINT)"))
+        .groupBy("file_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.max("cust_k") - F.min("cust_k")).cast("long").alias("cust_span"),
+            (F.max("day_k") - F.min("day_k")).cast("long").alias("day_span"),
+        )
+        .selectExpr("'by_date' AS layout", "file_id", "n", "cust_span", "day_span")
+    )
+    return zfiles.unionAll(dfiles)
+
+
+def _sql_zorder_audit() -> str:
+    duck_shift = "({x} >> {i})"
+    M = 1 << _Z_AUDIT_BITS
+    z = _z_interleave("cust_k", "day_k", duck_shift)
+    span = (1 << (2 * _Z_AUDIT_BITS)) // _Z_AUDIT_FILES
+    dspan = (1 << _Z_AUDIT_BITS) // _Z_AUDIT_FILES
+    return f"""
+WITH raw AS (
+  SELECT o_custkey AS ck,
+    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      AS BIGINT) AS dk
+  FROM orders
+),
+b AS (
+  SELECT MIN(ck) AS ck_lo, MAX(ck) AS ck_hi,
+    MIN(dk) AS dk_lo, MAX(dk) AS dk_hi
+  FROM raw
+),
+normed AS (
+  SELECT ((ck - ck_lo) * {M} // (ck_hi - ck_lo + 1)) AS cust_k,
+    ((dk - dk_lo) * {M} // (dk_hi - dk_lo + 1)) AS day_k
+  FROM raw, b
+),
+base AS (
+  SELECT cust_k, day_k, {z} AS zval FROM normed
+)
+SELECT 'zorder' AS layout, CAST(zval // {span} AS BIGINT) AS file_id,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(MAX(cust_k) - MIN(cust_k) AS BIGINT) AS cust_span,
+  CAST(MAX(day_k) - MIN(day_k) AS BIGINT) AS day_span
+FROM base GROUP BY 2
+UNION ALL
+SELECT 'by_date', CAST(day_k // {dspan} AS BIGINT),
+  CAST(COUNT(*) AS BIGINT),
+  CAST(MAX(cust_k) - MIN(cust_k) AS BIGINT),
+  CAST(MAX(day_k) - MIN(day_k) AS BIGINT)
+FROM base GROUP BY 2
+"""
+
+
 def register_all() -> None:
     register_extra("ingest_quarantine", q_ingest_quarantine, SQL_INGEST_QUARANTINE)
     register_extra("compaction_audit", q_compaction_audit, SQL_COMPACTION_AUDIT)
     register_extra(
         "rel_expectations_report", q_expectations_report, SQL_EXPECTATIONS
     )
+    register_extra("layout_zorder_audit", q_zorder_audit, _sql_zorder_audit())

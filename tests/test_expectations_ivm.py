@@ -78,3 +78,31 @@ def test_join_view_ivm_witness_holds_with_real_delta(spark):
     n_old = orders.filter(F.col("o_orderdate") < _IVM_CUT).count()
     n_new = orders.filter(F.col("o_orderdate") >= _IVM_CUT).count()
     assert n_old > 0 and n_new > 0
+
+
+def test_zorder_audit_rectangles_beat_single_column_layout(spark):
+    """Structural property of the audit itself: with 16 files over a
+    2^16-square keyspace, the Morton layout's files cover ~1/4 x 1/4
+    rectangles (each dimension's span ~ M/4), while the by-date layout
+    leaves every file spanning essentially the FULL custkey range — the
+    quantified reason a custkey predicate skips most z-order files and
+    zero by-date files."""
+    from impala_base_to_cdw_sizing_spark.operators.ingest_quality import (
+        _Z_AUDIT_BITS,
+        q_zorder_audit,
+    )
+
+    M = 1 << _Z_AUDIT_BITS
+    rows = q_zorder_audit(spark, SF_SMALL).collect()
+    z = [r for r in rows if r.layout == "zorder"]
+    d = [r for r in rows if r.layout == "by_date"]
+    assert z and d
+    # every z-file is a compact rectangle: both spans well under half
+    # the keyspace (the 16-file Morton split bounds each at ~M/4)
+    assert all(r.cust_span <= M // 2 and r.day_span <= M // 2 for r in z)
+    # by-date files are full-width in the OTHER dimension
+    assert max(r.cust_span for r in d) > 0.9 * M
+    # and the z layout's average custkey span is several times tighter
+    avg_z = sum(r.cust_span for r in z) / len(z)
+    avg_d = sum(r.cust_span for r in d) / len(d)
+    assert avg_z * 2 < avg_d
