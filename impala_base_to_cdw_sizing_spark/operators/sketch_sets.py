@@ -347,7 +347,179 @@ FROM (
 """
 
 
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV *set algebra*: the day-over-day audience-overlap matrix —
+    Jaccard similarity between the distinct-active-user sets of every
+    pair of days — estimated purely from per-day KMV sketches (Beyer
+    et al. 2007 §4 / the theta-sketch intersection rule): union the two
+    sketches, re-take the k smallest (the KMV merge), and count how
+    many of those union-top-k hashes appear in BOTH input sketches —
+    J_est = matches / k. This is the whole point of keeping sketches
+    instead of counts: intersection / Jaccard / union cardinality all
+    fall out of O(k) work per pair, while the exact answer needs a
+    full user-set join per day pair. (Keyed by day, not event_type:
+    the synthetic corpus has every user in every type — type pairs are
+    degenerately Jaccard=1 — while day-active sets genuinely vary.)
+
+    When the union sketch is NOT full (< k hashes), the sketch IS the
+    exact hash-universe union, so the divisor drops to the actual
+    sketch size (same guard as ``q_kmv_distinct``). The exact Jaccard
+    (distinct user_id sets, a user_id equi-join) rides along as the
+    accuracy witness: |est − exact| ≤ 0.25 per pair, ~5σ of the
+    √(J(1−J)/k) ≈ 0.05 binomial error at k=64, J≈0.8.
+
+    Scale shape: sketches are days × k rows; pair fan-out is
+    days² · k — a function of the calendar, independent of event
+    volume. The exact twin shuffles on user_id once (the witness, not
+    the production path). No global window: ranks partition by pair.
+    """
+    ev = load_events(spark, sf_dir).selectExpr(
+        f"{_DAY} AS day", "user_id", f"(user_id * {_KNUTH}) % {_KMV_M} AS h"
+    )
+    hashes = ev.select("day", "h").distinct()
+    w = Window.partitionBy("day").orderBy("h")
+    sketch = (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("day", "h")
+        .localCheckpoint()  # days×k rows, read by two pair branches
+    )
+    days = sketch.select("day").distinct()
+    pairs = (
+        days.selectExpr("day AS da")
+        .join(days.selectExpr("day AS db"), F.col("da") < F.col("db"))
+    )
+    rows_a = pairs.join(
+        sketch.selectExpr("day AS da", "h"), "da"
+    ).selectExpr("da", "db", "h", "1 AS in_a", "0 AS in_b")
+    rows_b = pairs.join(
+        sketch.selectExpr("day AS db", "h"), "db"
+    ).selectExpr("da", "db", "h", "0 AS in_a", "1 AS in_b")
+    merged = (
+        rows_a.unionByName(rows_b)
+        .groupBy("da", "db", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w_pair = Window.partitionBy("da", "db").orderBy("h")
+    topk = merged.withColumn("rk", F.row_number().over(w_pair)).filter(
+        F.col("rk") <= _KMV_K
+    )
+    est = topk.groupBy("da", "db").agg(
+        F.count("*").cast("long").alias("union_sketch_n"),
+        F.sum(F.expr("in_a * in_b")).cast("long").alias("both_n"),
+    )
+    users = ev.select("day", "user_id").distinct().localCheckpoint()
+    per_day = users.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    inter = (
+        users.selectExpr("day AS da", "user_id")
+        .join(users.selectExpr("day AS db", "user_id"), "user_id")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").cast("long").alias("inter_n"))
+    )
+    exact = (
+        pairs.join(per_day.selectExpr("day AS da", "n_users AS na"), "da")
+        .join(per_day.selectExpr("day AS db", "n_users AS nb"), "db")
+        .join(inter, ["da", "db"], "left")
+        .selectExpr(
+            "da", "db", "na", "nb",
+            "coalesce(inter_n, CAST(0 AS BIGINT)) AS inter_n",
+        )
+    )
+    return (
+        est.join(exact, ["da", "db"])
+        .selectExpr(
+            "da", "db", "union_sketch_n", "both_n", "inter_n",
+            "na + nb - inter_n AS union_n",
+            "CAST(both_n AS DOUBLE) / CAST(union_sketch_n AS DOUBLE)"
+            " AS est_jaccard",
+            "CAST(inter_n AS DOUBLE) / CAST(na + nb - inter_n AS DOUBLE)"
+            " AS exact_jaccard",
+        )
+        .selectExpr(
+            "da", "db", "union_sketch_n", "both_n", "inter_n", "union_n",
+            "est_jaccard", "exact_jaccard",
+            "abs(est_jaccard - exact_jaccard) <= 0.25 AS within_tol",
+        )
+    )
+
+
+SQL_KMV_JACCARD = f"""
+WITH ev AS (
+  SELECT {_DUCK_DAY} AS day, user_id, (user_id * {_KNUTH}) % {_KMV_M} AS h
+  FROM events
+),
+hashes AS (SELECT DISTINCT day, h FROM ev),
+sketch AS (
+  SELECT day, h FROM (
+    SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rk
+    FROM hashes
+  ) WHERE rk <= {_KMV_K}
+),
+days AS (SELECT DISTINCT day FROM sketch),
+pairs AS (
+  SELECT a.day AS da, b.day AS db
+  FROM days a JOIN days b ON a.day < b.day
+),
+rows_ab AS (
+  SELECT p.da, p.db, s.h, 1 AS in_a, 0 AS in_b
+  FROM pairs p JOIN sketch s ON s.day = p.da
+  UNION ALL
+  SELECT p.da, p.db, s.h, 0 AS in_a, 1 AS in_b
+  FROM pairs p JOIN sketch s ON s.day = p.db
+),
+merged AS (
+  SELECT da, db, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM rows_ab GROUP BY 1, 2, 3
+),
+topk AS (
+  SELECT da, db, h, in_a, in_b FROM (
+    SELECT da, db, h, in_a, in_b, ROW_NUMBER() OVER (
+      PARTITION BY da, db ORDER BY h) AS rk
+    FROM merged
+  ) WHERE rk <= {_KMV_K}
+),
+est AS (
+  SELECT da, db, CAST(COUNT(*) AS BIGINT) AS union_sketch_n,
+    CAST(SUM(in_a * in_b) AS BIGINT) AS both_n
+  FROM topk GROUP BY 1, 2
+),
+users AS (SELECT DISTINCT day, user_id FROM ev),
+per_day AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users FROM users GROUP BY 1
+),
+inter AS (
+  SELECT a.day AS da, b.day AS db, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM users a JOIN users b ON a.user_id = b.user_id AND a.day < b.day
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT p.da, p.db, na.n_users AS na, nb.n_users AS nb,
+    COALESCE(i.inter_n, CAST(0 AS BIGINT)) AS inter_n
+  FROM pairs p
+  JOIN per_day na ON na.day = p.da
+  JOIN per_day nb ON nb.day = p.db
+  LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
+)
+SELECT da, db, union_sketch_n, both_n, inter_n, union_n,
+  est_jaccard, exact_jaccard,
+  abs(est_jaccard - exact_jaccard) <= 0.25 AS within_tol
+FROM (
+  SELECT e.da, e.db, e.union_sketch_n, e.both_n, x.inter_n,
+    x.na + x.nb - x.inter_n AS union_n,
+    CAST(e.both_n AS DOUBLE) / CAST(e.union_sketch_n AS DOUBLE)
+      AS est_jaccard,
+    CAST(x.inter_n AS DOUBLE) / CAST(x.na + x.nb - x.inter_n AS DOUBLE)
+      AS exact_jaccard
+  FROM est e JOIN exact x ON e.da = x.da AND e.db = x.db
+)
+"""
+
+
 def register_all() -> None:
     register_extra("sketch_bitmap_rollup", q_bitmap_rollup, SQL_BITMAP_ROLLUP)
     register_extra("sketch_kmv_distinct", q_kmv_distinct, SQL_KMV_DISTINCT)
     register_extra("sketch_kmv_sliding", q_kmv_sliding, SQL_KMV_SLIDING)
+    register_extra("sketch_kmv_jaccard", q_kmv_jaccard, SQL_KMV_JACCARD)

@@ -123,3 +123,48 @@ def test_kmv_sliding_replicates_and_estimates(spark):
     assert errs[len(errs) // 2] <= 0.15           # median inside 1 sigma
     assert errs[int(len(errs) * 0.95)] <= 0.40    # p95 inside ~2 sigma
     assert errs[-1] <= 0.60                        # hard per-window cap
+
+
+def test_kmv_jaccard_replicates_in_pure_python(spark):
+    """Day-pair audience overlap: replicate the KMV Jaccard estimate
+    AND the exact Jaccard in pure Python on sf0.001, row for row —
+    the estimator arithmetic (union-top-k membership count over
+    Knuth-multiplicative hashes) must match the Spark plan exactly."""
+    ev = load_events(spark, SF_SMALL).selectExpr(
+        "CAST(ts DIV 86400000000000 AS BIGINT) AS day", "user_id"
+    ).collect()
+    by_day = defaultdict(set)
+    for r in ev:
+        by_day[r.day].add(r.user_id)
+    days = sorted(by_day)
+    expect = {}
+    for i, da in enumerate(days):
+        for db in days[i + 1:]:
+            sa = {(u * SS._KNUTH) % SS._KMV_M for u in by_day[da]}
+            sb = {(u * SS._KNUTH) % SS._KMV_M for u in by_day[db]}
+            ka, kb = (set(sorted(s)[: SS._KMV_K]) for s in (sa, sb))
+            union_topk = sorted(ka | kb)[: SS._KMV_K]
+            both = sum(1 for h in union_topk if h in ka and h in kb)
+            est = both / len(union_topk)
+            inter = len(by_day[da] & by_day[db])
+            exact = inter / len(by_day[da] | by_day[db])
+            expect[(da, db)] = (len(union_topk), both, est, exact)
+    rows = SS.q_kmv_jaccard(spark, SF_SMALL).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        un, both, est, exact = expect[(r.da, r.db)]
+        assert (r.union_sketch_n, r.both_n) == (un, both)
+        assert r.est_jaccard == est and r.exact_jaccard == exact
+        assert r.within_tol is True
+
+
+def test_kmv_jaccard_witness_and_nondegeneracy(spark):
+    rows = SS.q_kmv_jaccard(spark, SF_ORACLE).collect()
+    assert len(rows) > 100  # a real day-pair matrix, not a couple types
+    assert all(r.within_tol for r in rows)
+    exacts = [r.exact_jaccard for r in rows]
+    # the sets genuinely differ: overlap is partial and varies by pair
+    assert 0.0 < min(exacts) and max(exacts) < 1.0
+    assert max(exacts) - min(exacts) > 0.01
+    # the estimate is an estimate, not a copy of the exact column
+    assert any(r.est_jaccard != r.exact_jaccard for r in rows)
