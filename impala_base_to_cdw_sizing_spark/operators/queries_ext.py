@@ -105,10 +105,11 @@ def _load_providers() -> None:
     sq.register_all()
     lm_quality.register_all()
 
-    from . import retrieval, sketch_sets
+    from . import retrieval, sequences, sketch_sets
 
     retrieval.register_all()
     sketch_sets.register_all()
+    sequences.register_all()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,172 @@
+"""Event-sequence modeling operators (late r8).
+
+``rel_markov_transitions`` — the first-order Markov transition matrix
+over per-user event streams: for every user, order events by
+(ts, event_id) and pair each event_type with its successor (LEAD over a
+user-partitioned window — never a global sort); count transitions per
+(src, dst), and emit the row-normalized transition probability plus an
+``is_top_for_src`` argmax flag (count desc, dst asc tiebreak — the
+deterministic-tie convention of ``sizing_argmax``).
+
+This is the sequence-model companion to the funnel tier
+(`funnels.q_funnel_steps` counts fixed paths; the transition matrix is
+the full empirical kernel those paths are drawn from) and the standard
+first step of session modeling / next-event prediction over clickstream
+data.
+
+Scale shape: the LEAD window partitions by user_id (co-partitioned with
+the shuffle the groupBy needs anyway); the transition matrix itself is
+alphabet² rows — constant size at any event volume. Probabilities are
+one double division of two exact BIGINTs (bit-equal cross-engine); no
+floats anywhere else.
+
+Reference parity note: the reference (impala_query_sizing.py) has no
+sequence operators — this extends the engine along the
+training-data-pipeline axis (clickstream/session modeling) the builder
+brief asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries_ext import register_extra
+from ..sources.files import load_events
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.withColumn("dst", F.lead("event_type").over(w_seq))
+        .filter(F.col("dst").isNotNull())
+        .selectExpr("event_type AS src", "dst")
+    )
+    trans = steps.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("n_trans")
+    )
+    totals = trans.groupBy("src").agg(F.sum("n_trans").alias("n_src_total"))
+    w_top = Window.partitionBy("src").orderBy(
+        F.col("n_trans").desc(), F.col("dst").asc()
+    )
+    return (
+        trans.join(totals, "src")
+        .withColumn("top_rk", F.row_number().over(w_top))
+        .selectExpr(
+            "src",
+            "dst",
+            "n_trans",
+            "CAST(n_src_total AS BIGINT) AS n_src_total",
+            "CAST(n_trans AS DOUBLE) / CAST(n_src_total AS DOUBLE) AS p_trans",
+            "top_rk = 1 AS is_top_for_src",
+        )
+    )
+
+
+SQL_MARKOV_TRANSITIONS = """
+WITH steps AS (
+  SELECT event_type AS src,
+    LEAD(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+trans AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM steps WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+totals AS (
+  SELECT src, CAST(SUM(n_trans) AS BIGINT) AS n_src_total
+  FROM trans GROUP BY 1
+)
+SELECT src, dst, n_trans, n_src_total,
+  CAST(n_trans AS DOUBLE) / CAST(n_src_total AS DOUBLE) AS p_trans,
+  ROW_NUMBER() OVER (
+    PARTITION BY src ORDER BY n_trans DESC, dst ASC) = 1 AS is_top_for_src
+FROM trans JOIN totals USING (src)
+"""
+
+
+_EWMA_LAGS = 16  # truncation horizon: weight 2^-(j+1) is < 0.002% past j=15
+
+
+def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA (α = 1/2) over per-type hourly event counts —
+    the smoothing baseline the anomaly tier (`rel_hourly_spikes_mad`,
+    `rel_seasonal_residuals`, `rel_changepoint_cusum`) deliberately
+    does not provide: a recency-weighted level estimate per hour.
+
+    EWMA is a *recursion* (ewma_t = α·x_t + (1−α)·ewma_{t−1}) — the
+    classic "can't express in one window" shape, because frame
+    aggregates can't weight by distance. The scale-safe rewrite:
+    truncate the geometric tail at 16 lags (residual mass 2^-16) and
+    renormalize over what remains: weights are the exact integers
+    2^(15−j) for lag j, and the divisor is the sum of weights of the
+    lags actually observed — so truncation and hour-gaps both shift
+    weight instead of silently decaying toward zero. Each hourly count
+    then contributes to ≤16 target hours — a bounded explode +
+    partial-agg groupBy, no window at all, no recursion, and gaps in
+    the hour sequence renormalize instead of silently decaying.
+
+    num and den stay exact BIGINTs (max count · 2^15 · 16 lags ≪ 2^63);
+    the EWMA is one double division — bit-equal cross-engine.
+    """
+    ev = load_events(spark, sf_dir).selectExpr(
+        "event_type", "CAST(ts DIV 3600000000000 AS BIGINT) AS hr"
+    )
+    hourly = ev.groupBy("event_type", "hr").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    contrib = hourly.selectExpr(
+        "event_type",
+        "hr AS src_hr",
+        "n_events",
+        f"explode(sequence(0, {_EWMA_LAGS - 1})) AS lag",
+    ).selectExpr(
+        "event_type",
+        "src_hr + lag AS hr",
+        f"n_events * shiftleft(CAST(1 AS BIGINT), {_EWMA_LAGS - 1} - lag) AS wx",
+        f"shiftleft(CAST(1 AS BIGINT), {_EWMA_LAGS - 1} - lag) AS w",
+    )
+    sums = contrib.groupBy("event_type", "hr").agg(
+        F.sum("wx").cast("long").alias("num"),
+        F.sum("w").cast("long").alias("den"),
+    )
+    return hourly.join(sums, ["event_type", "hr"]).selectExpr(
+        "event_type",
+        "hr",
+        "n_events",
+        "num",
+        "den",
+        "CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma",
+    )
+
+
+SQL_EWMA_HOURLY = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hr,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+contrib AS (
+  SELECT event_type, hr + o.lag AS hr,
+    n_events * (CAST(1 AS BIGINT) << ({_EWMA_LAGS - 1} - o.lag)) AS wx,
+    (CAST(1 AS BIGINT) << ({_EWMA_LAGS - 1} - o.lag)) AS w
+  FROM hourly, UNNEST(range(0, {_EWMA_LAGS})) AS o(lag)
+),
+sums AS (
+  SELECT event_type, hr, CAST(SUM(wx) AS BIGINT) AS num,
+    CAST(SUM(w) AS BIGINT) AS den
+  FROM contrib GROUP BY 1, 2
+)
+SELECT event_type, hr, n_events, num, den,
+  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma
+FROM hourly JOIN sums USING (event_type, hr)
+"""
+
+
+def register_all() -> None:
+    register_extra(
+        "rel_markov_transitions", q_markov_transitions, SQL_MARKOV_TRANSITIONS
+    )
+    register_extra("rel_ewma_hourly", q_ewma_hourly, SQL_EWMA_HOURLY)
