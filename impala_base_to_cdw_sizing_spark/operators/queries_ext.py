@@ -105,11 +105,12 @@ def _load_providers() -> None:
     sq.register_all()
     lm_quality.register_all()
 
-    from . import retrieval, sequences, sketch_sets
+    from . import mdm, retrieval, sequences, sketch_sets
 
     retrieval.register_all()
     sketch_sets.register_all()
     sequences.register_all()
+    mdm.register_all()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
