@@ -105,13 +105,14 @@ def _load_providers() -> None:
     sq.register_all()
     lm_quality.register_all()
 
-    from . import binary_ann, mdm, retrieval, sequences, sketch_sets
+    from . import binary_ann, mdm, ppjoin, retrieval, sequences, sketch_sets
 
     retrieval.register_all()
     sketch_sets.register_all()
     sequences.register_all()
     mdm.register_all()
     binary_ann.register_all()
+    ppjoin.register_all()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
