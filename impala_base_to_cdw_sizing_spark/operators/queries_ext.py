@@ -105,7 +105,7 @@ def _load_providers() -> None:
     sq.register_all()
     lm_quality.register_all()
 
-    from . import binary_ann, mdm, ppjoin, retrieval, sequences, sketch_sets
+    from . import binary_ann, mdm, phrase_search, ppjoin, retrieval, sequences, sketch_sets
 
     retrieval.register_all()
     sketch_sets.register_all()
@@ -113,6 +113,7 @@ def _load_providers() -> None:
     mdm.register_all()
     binary_ann.register_all()
     ppjoin.register_all()
+    phrase_search.register_all()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -91,3 +91,32 @@ def test_ewma_full_history_hours_exist_at_sf001(spark):
     rows = SQ.q_ewma_hourly(spark, SF_ORACLE).collect()
     full = [r for r in rows if r.den == (1 << L) - 1]
     assert len(full) > len(rows) // 4
+
+
+def test_phrase_search_replicates_in_pure_python(spark):
+    """Phrase search vs a regex-free pure-Python scan, including the
+    repeated-term phrase (naive dedup-adjacency implementations
+    overcount or miss 'table table key')."""
+    from impala_base_to_cdw_sizing_spark.operators import phrase_search as PS
+    from impala_base_to_cdw_sizing_spark.operators.text import _docs
+    from tests.conftest import SF_ORACLE
+
+    docs = _docs(spark, SF_ORACLE).collect()
+    expect = {}
+    for pid, phrase in PS.PHRASES:
+        terms = phrase.split(" ")
+        for d in docs:
+            toks = d.text.split(" ")
+            starts = [
+                i + 1
+                for i in range(len(toks) - len(terms) + 1)
+                if toks[i : i + len(terms)] == terms
+            ]
+            if starts:
+                expect[(pid, d.doc_id)] = (len(starts), starts[0])
+    rows = PS.q_phrase_search(spark, SF_ORACLE).collect()
+    got = {(r.phrase_id, r.doc_id): (r.n_hits, r.first_pos) for r in rows}
+    assert got == expect
+    # both phrases actually match somewhere, and multi-hit docs exist
+    assert {r.phrase_id for r in rows} == {p[0] for p in PS.PHRASES}
+    assert any(r.n_hits > 1 for r in rows)
