@@ -105,7 +105,7 @@ def _load_providers() -> None:
     sq.register_all()
     lm_quality.register_all()
 
-    from . import binary_ann, mdm, phrase_search, ppjoin, retrieval, sequences, sketch_sets
+    from . import binary_ann, mdm, phrase_search, ppjoin, retrieval, sequences, sketch_sets, stats_tests
 
     retrieval.register_all()
     sketch_sets.register_all()
@@ -114,6 +114,7 @@ def _load_providers() -> None:
     binary_ann.register_all()
     ppjoin.register_all()
     phrase_search.register_all()
+    stats_tests.register_all()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,181 @@
+"""Contingency-table independence testing (late r8).
+
+``rel_chi2_independence`` — Pearson's chi-square test of independence
+between ``event_type`` and hour-of-day over the events table: the
+data-profiling question ("does traffic mix shift by hour?") every
+warehouse quality suite asks, and a different statistic family from
+the drift tier (PSI compares two snapshots of ONE dimension;
+chi-square tests the joint distribution of TWO dimensions in one
+snapshot).
+
+Determinism contract — the identity χ² = Σ obs²·N/(row·col) − N is
+computed in a magnitude-safe integer sequence (every step BIGINT, no
+floats until the final display division):
+
+    q1_micro = (obs² · 10^6) DIV (row · col)      -- ≤ 10^6, since obs ≤ min(row, col)
+    cell     = q1_micro · N
+    χ²_micro = Σ cell − N · 10^6
+
+obs² · 10^6 and row·col both stay far under 2^63 at every tested sf
+(obs ≤ ~3·10^5 at sf3); per-cell truncation is < 1 micro-unit, so the
+statistic is exact to ~cells·N·10^-6 — and, more importantly,
+bit-identical cross-engine because both engines execute the same
+integer DIV sequence. At petabyte counts the same sequence upgrades to
+DECIMAL(38,0) verbatim.
+
+The 5% critical value is resolved from a small broadcast dimension of
+chi-square quantiles (Wilson–Hilferty would need float pow) — the df
+observed here (types−1)·(hours−1) is looked up exactly; unseen dfs
+surface as NULL rather than a silently-wrong cutoff.
+
+Scale: two partial-agg passes (contingency cells, then margins derived
+FROM the cells — the raw table is scanned once), cells are
+|types|·24 rows; everything after the first groupBy is constant-size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries_ext import register_extra
+from ..sources.files import load_events
+
+_MICRO = 1_000_000
+
+# chi-square 95th percentile for the dfs this contingency shape can
+# produce (R-1)(C-1) with R=2..6 types, C=24 hours (plus df=1 for the
+# 2x2 fixture tests): df = 1,23,46,69,92,115
+_CHI2_CRIT_05 = {
+    1: 3.841,
+    23: 35.172,
+    46: 62.830,
+    69: 89.391,
+    92: 115.390,
+    115: 141.030,
+}
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).selectExpr(
+        "event_type", "CAST((ts DIV 3600000000000) % 24 AS BIGINT) AS hod"
+    )
+    cells = ev.groupBy("event_type", "hod").agg(
+        F.count("*").cast("long").alias("obs")
+    )
+    return chi2_from_cells(spark, cells)
+
+
+def chi2_from_cells(spark: SparkSession, cells: DataFrame) -> DataFrame:
+    """The test statistic over a prepared (event_type, hod, obs)
+    contingency frame — split out so fixtures with KNOWN dependence
+    structure can drive the same arithmetic the registered query runs."""
+    # margins from the cells, not the raw table — one corpus scan total
+    rows = cells.groupBy("event_type").agg(F.sum("obs").alias("row_n"))
+    cols = cells.groupBy("hod").agg(F.sum("obs").alias("col_n"))
+    joined = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "hod")
+        .selectExpr(
+            "event_type",
+            "hod",
+            "obs",
+            f"(obs * obs * CAST({_MICRO} AS BIGINT)) DIV (row_n * col_n)"
+            " AS q1_micro",
+        )
+    )
+    crit = spark.createDataFrame(
+        [(df, c) for df, c in sorted(_CHI2_CRIT_05.items())],
+        "dof BIGINT, crit_05 DOUBLE",
+    )
+    summary = joined.agg(
+        F.sum("obs").cast("long").alias("n_total"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.countDistinct("hod").cast("long").alias("n_hods"),
+        F.sum("q1_micro").cast("long").alias("sum_q1_micro"),
+    ).selectExpr(
+        "n_total",
+        "n_types",
+        "n_hods",
+        "(n_types - 1) * (n_hods - 1) AS dof",
+        f"sum_q1_micro * n_total - n_total * CAST({_MICRO} AS BIGINT)"
+        " AS chi2_micro",
+    )
+    # chi2 = N·Σ(obs²/(row·col)) − N, so Σq1·N − N·1e6 IS χ²·1e6 —
+    # q1 summed first, then ·N: identical association order both engines
+    return (
+        summary.selectExpr(
+            "n_total",
+            "n_types",
+            "n_hods",
+            "dof",
+            f"CAST(chi2_micro AS DOUBLE) / {_MICRO}.0 AS chi2",
+        )
+        .join(F.broadcast(crit), "dof", "left")
+        .selectExpr(
+            "n_total",
+            "n_types",
+            "n_hods",
+            "dof",
+            "chi2",
+            "crit_05",
+            "CASE WHEN crit_05 IS NULL THEN NULL"
+            " ELSE chi2 > crit_05 END AS reject_independence_05",
+        )
+    )
+
+
+_SQL_CRIT = " UNION ALL ".join(
+    f"SELECT CAST({df} AS BIGINT) AS dof, CAST({c} AS DOUBLE) AS crit_05"
+    for df, c in sorted(_CHI2_CRIT_05.items())
+)
+
+SQL_CHI2_INDEPENDENCE = f"""
+WITH ev AS (
+  SELECT event_type,
+    CAST((epoch_ns(ts) // 3600000000000) % 24 AS BIGINT) AS hod
+  FROM events
+),
+cells AS (
+  SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM ev GROUP BY 1, 2
+),
+margins_r AS (SELECT event_type, SUM(obs) AS row_n FROM cells GROUP BY 1),
+margins_c AS (SELECT hod, SUM(obs) AS col_n FROM cells GROUP BY 1),
+joined AS (
+  SELECT c.event_type, c.hod, c.obs,
+    (c.obs * c.obs * CAST({_MICRO} AS BIGINT)) // (r.row_n * cc.col_n)
+      AS q1_micro
+  FROM cells c
+  JOIN margins_r r USING (event_type)
+  JOIN margins_c cc USING (hod)
+),
+summary AS (
+  SELECT n_total, n_types, n_hods,
+    (n_types - 1) * (n_hods - 1) AS dof,
+    sum_q1_micro * n_total - n_total * CAST({_MICRO} AS BIGINT)
+      AS chi2_micro
+  FROM (
+    SELECT CAST(SUM(obs) AS BIGINT) AS n_total,
+      CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+      CAST(COUNT(DISTINCT hod) AS BIGINT) AS n_hods,
+      CAST(SUM(q1_micro) AS BIGINT) AS sum_q1_micro
+    FROM joined
+  )
+),
+crit AS ({_SQL_CRIT})
+SELECT n_total, n_types, n_hods, dof, chi2, crit_05,
+  CASE WHEN crit_05 IS NULL THEN NULL ELSE chi2 > crit_05 END
+    AS reject_independence_05
+FROM (
+  SELECT n_total, n_types, n_hods, dof,
+    CAST(chi2_micro AS DOUBLE) / {_MICRO}.0 AS chi2
+  FROM summary
+) LEFT JOIN crit USING (dof)
+"""
+
+
+def register_all() -> None:
+    register_extra(
+        "rel_chi2_independence", q_chi2_independence, SQL_CHI2_INDEPENDENCE
+    )
