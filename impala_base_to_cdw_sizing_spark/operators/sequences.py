@@ -165,8 +165,97 @@ FROM hourly JOIN sums USING (event_type, hr)
 """
 
 
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CUMULATIVE distinct users per (event_type, day) — growth
+    accounting's "total audience to date". The naive plan carries a
+    running distinct-set (state = all users seen, re-deduped per day:
+    the shape that cannot distribute); the scale-safe identity is
+    FIRST-TOUCH: cumulative-distinct(d) = |{users whose first day ≤ d}|
+    — one groupBy for per-user first day, one count per (type, day),
+    and a prefix sum over the tiny (types × days) frame, done as the
+    repo's triangular carry join (SURVEY §4.3.2) rather than a
+    partition-less window. State never exceeds types × days rows; the
+    user-level work is two partial-agg shuffles.
+
+    ``n_active`` (that day's distinct) and ``n_new`` (first-touch
+    count) ride along, so the output exposes the new-vs-returning
+    split retention dashboards plot."""
+    ev = load_events(spark, sf_dir).selectExpr(
+        "event_type", "user_id", "CAST(ts DIV 86400000000000 AS BIGINT) AS day"
+    )
+    active = ev.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").cast("long").alias("n_active")
+    )
+    first_touch = ev.groupBy("event_type", "user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    news = first_touch.groupBy("event_type", F.col("first_day").alias("day")).agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    # triangular carry over the (types × days)-sized frame: every
+    # observed day sums the n_new of days ≤ it within its type — a
+    # broadcastable self-join, never a partition-less window
+    days = active.select("event_type", "day")
+    cum = (
+        days.alias("d")
+        .join(
+            news.alias("n"),
+            (F.col("d.event_type") == F.col("n.event_type"))
+            & (F.col("n.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.event_type").alias("event_type"), F.col("d.day").alias("day"))
+        .agg(F.sum("n.n_new").cast("long").alias("cum_distinct"))
+    )
+    return (
+        active.join(news, ["event_type", "day"], "left")
+        .join(cum, ["event_type", "day"])
+        .selectExpr(
+            "event_type",
+            "day",
+            "n_active",
+            "coalesce(n_new, CAST(0 AS BIGINT)) AS n_new",
+            "cum_distinct",
+        )
+    )
+
+
+SQL_CUMULATIVE_DISTINCT = """
+WITH ev AS (
+  SELECT event_type, user_id,
+    CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+  FROM events
+),
+active AS (
+  SELECT event_type, day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM ev GROUP BY 1, 2
+),
+first_touch AS (
+  SELECT event_type, user_id, MIN(day) AS first_day
+  FROM ev GROUP BY 1, 2
+),
+news AS (
+  SELECT event_type, first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM first_touch GROUP BY 1, 2
+),
+cum AS (
+  SELECT d.event_type, d.day, CAST(SUM(n.n_new) AS BIGINT) AS cum_distinct
+  FROM (SELECT event_type, day FROM active) d
+  JOIN news n ON n.event_type = d.event_type AND n.day <= d.day
+  GROUP BY 1, 2
+)
+SELECT event_type, day, n_active,
+  COALESCE(n_new, CAST(0 AS BIGINT)) AS n_new, cum_distinct
+FROM active
+LEFT JOIN news USING (event_type, day)
+JOIN cum USING (event_type, day)
+"""
+
+
 def register_all() -> None:
     register_extra(
         "rel_markov_transitions", q_markov_transitions, SQL_MARKOV_TRANSITIONS
     )
     register_extra("rel_ewma_hourly", q_ewma_hourly, SQL_EWMA_HOURLY)
+    register_extra(
+        "rel_cumulative_distinct", q_cumulative_distinct, SQL_CUMULATIVE_DISTINCT
+    )

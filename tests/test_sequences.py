@@ -120,3 +120,33 @@ def test_phrase_search_replicates_in_pure_python(spark):
     # both phrases actually match somewhere, and multi-hit docs exist
     assert {r.phrase_id for r in rows} == {p[0] for p in PS.PHRASES}
     assert any(r.n_hits > 1 for r in rows)
+
+
+def test_cumulative_distinct_replicates_and_monotone(spark):
+    """First-touch identity vs a brute-force running union, plus the
+    structural invariants: cum is nondecreasing per type, day-1 cum =
+    day-1 active = day-1 new, final cum = total distinct per type."""
+    ev = load_events(spark, SF_SMALL).selectExpr(
+        "event_type", "user_id", "CAST(ts DIV 86400000000000 AS BIGINT) AS day"
+    ).collect()
+    by_type = defaultdict(lambda: defaultdict(set))
+    for r in ev:
+        by_type[r.event_type][r.day].add(r.user_id)
+    expect = {}
+    for t, days in by_type.items():
+        seen = set()
+        for d in sorted(days):
+            new = days[d] - seen
+            seen |= days[d]
+            expect[(t, d)] = (len(days[d]), len(new), len(seen))
+    rows = SQ.q_cumulative_distinct(spark, SF_SMALL).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert (r.n_active, r.n_new, r.cum_distinct) == expect[(r.event_type, r.day)]
+    for t, days in by_type.items():
+        trows = sorted((r for r in rows if r.event_type == t), key=lambda r: r.day)
+        assert all(
+            a.cum_distinct <= b.cum_distinct for a, b in zip(trows, trows[1:])
+        )
+        assert trows[0].cum_distinct == trows[0].n_active == trows[0].n_new
+        assert trows[-1].cum_distinct == len(set().union(*days.values()))
