@@ -105,7 +105,7 @@ def _load_providers() -> None:
     sq.register_all()
     lm_quality.register_all()
 
-    from . import binary_ann, mdm, phrase_search, ppjoin, retrieval, sequences, sketch_sets, stats_tests
+    from . import binary_ann, mdm, phrase_search, ppjoin, rake, retrieval, sequences, sketch_sets, stats_tests
 
     retrieval.register_all()
     sketch_sets.register_all()
@@ -115,6 +115,7 @@ def _load_providers() -> None:
     ppjoin.register_all()
     phrase_search.register_all()
     stats_tests.register_all()
+    rake.register_all()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
