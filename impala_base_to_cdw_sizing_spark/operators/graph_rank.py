@@ -368,6 +368,131 @@ FROM deg d LEFT JOIN tri t ON d.doc_id = t.doc_id
 """
 
 
+def ppr_ranks(
+    edges: DataFrame, docs: DataFrame, n_iters: int = _N_ITERS
+) -> DataFrame:
+    """Personalized PageRank: same exact-integer damped power iteration
+    as :func:`pagerank_ranks`, but the teleport vector is concentrated
+    on a SEED set (``docs`` must carry ``is_seed`` 0/1) — "importance
+    relative to these documents", the seeded-relevance form crawl
+    curation uses to expand a trusted set. Init puts the full 10⁹
+    nano-units uniformly on seeds (non-seeds start at 0); each round's
+    teleport base ``(15·10⁹) div (100·|S|)`` lands only on seeds.
+    Everything else — truncating-division contributions, order-free
+    BIGINT sums, leaky-variant semantics — is shared arithmetic."""
+    edges = edges.cache()
+    outdeg = edges.groupBy("doc_a").agg(F.count("*").alias("outdeg"))
+    nodes = docs.join(
+        outdeg, docs.doc_id == outdeg.doc_a, "left"
+    ).select(
+        "doc_id",
+        "is_seed",
+        F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+    ).cache()
+    n_seeds = nodes.filter(F.col("is_seed") == 1).count()
+    if n_seeds == 0:
+        return nodes.selectExpr(
+            "doc_id", "CAST(0 AS BIGINT) AS rank_nano", "outdeg", "is_seed"
+        )
+    base = (15 * _NANO) // (_DAMP_DEN * n_seeds)
+    ranks = nodes.selectExpr(
+        "doc_id",
+        f"CAST(CASE WHEN is_seed = 1 THEN {_NANO // n_seeds}"
+        " ELSE 0 END AS BIGINT) AS rank_nano",
+    )
+    for _ in range(n_iters):
+        contrib = (
+            edges.join(ranks, edges.doc_a == ranks.doc_id)
+            .join(nodes.select(F.col("doc_id").alias("src"), "outdeg"),
+                  edges.doc_a == F.col("src"))
+            .selectExpr(
+                "doc_b AS doc_id",
+                f"({_DAMP_NUM} * rank_nano) div ({_DAMP_DEN} * outdeg) AS c",
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "doc_id", "left")
+            .selectExpr(
+                "doc_id",
+                f"CAST(CASE WHEN is_seed = 1 THEN {base} ELSE 0 END"
+                " + coalesce(in_sum, 0) AS BIGINT) AS rank_nano",
+            )
+        )
+    out = nodes.join(ranks, "doc_id").select(
+        "doc_id", "rank_nano", "outdeg", "is_seed"
+    )
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    nodes.unpersist()
+    return out
+
+
+_PPR_SEED_LANG = "de"
+
+
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        q_dedup_minhash(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id",
+        f"CASE WHEN lang = '{_PPR_SEED_LANG}' THEN 1 ELSE 0 END AS is_seed",
+    )
+    return ppr_ranks(edges, docs)
+
+
+def _sql_graph_ppr() -> str:
+    pairs_sql = _minhash_sql().strip()
+    head = f"""
+WITH allpairs AS MATERIALIZED ({pairs_sql}),
+pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM allpairs WHERE est_jaccard >= 0.5),
+edges AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs
+ UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS MATERIALIZED (
+  SELECT d.doc_id,
+    CASE WHEN d.lang = '{_PPR_SEED_LANG}' THEN 1 ELSE 0 END AS is_seed,
+    CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS outdeg
+  FROM documents d LEFT JOIN (
+    SELECT doc_a, COUNT(*) AS outdeg FROM edges GROUP BY 1
+  ) o ON d.doc_id = o.doc_a
+),
+consts AS MATERIALIZED (
+  SELECT CAST({_NANO} AS BIGINT) // COUNT(*) AS r0,
+    CAST({15 * _NANO} AS BIGINT) // ({_DAMP_DEN} * COUNT(*)) AS base
+  FROM nodes WHERE is_seed = 1
+),
+rank0 AS MATERIALIZED (
+  SELECT doc_id, CAST(CASE WHEN is_seed = 1
+    THEN (SELECT r0 FROM consts) ELSE 0 END AS BIGINT) AS rank_nano
+  FROM nodes
+)"""
+    its = []
+    prev = "rank0"
+    for i in range(1, _N_ITERS + 1):
+        its.append(f"""
+rank{i} AS MATERIALIZED (
+  SELECT n.doc_id,
+    CAST(CASE WHEN n.is_seed = 1 THEN (SELECT base FROM consts) ELSE 0 END
+      + COALESCE(s.in_sum, 0) AS BIGINT) AS rank_nano
+  FROM nodes n LEFT JOIN {_sql_contrib(prev)} s ON n.doc_id = s.doc_id
+)""")
+        prev = f"rank{i}"
+    return (
+        head + "," + ",".join(its)
+        + f"""
+SELECT n.doc_id, r.rank_nano, n.outdeg, n.is_seed
+FROM nodes n JOIN {prev} r ON n.doc_id = r.doc_id
+"""
+    )
+
+
 def register_all() -> None:
     register_extra("graph_triangles", q_graph_triangles, _sql_graph_triangles())
     register_extra("graph_pagerank", q_graph_pagerank, _sql_graph_pagerank())
@@ -376,3 +501,4 @@ def register_all() -> None:
         q_graph_pagerank_conserving,
         _sql_graph_pagerank_conserving(),
     )
+    register_extra("graph_ppr", q_graph_ppr, _sql_graph_ppr())

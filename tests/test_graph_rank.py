@@ -113,3 +113,33 @@ def test_pagerank_conserving_preserves_ordering(spark):
     # leaves 2..n are untouched by the min-doc remainder policy and stay
     # exact integer ties
     assert len({l.rank_nano for l in leaves[1:]}) == 1
+
+
+def test_ppr_concentrates_mass_on_seed_neighborhood(spark):
+    """Personalization is real: under PPR the seed set holds a far
+    larger rank share than its population share (teleport + init both
+    land on seeds), and every positive non-seed rank is reachable mass
+    that flowed over edges (isolated non-seeds stay at exactly 0 —
+    unlike uniform PageRank, where every node holds the teleport
+    base)."""
+    from impala_base_to_cdw_sizing_spark.operators.graph_rank import (
+        _PPR_SEED_LANG,
+        q_graph_ppr,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = q_graph_ppr(spark, SF_ORACLE).collect()
+    seeds = [r for r in rows if r.is_seed == 1]
+    non_seeds = [r for r in rows if r.is_seed == 0]
+    assert seeds and non_seeds
+    total = sum(r.rank_nano for r in rows)
+    seed_mass = sum(r.rank_nano for r in seeds)
+    pop_share = len(seeds) / len(rows)
+    assert seed_mass / total > 3 * pop_share
+    # isolated non-seeds hold exactly zero — the PPR signature
+    assert all(
+        r.rank_nano == 0 for r in non_seeds if r.outdeg == 0
+    )
+    # some mass does flow out of the seed set (the graph has de-en
+    # near-dup edges at sf0.01)
+    assert any(r.rank_nano > 0 for r in non_seeds)
