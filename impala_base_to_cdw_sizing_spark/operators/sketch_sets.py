@@ -518,8 +518,189 @@ FROM (
 """
 
 
+def q_kmv_newusers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV DIFFERENCE cardinality — day-over-day NEW active users
+    |B \\ A| for every consecutive day pair, completing the sketch
+    algebra trio (union = ``sketch_kmv_distinct``'s merge, intersection
+    / Jaccard = ``sketch_kmv_jaccard``, difference = here).
+
+    Estimator choice matters: subtracting two independent cardinality
+    estimates (U_est − A_est) compounds their ~1/√k errors into a
+    difference that can exceed the quantity itself when days overlap
+    heavily (ours do, J ≈ 0.8). Instead the union-top-k sketch is used
+    as a UNIFORM SAMPLE of the union (the theta-sketch trick): the
+    fraction of union-top-k hashes present in B but not A is a binomial
+    proportion with σ = √(q(1−q)/k) — so
+    ``est_new = (b_only / k) · U_est`` inherits the tight proportion
+    error, not the subtraction blow-up. Exact |B \\ A| (one user_id
+    equi-join on the two days) rides along; the witness is
+    |est − exact| ≤ 0.25 · exact_union (≈5σ at k=64).
+
+    Scale shape: identical to ``q_kmv_jaccard`` (days × k sketches,
+    consecutive-pair fan-out is days · k) — the exact twin is the
+    witness, not the production path."""
+    ev = load_events(spark, sf_dir).selectExpr(
+        f"{_DAY} AS day", "user_id", f"(user_id * {_KNUTH}) % {_KMV_M} AS h"
+    )
+    hashes = ev.select("day", "h").distinct()
+    w = Window.partitionBy("day").orderBy("h")
+    sketch = (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("day", "h")
+        .localCheckpoint()
+    )
+    days = sketch.select("day").distinct()
+    pairs = days.selectExpr("day AS da").join(
+        days.selectExpr("day AS db"), F.expr("db = da + 1")
+    )
+    rows_a = pairs.join(
+        sketch.selectExpr("day AS da", "h"), "da"
+    ).selectExpr("da", "db", "h", "1 AS in_a", "0 AS in_b")
+    rows_b = pairs.join(
+        sketch.selectExpr("day AS db", "h"), "db"
+    ).selectExpr("da", "db", "h", "0 AS in_a", "1 AS in_b")
+    merged = (
+        rows_a.unionByName(rows_b)
+        .groupBy("da", "db", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w_pair = Window.partitionBy("da", "db").orderBy("h")
+    topk = merged.withColumn("rk", F.row_number().over(w_pair)).filter(
+        F.col("rk") <= _KMV_K
+    )
+    est = topk.groupBy("da", "db").agg(
+        F.count("*").cast("long").alias("union_sketch_n"),
+        F.max("h").cast("long").alias("kth_hash"),
+        F.sum(F.expr("in_b * (1 - in_a)")).cast("long").alias("b_only_n"),
+    )
+    users = ev.select("day", "user_id").distinct().localCheckpoint()
+    per_day = users.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    inter = (
+        users.selectExpr("day AS da", "user_id")
+        .join(users.selectExpr("day AS db", "user_id"), "user_id")
+        .filter(F.expr("db = da + 1"))
+        .groupBy("da", "db")
+        .agg(F.count("*").cast("long").alias("inter_n"))
+    )
+    exact = (
+        pairs.join(per_day.selectExpr("day AS da", "n_users AS na"), "da")
+        .join(per_day.selectExpr("day AS db", "n_users AS nb"), "db")
+        .join(inter, ["da", "db"], "left")
+        .selectExpr(
+            "da", "db", "na", "nb",
+            "coalesce(inter_n, CAST(0 AS BIGINT)) AS inter_n",
+        )
+    )
+    return (
+        est.join(exact, ["da", "db"])
+        .selectExpr(
+            "da", "db", "union_sketch_n", "b_only_n",
+            "nb - inter_n AS exact_new",
+            "na + nb - inter_n AS exact_union",
+            # union sketch not full => it IS the union: proportion exact
+            f"CASE WHEN union_sketch_n < {_KMV_K}"
+            "  THEN CAST(union_sketch_n AS DOUBLE)"
+            f" ELSE CAST(({_KMV_K} - 1) * CAST({_KMV_M} AS BIGINT) AS DOUBLE)"
+            "  / CAST(kth_hash AS DOUBLE) END AS union_est",
+        )
+        .selectExpr(
+            "da", "db", "union_sketch_n", "b_only_n", "exact_new",
+            "exact_union",
+            "CAST(b_only_n AS DOUBLE) / CAST(union_sketch_n AS DOUBLE)"
+            " * union_est AS est_new",
+        )
+        .selectExpr(
+            "da", "db", "union_sketch_n", "b_only_n", "exact_new",
+            "exact_union", "est_new",
+            "abs(est_new - exact_new) <= 0.25 * exact_union AS within_tol",
+        )
+    )
+
+
+SQL_KMV_NEWUSERS = f"""
+WITH ev AS (
+  SELECT {_DUCK_DAY} AS day, user_id, (user_id * {_KNUTH}) % {_KMV_M} AS h
+  FROM events
+),
+hashes AS (SELECT DISTINCT day, h FROM ev),
+sketch AS (
+  SELECT day, h FROM (
+    SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rk
+    FROM hashes
+  ) WHERE rk <= {_KMV_K}
+),
+days AS (SELECT DISTINCT day FROM sketch),
+pairs AS (
+  SELECT a.day AS da, b.day AS db
+  FROM days a JOIN days b ON b.day = a.day + 1
+),
+rows_ab AS (
+  SELECT p.da, p.db, s.h, 1 AS in_a, 0 AS in_b
+  FROM pairs p JOIN sketch s ON s.day = p.da
+  UNION ALL
+  SELECT p.da, p.db, s.h, 0 AS in_a, 1 AS in_b
+  FROM pairs p JOIN sketch s ON s.day = p.db
+),
+merged AS (
+  SELECT da, db, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM rows_ab GROUP BY 1, 2, 3
+),
+topk AS (
+  SELECT da, db, h, in_a, in_b FROM (
+    SELECT da, db, h, in_a, in_b, ROW_NUMBER() OVER (
+      PARTITION BY da, db ORDER BY h) AS rk
+    FROM merged
+  ) WHERE rk <= {_KMV_K}
+),
+est AS (
+  SELECT da, db, CAST(COUNT(*) AS BIGINT) AS union_sketch_n,
+    CAST(MAX(h) AS BIGINT) AS kth_hash,
+    CAST(SUM(in_b * (1 - in_a)) AS BIGINT) AS b_only_n
+  FROM topk GROUP BY 1, 2
+),
+users AS (SELECT DISTINCT day, user_id FROM ev),
+per_day AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users FROM users GROUP BY 1
+),
+inter AS (
+  SELECT a.day AS da, b.day AS db, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM users a JOIN users b ON a.user_id = b.user_id AND b.day = a.day + 1
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT p.da, p.db, na.n_users AS na, nb.n_users AS nb,
+    COALESCE(i.inter_n, CAST(0 AS BIGINT)) AS inter_n
+  FROM pairs p
+  JOIN per_day na ON na.day = p.da
+  JOIN per_day nb ON nb.day = p.db
+  LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
+)
+SELECT da, db, union_sketch_n, b_only_n, exact_new, exact_union, est_new,
+  abs(est_new - exact_new) <= 0.25 * exact_union AS within_tol
+FROM (
+  SELECT da, db, union_sketch_n, b_only_n, exact_new, exact_union,
+    CAST(b_only_n AS DOUBLE) / CAST(union_sketch_n AS DOUBLE)
+      * union_est AS est_new
+  FROM (
+    SELECT e.da, e.db, e.union_sketch_n, e.b_only_n,
+      x.nb - x.inter_n AS exact_new,
+      x.na + x.nb - x.inter_n AS exact_union,
+      CASE WHEN e.union_sketch_n < {_KMV_K}
+        THEN CAST(e.union_sketch_n AS DOUBLE)
+        ELSE CAST(({_KMV_K} - 1) * CAST({_KMV_M} AS BIGINT) AS DOUBLE)
+          / CAST(e.kth_hash AS DOUBLE) END AS union_est
+    FROM est e JOIN exact x ON e.da = x.da AND e.db = x.db
+  )
+)
+"""
+
+
 def register_all() -> None:
     register_extra("sketch_bitmap_rollup", q_bitmap_rollup, SQL_BITMAP_ROLLUP)
     register_extra("sketch_kmv_distinct", q_kmv_distinct, SQL_KMV_DISTINCT)
     register_extra("sketch_kmv_sliding", q_kmv_sliding, SQL_KMV_SLIDING)
     register_extra("sketch_kmv_jaccard", q_kmv_jaccard, SQL_KMV_JACCARD)
+    register_extra("sketch_kmv_newusers", q_kmv_newusers, SQL_KMV_NEWUSERS)

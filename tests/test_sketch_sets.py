@@ -168,3 +168,44 @@ def test_kmv_jaccard_witness_and_nondegeneracy(spark):
     assert max(exacts) - min(exacts) > 0.01
     # the estimate is an estimate, not a copy of the exact column
     assert any(r.est_jaccard != r.exact_jaccard for r in rows)
+
+
+def test_kmv_newusers_replicates_in_pure_python(spark):
+    """Difference-cardinality estimator: replicate the union-top-k
+    proportion arithmetic AND the exact day-over-day new-user counts in
+    pure Python, row for row."""
+    ev = load_events(spark, SF_SMALL).selectExpr(
+        "CAST(ts DIV 86400000000000 AS BIGINT) AS day", "user_id"
+    ).collect()
+    by_day = defaultdict(set)
+    for r in ev:
+        by_day[r.day].add(r.user_id)
+    days = sorted(by_day)
+    rows = SS.q_kmv_newusers(spark, SF_SMALL).collect()
+    expect = {}
+    for da, db in zip(days, days[1:]):
+        sa = {(u * SS._KNUTH) % SS._KMV_M for u in by_day[da]}
+        sb = {(u * SS._KNUTH) % SS._KMV_M for u in by_day[db]}
+        ka, kb = (set(sorted(s)[: SS._KMV_K]) for s in (sa, sb))
+        union_topk = sorted(ka | kb)[: SS._KMV_K]
+        b_only = sum(1 for h in union_topk if h in kb and h not in ka)
+        n = len(union_topk)
+        u_est = (
+            float(n)
+            if n < SS._KMV_K
+            else (SS._KMV_K - 1) * float(SS._KMV_M) / max(union_topk)
+        )
+        est = b_only / n * u_est
+        exact_new = len(by_day[db] - by_day[da])
+        expect[(da, db)] = (n, b_only, exact_new, est)
+    assert len(rows) == len(expect)
+    for r in rows:
+        n, b_only, exact_new, est = expect[(r.da, r.db)]
+        assert (r.union_sketch_n, r.b_only_n, r.exact_new) == (
+            n, b_only, exact_new,
+        )
+        assert r.est_new == est
+        assert r.within_tol is True
+    # churn is real on this corpus at sf0.001: most days see new users
+    # (tiny per-day sets make an occasional fully-returning day normal)
+    assert sum(1 for r in rows if r.exact_new > 0) > len(rows) // 2
