@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries_ext import register_extra
+from .relational import _GAP_NS
 from ..sources.files import load_events
 
 
@@ -259,3 +260,88 @@ def register_all() -> None:
     register_extra(
         "rel_cumulative_distinct", q_cumulative_distinct, SQL_CUMULATIVE_DISTINCT
     )
+    register_extra("rel_session_stats", q_session_stats, SQL_SESSION_STATS)
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-LEVEL statistics — what ``rel_sessionize`` (per-user
+    session counts) and the streaming twin deliberately do not
+    materialize: the distribution of session length and duration.
+    Sessions are cut with the same shared 30-min gap rule
+    (``relational._GAP_NS``), assigned ids by a running sum of
+    new-session flags over the user-partitioned window, aggregated to
+    one row per session, then rolled up into a sessions-by-length
+    histogram with exact duration stats (BIGINT ns sums; the avg is
+    the single display division). Two user-partitioned windows + two
+    partial aggs — no global sort; the session-level frame never
+    leaves the cluster."""
+    from .relational import _GAP_NS
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        (
+            F.col("prev_ts").isNull()
+            | (F.col("ts") - F.col("prev_ts") > _GAP_NS)
+        ).cast("long"),
+    )
+    sessions = (
+        flagged.withColumn("session_id", F.sum("new_session").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.max("ts") - F.min("ts")).cast("long").alias("dur_ns"),
+        )
+    )
+    return sessions.groupBy("n_events").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.min("dur_ns").cast("long").alias("min_dur_ns"),
+        F.max("dur_ns").cast("long").alias("max_dur_ns"),
+        F.sum("dur_ns").cast("long").alias("sum_dur_ns"),
+    ).selectExpr(
+        "n_events",
+        "n_sessions",
+        "min_dur_ns",
+        "max_dur_ns",
+        "sum_dur_ns",
+        "CAST(sum_dur_ns AS DOUBLE) / CAST(n_sessions AS DOUBLE)"
+        " AS avg_dur_ns",
+    )
+
+
+SQL_SESSION_STATS = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CAST(CASE WHEN prev_ns IS NULL OR ts - prev_ns > {_GAP_NS}
+      THEN 1 ELSE 0 END AS BIGINT) AS new_session
+  FROM (
+    SELECT user_id, epoch_ns(ts) AS ts, event_id,
+      LAG(epoch_ns(ts)) OVER w AS prev_ns
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+  )
+),
+sessions AS (
+  SELECT user_id, session_id,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(MAX(ts) - MIN(ts) AS BIGINT) AS dur_ns
+  FROM (
+    SELECT user_id, ts,
+      SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+      ) AS session_id
+    FROM flagged
+  )
+  GROUP BY 1, 2
+)
+SELECT n_events, n_sessions, min_dur_ns, max_dur_ns, sum_dur_ns,
+  CAST(sum_dur_ns AS DOUBLE) / CAST(n_sessions AS DOUBLE) AS avg_dur_ns
+FROM (
+  SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+    CAST(MIN(dur_ns) AS BIGINT) AS min_dur_ns,
+    CAST(MAX(dur_ns) AS BIGINT) AS max_dur_ns,
+    CAST(SUM(dur_ns) AS BIGINT) AS sum_dur_ns
+  FROM sessions GROUP BY 1
+)
+"""

@@ -150,3 +150,53 @@ def test_cumulative_distinct_replicates_and_monotone(spark):
         )
         assert trows[0].cum_distinct == trows[0].n_active == trows[0].n_new
         assert trows[-1].cum_distinct == len(set().union(*days.values()))
+
+
+def test_session_stats_replicates_and_ties_to_sessionize(spark):
+    from impala_base_to_cdw_sizing_spark.operators.relational import (
+        _GAP_NS,
+        q_sessionize,
+    )
+
+    ev = load_events(spark, SF_SMALL).select(
+        "user_id", "ts", "event_id"
+    ).collect()
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[r.user_id].append((r.ts, r.event_id))
+    sessions = []
+    for rs in seqs.values():
+        rs.sort()
+        cur = []
+        for ts, eid in rs:
+            if cur and ts - cur[-1] > _GAP_NS:
+                sessions.append(cur)
+                cur = []
+            cur.append(ts)
+        sessions.append(cur)
+    expect = defaultdict(lambda: [0, None, None, 0])
+    for s in sessions:
+        dur = s[-1] - s[0]
+        e = expect[len(s)]
+        e[0] += 1
+        e[1] = dur if e[1] is None else min(e[1], dur)
+        e[2] = dur if e[2] is None else max(e[2], dur)
+        e[3] += dur
+    rows = SQ.q_session_stats(spark, SF_SMALL).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        n, lo, hi, tot = expect[r.n_events]
+        assert (r.n_sessions, r.min_dur_ns, r.max_dur_ns, r.sum_dur_ns) == (
+            n, lo, hi, tot,
+        )
+        assert r.avg_dur_ns == tot / n
+    # ties out to the per-user sessionize counts exactly
+    total_sessions = sum(r.n_sessions for r in rows)
+    assert total_sessions == sum(
+        r.n_sessions for r in q_sessionize(spark, SF_SMALL).collect()
+    )
+    total_events = sum(r.n_events * r.n_sessions for r in rows)
+    assert total_events == len(ev)
+    # single-event sessions have zero duration by construction
+    ones = [r for r in rows if r.n_events == 1]
+    assert all(r.max_dur_ns == 0 for r in ones)
