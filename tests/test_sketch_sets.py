@@ -209,3 +209,41 @@ def test_kmv_newusers_replicates_in_pure_python(spark):
     # churn is real on this corpus at sf0.001: most days see new users
     # (tiny per-day sets make an occasional fully-returning day normal)
     assert sum(1 for r in rows if r.exact_new > 0) > len(rows) // 2
+
+
+def test_join_cardinality_replicates_in_pure_python(spark):
+    """Tuple-sketch join sizing: replicate the union-top-k
+    inverse-probability estimate AND the exact join size in pure
+    Python, row for row."""
+    ev = load_events(spark, SF_SMALL).selectExpr(
+        "event_type", "user_id"
+    ).collect()
+    cnt = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        cnt[r.event_type][r.user_id] += 1
+    types = sorted(cnt)
+    rows = SS.q_join_cardinality(spark, SF_SMALL).collect()
+    expect = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            ha = {(u * SS._KNUTH) % SS._KMV_M: c for u, c in cnt[a].items()}
+            hb = {(u * SS._KNUTH) % SS._KMV_M: c for u, c in cnt[b].items()}
+            ka = dict(sorted(ha.items())[: SS._KMV_K])
+            kb = dict(sorted(hb.items())[: SS._KMV_K])
+            topk = sorted(set(ka) | set(kb))[: SS._KMV_K]
+            n = len(topk)
+            sp = sum(ka[h] * kb[h] for h in topk if h in ka and h in kb)
+            u_est = (
+                float(n)
+                if n < SS._KMV_K
+                else (SS._KMV_K - 1) * float(SS._KMV_M) / max(topk)
+            )
+            est = sp * u_est / n
+            exact = sum(c * cnt[b].get(u, 0) for u, c in cnt[a].items())
+            expect[(a, b)] = (n, sp, exact, est)
+    assert len(rows) == len(expect)
+    for r in rows:
+        n, sp, exact, est = expect[(r.ta, r.tb)]
+        assert (r.union_sketch_n, r.sum_prod, r.exact_join_n) == (n, sp, exact)
+        assert r.est_join_n == est
+        assert r.within_tol is True
