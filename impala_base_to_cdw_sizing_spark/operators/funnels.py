@@ -617,6 +617,122 @@ FROM resid r JOIN mad m ON r.event_type = m.event_type AND r.hod = m.hod
 """
 
 
+_WF_NS = 24 * 3600 * 1_000_000_000  # windowFunnel horizon: 24 h
+
+
+def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED funnel (ClickHouse ``windowFunnel`` semantics) —
+    the piece ``rel_funnel_steps`` deliberately lacks: that operator
+    chains from each user's EARLIEST view with no deadline; here the
+    chain view → click → purchase must complete within 24 h of the
+    view, and the funnel may start at ANY view (the earliest-start
+    greedy misses funnels that only complete from a later attempt —
+    at sf0.01 the two operators genuinely disagree). Per start, taking
+    the EARLIEST valid next step is exchange-argument optimal (it can
+    only leave more room for the remaining steps), so two
+    min-aggregated within-user joins compute the exact max depth.
+    Output: depth histogram over ALL users (depth 0 = never viewed)
+    plus the exact share as one display division.
+
+    Scale shape: all joins are user_id equi-joins with range predicates
+    (within-user fan-out is per-user event counts); aggregates collapse
+    per (user, start) immediately. No window functions at all.
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    s1 = ev.filter(F.col("event_type") == "view").selectExpr(
+        "user_id", "ts AS t1"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").selectExpr(
+        "user_id", "ts AS tc"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id", "ts AS tp"
+    )
+    s2 = (
+        s1.join(clicks, "user_id")
+        .filter(
+            (F.col("tc") > F.col("t1"))
+            & (F.col("tc") <= F.col("t1") + F.lit(_WF_NS))
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("tc").alias("t2"))
+    )
+    s3 = (
+        s2.join(purchases, "user_id")
+        .filter(
+            (F.col("tp") > F.col("t2"))
+            & (F.col("tp") <= F.col("t1") + F.lit(_WF_NS))
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("tp").alias("t3"))
+    )
+    depth = (
+        s1.join(s2, ["user_id", "t1"], "left")
+        .join(s3, ["user_id", "t1"], "left")
+        .selectExpr(
+            "user_id",
+            "1 + CAST(t2 IS NOT NULL AS INT)"
+            " + CAST(t3 IS NOT NULL AS INT) AS d",
+        )
+        .groupBy("user_id")
+        .agg(F.max("d").alias("depth"))
+    )
+    users = ev.select("user_id").distinct()
+    per_user = users.join(depth, "user_id", "left").selectExpr(
+        "user_id", "coalesce(depth, 0) AS depth"
+    )
+    hist = per_user.groupBy("depth").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    total = hist.agg(F.sum("n_users").alias("n_total"))
+    return hist.crossJoin(F.broadcast(total)).selectExpr(
+        "CAST(depth AS BIGINT) AS depth",
+        "n_users",
+        "CAST(n_total AS BIGINT) AS n_total",
+        "CAST(n_users AS DOUBLE) / CAST(n_total AS DOUBLE) AS share",
+    )
+
+
+SQL_FUNNEL_WINDOW = f"""
+WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ns FROM events),
+s1 AS (SELECT user_id, ns AS t1 FROM ev WHERE event_type = 'view'),
+s2 AS (
+  SELECT s1.user_id, s1.t1, MIN(c.ns) AS t2
+  FROM s1 JOIN ev c ON c.user_id = s1.user_id AND c.event_type = 'click'
+    AND c.ns > s1.t1 AND c.ns <= s1.t1 + {_WF_NS}
+  GROUP BY 1, 2
+),
+s3 AS (
+  SELECT s2.user_id, s2.t1, MIN(p.ns) AS t3
+  FROM s2 JOIN ev p ON p.user_id = s2.user_id AND p.event_type = 'purchase'
+    AND p.ns > s2.t2 AND p.ns <= s2.t1 + {_WF_NS}
+  GROUP BY 1, 2
+),
+depth AS (
+  SELECT s1.user_id,
+    MAX(1 + CAST(s2.t1 IS NOT NULL AS INT)
+      + CAST(s3.t1 IS NOT NULL AS INT)) AS depth
+  FROM s1
+  LEFT JOIN s2 ON s2.user_id = s1.user_id AND s2.t1 = s1.t1
+  LEFT JOIN s3 ON s3.user_id = s1.user_id AND s3.t1 = s1.t1
+  GROUP BY 1
+),
+per_user AS (
+  SELECT u.user_id, COALESCE(d.depth, 0) AS depth
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  LEFT JOIN depth d USING (user_id)
+),
+hist AS (
+  SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM per_user GROUP BY 1
+)
+SELECT CAST(depth AS BIGINT) AS depth, n_users,
+  CAST(t.n_total AS BIGINT) AS n_total,
+  CAST(n_users AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
+FROM hist, (SELECT SUM(n_users) AS n_total FROM hist) t
+"""
+
+
 def register_all() -> None:
     register_extra("rel_scd2_intervals", q_scd2_intervals, SQL_SCD2_INTERVALS)
     register_extra("rel_hourly_trend_ols", q_hourly_trend_ols, SQL_HOURLY_TREND_OLS)
@@ -635,5 +751,6 @@ def register_all() -> None:
         "rel_hourly_spikes_mad", q_hourly_spikes_mad, SQL_HOURLY_SPIKES_MAD
     )
     register_extra("rel_funnel_steps", q_funnel_steps, SQL_FUNNEL_STEPS)
+    register_extra("rel_funnel_window", q_funnel_window, SQL_FUNNEL_WINDOW)
     register_extra("rel_retention_cohorts", q_retention_cohorts, SQL_RETENTION_COHORTS)
     register_extra("rel_hourly_spikes", q_hourly_spikes, SQL_HOURLY_SPIKES)

@@ -114,3 +114,60 @@ def test_retention_triangle_consistency(spark):
     # retention can never exceed the cohort's size
     for offs in by_cohort.values():
         assert all(n <= offs[0] for n in offs.values())
+
+
+def test_funnel_window_replicates_and_differs_from_unbounded(spark):
+    """Pure-Python windowFunnel replication (any-start, earliest-next
+    greedy) and the semantic claim: the 24h deadline must genuinely
+    disagree with rel_funnel_steps' unbounded earliest-chain on this
+    corpus — otherwise the operator adds nothing."""
+    from collections import Counter, defaultdict
+
+    from impala_base_to_cdw_sizing_spark.operators.funnels import (
+        _WF_NS,
+        q_funnel_steps,
+        q_funnel_window,
+    )
+    from impala_base_to_cdw_sizing_spark.sources.files import load_events
+    from tests.conftest import SF_ORACLE
+
+    ev = load_events(spark, SF_ORACLE).select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    by_user = defaultdict(lambda: defaultdict(list))
+    for r in ev:
+        by_user[r.user_id][r.event_type].append(r.ts)
+    hist = Counter()
+    for u, evs in by_user.items():
+        views = sorted(evs.get("view", []))
+        clicks = sorted(evs.get("click", []))
+        purchases = sorted(evs.get("purchase", []))
+        depth = 0
+        for t1 in views:
+            d = 1
+            t2 = next(
+                (t for t in clicks if t > t1 and t <= t1 + _WF_NS), None
+            )
+            if t2 is not None:
+                d = 2
+                t3 = next(
+                    (t for t in purchases if t > t2 and t <= t1 + _WF_NS),
+                    None,
+                )
+                if t3 is not None:
+                    d = 3
+            depth = max(depth, d)
+        hist[depth] += 1
+    rows = q_funnel_window(spark, SF_ORACLE).collect()
+    got = {r.depth: r.n_users for r in rows}
+    assert got == {d: n for d, n in hist.items()}
+    n_total = sum(hist.values())
+    for r in rows:
+        assert r.n_total == n_total and r.share == r.n_users / n_total
+    # the deadline bites: bounded depth-3 count < unbounded stage-3 count
+    unbounded3 = sum(
+        1
+        for r in q_funnel_steps(spark, SF_ORACLE).collect()
+        if r.stage_reached == 3
+    )
+    assert got.get(3, 0) < unbounded3
