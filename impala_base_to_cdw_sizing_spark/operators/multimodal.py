@@ -619,6 +619,112 @@ WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
 """
 
 
+RESIZE_BMP_SCHEMA = (
+    "doc_id long, width int, height int, new_width int, new_height int,"
+    " n_sampled long, sum_sampled long, resized_payload binary"
+)
+
+
+def resize_media_bmp(with_payload_df: DataFrame) -> DataFrame:
+    """REAL nearest-neighbor 2x downsample through the BMP container:
+    parse (same validation as the decode kernel), keep every second
+    pixel (src = 2*dst in both axes), RE-ENCODE the result as a
+    well-formed BMP, and emit the exact integer sum over the sampled
+    R/G/B bytes alongside. One input row -> one output row; everything
+    runs per Arrow batch in ``mapInPandas`` — the canonical 100 TB
+    image-preprocessing shape (decode -> transform -> re-encode with no
+    driver involvement)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if len(payload) < _BMP_HDR or payload[:2] != b"BM":
+                    raise ValueError("not a BMP payload")
+
+                def le(off: int, n: int) -> int:
+                    return int.from_bytes(payload[off : off + n], "little")
+
+                pixel_off = le(10, 4)
+                w, h = le(18, 4), le(22, 4)
+                if le(28, 2) != 24 or le(30, 4) != 0:
+                    raise ValueError("unsupported BMP")
+                stride = (w * 3 + 3) & ~3
+                grid = np.frombuffer(
+                    payload, np.uint8, count=stride * h, offset=pixel_off
+                ).reshape(h, stride)[::-1, : w * 3]
+                nw, nh = max(1, w // 2), max(1, h // 2)
+                px = grid.reshape(h, w, 3)[: 2 * nh : 2, : 2 * nw : 2, :]
+                total = int(px.sum(dtype=np.int64))
+                out = encode_bmp(nw, nh, px.tobytes())
+                rows.append(
+                    (doc_id, w, h, nw, nh, nw * nh * 3, total, out)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "new_width", "new_height",
+                    "n_sampled", "sum_sampled", "resized_payload",
+                ],
+            )
+
+    return with_payload_df.mapInPandas(_batches, RESIZE_BMP_SCHEMA)
+
+
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize metadata through the REAL container path (payload built by
+    ``with_bmp_payload``, parsed and re-encoded by
+    :func:`resize_media_bmp`). The oracle replays the sampled-byte sum
+    straight from the document text (the pixels ARE the utf-8 bytes
+    tiled row-major — the ``_phash_halves_ctes`` trick), so parity
+    checks the full parse -> sample arithmetic; the re-encoded payload
+    is pytest-verified to round-trip through the decode kernel
+    (tests/test_mm_features.py)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return resize_media_bmp(with_bmp_payload(docs)).selectExpr(
+        "doc_id", "width", "height", "new_width", "new_height",
+        "n_sampled", "sum_sampled",
+        "CAST(sum_sampled AS DOUBLE) / CAST(n_sampled AS DOUBLE)"
+        " AS resized_mean",
+    )
+
+
+def _resize_sql() -> str:
+    # sampled byte (dst pixel (y2,x2), channel c) = text char at
+    # ((2*y2*w + 2*x2)*3 + c) % L — ASCII corpus, char == byte (the
+    # assumption _phash_halves_ctes already leans on)
+    q = "(((2 * (i // (nw * 3) // 1)) * w + 2 * ((i % (nw * 3)) // 3)) * 3 + i % 3)"
+    byte = f"CASE WHEN L = 0 THEN 0 ELSE ascii(substring(text, (({q}) % L) + 1, 1)) END"
+    return f"""
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 5 AS h,
+    length(text) AS L, text
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, w, h, L, text,
+    greatest(1, w // 2) AS nw, greatest(1, h // 2) AS nh
+  FROM g
+),
+sums AS (
+  SELECT doc_id, w, h, nw, nh,
+    CAST(nw * nh * 3 AS BIGINT) AS n_sampled,
+    list_reduce([CAST(0 AS BIGINT)] ||
+      list_transform(range(0, nw * nh * 3),
+        i -> CAST({byte} AS BIGINT)),
+      (acc, x) -> acc + x) AS sum_sampled
+  FROM dims
+)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+  CAST(nw AS INTEGER) AS new_width, CAST(nh AS INTEGER) AS new_height,
+  n_sampled, sum_sampled,
+  CAST(sum_sampled AS DOUBLE) / CAST(n_sampled AS DOUBLE) AS resized_mean
+FROM sums
+"""
+
+
+
 def register_all() -> None:
     register("mm_meta", q_mm_meta, SQL_MM_META)
     register("mm_decode_stub", q_mm_decode, SQL_MM_DECODE)
@@ -628,3 +734,4 @@ def register_all() -> None:
     register_extra(
         "mm_phash_neardup", q_mm_phash_neardup, _phash_neardup_sql()
     )
+    register_extra("mm_resize", q_mm_resize, _resize_sql())

@@ -238,3 +238,25 @@ def test_decode_kernel_pil_branch_via_fake_module(monkeypatch):
     w, h, mean = kernel(b"anything")
     assert (w, h) == (4, 2)
     assert mean == np.arange(8).mean()
+
+
+def test_resize_roundtrips_through_real_decoder(spark):
+    """The resized payload is a REAL BMP: re-parse every one with the
+    decode kernel and check dims halve and the mean matches the exact
+    sampled-sum arithmetic the oracle verifies."""
+    from impala_base_to_cdw_sizing_spark.operators.multimodal import (
+        _decode_payload_bmp,
+        resize_media_bmp,
+        with_bmp_payload,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    rows = resize_media_bmp(with_bmp_payload(docs)).collect()
+    assert rows
+    for r in rows:
+        assert r.new_width == max(1, r.width // 2)
+        assert r.new_height == max(1, r.height // 2)
+        w2, h2, mean2 = _decode_payload_bmp(bytes(r.resized_payload))
+        assert (w2, h2) == (r.new_width, r.new_height)
+        assert mean2 == r.sum_sampled / r.n_sampled
