@@ -1293,6 +1293,74 @@ SELECT o_orderkey, o_totalprice, epoch_ms(o_orderdate) AS orderdate_ms FROM (
 """
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of ``rel_pivot``: the wide
+    status × priority count matrix back to long (status, priority, n)
+    form, via Spark's ``stack`` table-generating expression (the
+    idiomatic wide→long rewrite; one scan, no joins). Zero-count cells
+    are kept — a melt must be information-preserving so that
+    pivot→unpivot is the identity (asserted in tests)."""
+    wide = q_pivot(spark, sf_dir)
+    n = len(_PRIORITIES)
+    stack_args = ", ".join(
+        f"'{p}', n_{p[0]}" for p in _PRIORITIES
+    )
+    return wide.selectExpr(
+        "o_orderstatus",
+        f"stack({n}, {stack_args}) AS (o_orderpriority, n)",
+    ).selectExpr("o_orderstatus", "o_orderpriority", "CAST(n AS BIGINT) AS n")
+
+
+_SQL_UNPIVOT_ARMS = "\n  UNION ALL\n".join(
+    f"""SELECT o_orderstatus, '{p}' AS o_orderpriority,
+    CAST(COUNT(*) FILTER (WHERE o_orderpriority = '{p}') AS BIGINT) AS n
+  FROM orders GROUP BY 1"""
+    for p in _PRIORITIES
+)
+
+SQL_UNPIVOT = f"""
+{_SQL_UNPIVOT_ARMS}
+"""
+
+
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE per group with a pinned tie policy — the aggregate ANSI
+    SQL:2023 added (and DuckDB ships) that Spark lacks as a builtin:
+    most frequent o_orderpriority per o_orderstatus, ties broken by the
+    SMALLEST value (both engines' native mode() leaves ties
+    implementation-defined, so neither is used — the rank form makes
+    the tie deterministic and cross-engine)."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .selectExpr(
+            "o_orderstatus",
+            "o_orderpriority AS mode_priority",
+            "n AS mode_n",
+        )
+    )
+
+
+SQL_MODE_PER_GROUP = """
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_n
+FROM (
+  SELECT o_orderstatus, o_orderpriority, n, ROW_NUMBER() OVER (
+    PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority ASC) AS rk
+  FROM (
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1, 2
+  )
+) WHERE rk = 1
+"""
+
+
 def register_all() -> None:
     register("rel_correlated_subquery", q_correlated_subquery, SQL_CORRELATED)
     register("rel_exact_percentiles", q_exact_percentiles, SQL_EXACT_PERCENTILES)
@@ -1308,6 +1376,8 @@ def register_all() -> None:
     register_extra("rel_window_navigation", q_window_navigation, SQL_WINDOW_NAVIGATION)
     register_extra("rel_array_agg", q_array_agg, SQL_ARRAY_AGG)
     register_extra("rel_pivot", q_pivot, SQL_PIVOT)
+    register_extra("rel_unpivot", q_unpivot, SQL_UNPIVOT)
+    register_extra("rel_mode_per_group", q_mode_per_group, SQL_MODE_PER_GROUP)
     register_extra("rel_cube", q_cube, SQL_CUBE)
     register_extra(
         "rel_window_range_frame", q_window_range_frame, SQL_WINDOW_RANGE_FRAME

@@ -41,3 +41,32 @@ def test_merge_asof_semantics(spark):
     assert rows[100].asof_rid == 900  # inclusive: right at t=10 matches left t=10
     assert rows[101].asof_rid == 901  # latest preceding (t=15)
     assert rows[102].asof_rid is None  # right t=9 > left t=5 → no match
+
+
+def test_unpivot_inverts_pivot_exactly(spark):
+    from impala_base_to_cdw_sizing_spark.operators.olap_extra import (
+        q_mode_per_group,
+        q_pivot,
+        q_unpivot,
+    )
+    from tests.conftest import SF_ORACLE
+
+    wide = {r.o_orderstatus: r.asDict() for r in q_pivot(spark, SF_ORACLE).collect()}
+    long_rows = q_unpivot(spark, SF_ORACLE).collect()
+    # melt is information-preserving: every wide cell appears once
+    assert len(long_rows) == len(wide) * 5
+    for r in long_rows:
+        assert wide[r.o_orderstatus][f"n_{r.o_orderpriority[0]}"] == r.n
+    # mode agrees with a max over the melted counts (smallest-value tie)
+    from collections import defaultdict
+
+    best = {}
+    for r in long_rows:
+        cur = best.get(r.o_orderstatus)
+        if cur is None or (-r.n, r.o_orderpriority) < (-cur[1], cur[0]):
+            best[r.o_orderstatus] = (r.o_orderpriority, r.n)
+    got = {
+        r.o_orderstatus: (r.mode_priority, r.mode_n)
+        for r in q_mode_per_group(spark, SF_ORACLE).collect()
+    }
+    assert got == best
