@@ -175,7 +175,121 @@ FROM (
 """
 
 
+# Benford first-digit probabilities log10(1+1/d), micro-quantized
+_BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_CHI2_CRIT_05_DF8 = 15.507
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            # floor first, then string-slice: CAST(double AS BIGINT)
+            # truncates in Spark but ROUNDS in DuckDB (the r4 ulp class),
+            # floor() is the shared exact step. Prices are > 1000, so the
+            # integer part always has a leading digit.
+            "substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING),"
+            " 1, 1) AS digit"
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    return benford_from_digit_counts(spark, ev)
+
+
+def benford_from_digit_counts(
+    spark: SparkSession, counts: DataFrame
+) -> DataFrame:
+    """Benford first-digit conformance over a prepared (digit, n_obs)
+    frame — split out (the ``chi2_from_cells`` pattern) so fixtures
+    with KNOWN conformance drive the same arithmetic: a geometric
+    sample accepts, the corpus's uniform prices reject, and both are
+    pinned in tests rather than assumed.
+
+    Arithmetic: expected count = (N · p_micro) DIV 10^6 (BIGINT);
+    per-digit contribution = (diff² · 10^3) DIV expected — MILLI units,
+    not micro, so diff² · scale stays far under 2^63 even at 10^7 rows
+    (the chi-square magnitude analysis, one decade tighter). χ² is the
+    milli-sum / 10^3, compared against the df=8 critical value.
+    """
+    probs = spark.createDataFrame(
+        [(str(d), p) for d, p in sorted(_BENFORD_MICRO.items())],
+        "digit STRING, p_micro BIGINT",
+    )
+    per_digit = (
+        counts.join(F.broadcast(probs), "digit")
+        .crossJoin(
+            F.broadcast(counts.agg(F.sum("n_obs").cast("long").alias("n_total")))
+        )
+        .selectExpr(
+            "digit",
+            "n_obs",
+            "n_total",
+            "(n_total * p_micro) DIV 1000000 AS n_expected",
+        )
+        .selectExpr(
+            "digit",
+            "n_obs",
+            "n_total",
+            "n_expected",
+            "((n_obs - n_expected) * (n_obs - n_expected) * 1000)"
+            " DIV n_expected AS contrib_milli",
+        )
+    )
+    total = per_digit.agg(
+        F.sum("contrib_milli").cast("long").alias("chi2_milli")
+    )
+    return per_digit.crossJoin(F.broadcast(total)).selectExpr(
+        "digit",
+        "n_obs",
+        "n_expected",
+        "contrib_milli",
+        "CAST(chi2_milli AS DOUBLE) / 1000.0 AS chi2",
+        f"CAST(chi2_milli AS DOUBLE) / 1000.0 > {_CHI2_CRIT_05_DF8}"
+        " AS reject_benford_05",
+    )
+
+
+_SQL_BENFORD_PROBS = " UNION ALL ".join(
+    f"SELECT '{d}' AS digit, CAST({p} AS BIGINT) AS p_micro"
+    for d, p in sorted(_BENFORD_MICRO.items())
+)
+
+SQL_BENFORD_DIGITS = f"""
+WITH counts AS (
+  SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING),
+    1, 1) AS digit,
+    CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1
+),
+probs AS ({_SQL_BENFORD_PROBS}),
+per_digit AS (
+  SELECT c.digit, c.n_obs,
+    (t.n_total * p.p_micro) // 1000000 AS n_expected
+  FROM counts c
+  JOIN probs p USING (digit)
+  CROSS JOIN (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM counts) t
+),
+contrib AS (
+  SELECT digit, n_obs, n_expected,
+    ((n_obs - n_expected) * (n_obs - n_expected) * 1000) // n_expected
+      AS contrib_milli
+  FROM per_digit
+)
+SELECT digit, n_obs, n_expected, contrib_milli,
+  CAST(t.chi2_milli AS DOUBLE) / 1000.0 AS chi2,
+  CAST(t.chi2_milli AS DOUBLE) / 1000.0 > {_CHI2_CRIT_05_DF8}
+    AS reject_benford_05
+FROM contrib,
+  (SELECT CAST(SUM(contrib_milli) AS BIGINT) AS chi2_milli FROM contrib) t
+"""
+
+
 def register_all() -> None:
     register_extra(
         "rel_chi2_independence", q_chi2_independence, SQL_CHI2_INDEPENDENCE
     )
+    register_extra("rel_benford_digits", q_benford_digits, SQL_BENFORD_DIGITS)

@@ -164,6 +164,57 @@ def run_neardup_load(
     return summarize(progress, state_bound=bound)
 
 
+SESSION_SCHEMA = "user_id long, ts long, event_id long"
+_SESSION_STEP_NS = 20 * 1_000_000_000  # 20 s between consecutive events
+_SESSION_BURST = 5  # events per user visit
+
+
+def session_batch_rows(b: int, rows: int, n_users: int):
+    """Batch ``b`` of the sessionization stream: globally increasing
+    timestamps (20 s apart — the time-ordered replay contract), users
+    visiting in bursts of ``_SESSION_BURST`` consecutive events. Within
+    a burst the 20 s gaps stay inside one session; the SAME user's next
+    burst arrives ~n_users·burst·20 s later — far past the 30-min gap —
+    so every burst opens a new session and per-user session counts grow
+    every revisit while state stays three numbers per user. A buggy
+    implementation keeping per-SESSION state would grow with the batch
+    count instead."""
+    out = []
+    for i in range(rows):
+        seq = b * rows + i
+        burst = seq // _SESSION_BURST
+        user = (burst * 2_654_435_761) % n_users
+        out.append((user, 1_600_000_000_000_000_000 + seq * _SESSION_STEP_NS, seq))
+    return out
+
+
+def run_session_load(
+    spark: SparkSession,
+    workdir: str,
+    n_batches: int = 100,
+    rows_per_batch: int = 500,
+    n_users: int = 64,
+):
+    from .session_stream import session_stream
+
+    src = f"{workdir}/sess_src"
+    for b in range(n_batches):
+        spark.createDataFrame(
+            session_batch_rows(b, rows_per_batch, n_users), SESSION_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def build(src_dir):
+        stream = (
+            spark.readStream.schema(SESSION_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return session_stream(stream)
+
+    progress = _drive(spark, src, f"{workdir}/sess_ckpt", build, "update")
+    return summarize(progress, state_bound=n_users)
+
+
 def summarize(progress, state_bound: int):
     """Per-batch series + headline figures from a progress list."""
     state_rows = []

@@ -63,3 +63,57 @@ def test_chi2_accepts_on_independent_fixture(spark):
     assert row.dof == 1
     assert row.reject_independence_05 is False
     assert abs(row.chi2) < 0.01
+
+
+def _digit_counts_df(spark, counts):
+    return spark.createDataFrame(
+        [(d, n) for d, n in sorted(counts.items())],
+        "digit STRING, n_obs BIGINT",
+    )
+
+
+def test_benford_rejects_uniform_accepts_geometric(spark):
+    """Power and level on KNOWN distributions: the corpus's uniform
+    prices must reject (uniform first digits are nowhere near
+    log10(1+1/d)), and a geometric sample with Benford-exact digit
+    proportions must accept."""
+    rows = ST.q_benford_digits(spark, SF_ORACLE).collect()
+    assert len(rows) == 9
+    assert all(r.reject_benford_05 is True for r in rows)
+    # observed counts really came from the data: digits 1-4 dominate
+    by_d = {r.digit: r.n_obs for r in rows}
+    assert min(by_d[str(d)] for d in (1, 2, 3, 4)) > 4 * by_d["5"]
+
+    # conforming fixture: counts proportional to log10(1+1/d)
+    n = 1_000_000
+    conforming = {
+        str(d): (n * p) // 1_000_000 for d, p in ST._BENFORD_MICRO.items()
+    }
+    rows2 = ST.benford_from_digit_counts(
+        spark, _digit_counts_df(spark, conforming)
+    ).collect()
+    assert all(r.reject_benford_05 is False for r in rows2)
+    assert all(abs(r.n_obs - r.n_expected) <= 1 for r in rows2)
+
+
+def test_benford_replicates_in_pure_python(spark):
+    prices = (
+        spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        .selectExpr("floor(o_totalprice) AS p")
+        .collect()
+    )
+    counts = Counter(str(int(r.p))[0] for r in prices)
+    n = sum(counts.values())
+    expect = {}
+    chi2_milli = 0
+    for d, p in ST._BENFORD_MICRO.items():
+        exp = (n * p) // 1_000_000
+        diff = counts[str(d)] - exp
+        c = (diff * diff * 1000) // exp
+        chi2_milli += c
+        expect[str(d)] = (counts[str(d)], exp, c)
+    rows = ST.q_benford_digits(spark, SF_ORACLE).collect()
+    for r in rows:
+        obs, exp, c = expect[r.digit]
+        assert (r.n_obs, r.n_expected, r.contrib_milli) == (obs, exp, c)
+        assert r.chi2 == chi2_milli / 1000.0

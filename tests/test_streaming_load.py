@@ -71,3 +71,31 @@ def test_neardup_ttl_state_plateaus_under_sliding_keys(spark, tmp_path):
     for i, v in enumerate(series):
         if i >= 60:
             assert v <= r["state_bound"] < i + 20
+
+
+def test_session_state_flat_at_user_population(spark, tmp_path):
+    """Sessions keep arriving (every burst revisit opens a new one), so
+    an implementation keeping per-SESSION state would grow with the
+    batch count; per-USER state must go flat at the user population and
+    stay there for the whole run."""
+    from impala_base_to_cdw_sizing_spark.streaming.loadgen import (
+        run_session_load,
+    )
+
+    r = run_session_load(
+        spark,
+        str(tmp_path),
+        n_batches=N_BATCHES,
+        rows_per_batch=200,
+        n_users=64,
+    )
+    assert r["batches"] == N_BATCHES
+    assert r["input_rows"] == N_BATCHES * 200
+    series = r["state_rows_series"]
+    assert r["state_rows_max"] <= r["state_bound"] == 64
+    assert series[-1] == 64
+    first_full = series.index(64)
+    assert first_full < 5
+    assert set(series[first_full:]) == {64}
+    assert r["state_bytes_last"] <= 2 * r["state_bytes_series"][10]
+    assert r["rows_per_sec"] > 0

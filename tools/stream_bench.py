@@ -43,6 +43,7 @@ def main() -> None:
     from impala_base_to_cdw_sizing_spark.streaming.loadgen import (
         run_heavyhitters_load,
         run_neardup_load,
+        run_session_load,
     )
 
     spark = build_spark("stream-bench")
@@ -54,14 +55,17 @@ def main() -> None:
         nd = run_neardup_load(
             spark, workdir, n_batches=n_batches, docs_per_key=10 * scale
         )
+        se = run_session_load(
+            spark, workdir, n_batches=n_batches, rows_per_batch=500 * scale
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
-    for r, label in ((hh, "heavyhitters"), (nd, "neardup")):
+    for r, label in ((hh, "heavyhitters"), (nd, "neardup"), (se, "session")):
         assert r["state_rows_max"] <= r["state_bound"], (
             f"{label}: state rows {r['state_rows_max']} exceeded the "
             f"structural bound {r['state_bound']} at scale {scale}"
         )
-    for r in (hh, nd):
+    for r in (hh, nd, se):
         # the full series is for the test/inspection; keep the JSON
         # line readable with a decimated view
         series = r.pop("state_rows_series")
@@ -71,10 +75,11 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "stream_load",
-                "value": round(hh["busy_sec"] + nd["busy_sec"], 3),
+                "value": round(hh["busy_sec"] + nd["busy_sec"] + se["busy_sec"], 3),
                 "unit": "sec",
                 "heavyhitters": hh,
                 "neardup_ttl": nd,
+                "session": se,
                 "n_batches": n_batches,
                 "scale": scale,
             }
