@@ -1361,6 +1361,99 @@ FROM (
 """
 
 
+_ABC_CENTS = "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+_ABC_DUCK_CENTS = "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+_ABC_BUCKET_CENTS = 1_000_000  # $10k revenue buckets
+
+
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification — customers split into
+    A (first 80% of cumulative revenue), B (80-95%), C (tail) — the
+    classic global-cumulative-share query, computed with the segmented
+    decomposition (`segmented.py`): revenue is quantized into
+    ordering-consistent $10k buckets (negated so ascending bucket =
+    descending revenue), the running sum windows PARTITION BY bucket,
+    and earlier-bucket revenue arrives as a broadcast triangular carry
+    — exact BIGINT cents everywhere (floor(x*100+0.5) is the house
+    rounding rule), class cuts as integer comparisons
+    (cum·100 ≤ total·80), zero global windows. Output: 3-row class
+    summary with exact revenue and one display-division share."""
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr("o_custkey", f"{_ABC_CENTS} AS cents")
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .withColumn(
+            "bucket", F.expr(f"-(rev DIV {_ABC_BUCKET_CENTS})").cast("long")
+        )
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = rev.withColumn("run", F.sum("rev").over(w_local))
+    totals = rev.groupBy("bucket").agg(F.sum("rev").alias("b_rev"))
+    t, p = totals.alias("t"), totals.alias("p")
+    carry = (
+        t.join(F.broadcast(p), F.col("p.bucket") < F.col("t.bucket"), "left")
+        .groupBy(F.col("t.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("p.b_rev"), F.lit(0)).cast("long").alias("carry"))
+    )
+    grand = rev.agg(F.sum("rev").cast("long").alias("total"))
+    classed = (
+        local.join(F.broadcast(carry), "bucket")
+        .crossJoin(F.broadcast(grand))
+        .selectExpr(
+            "o_custkey",
+            "rev",
+            "carry + run AS cum",
+            "total",
+            "CASE WHEN (carry + run) * 100 <= total * 80 THEN 'A'"
+            " WHEN (carry + run) * 100 <= total * 95 THEN 'B'"
+            " ELSE 'C' END AS abc_class",
+        )
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("rev").cast("long").alias("class_rev_cents"),
+        F.max("total").cast("long").alias("total_cents"),
+    ).selectExpr(
+        "abc_class",
+        "n_customers",
+        "class_rev_cents",
+        "CAST(class_rev_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)"
+        " AS rev_share",
+    )
+
+
+SQL_PARETO_ABC = f"""
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM({_ABC_DUCK_CENTS}) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT o_custkey, rev,
+    CAST(SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+    CAST(SUM(rev) OVER () AS BIGINT) AS total
+  FROM rev
+),
+classed AS (
+  SELECT o_custkey, rev,
+    CASE WHEN cum * 100 <= total * 80 THEN 'A'
+      WHEN cum * 100 <= total * 95 THEN 'B'
+      ELSE 'C' END AS abc_class,
+    total
+  FROM cum
+)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(rev) AS BIGINT) AS class_rev_cents,
+  CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS rev_share
+FROM classed GROUP BY 1
+"""
+
+
 def register_all() -> None:
     register("rel_correlated_subquery", q_correlated_subquery, SQL_CORRELATED)
     register("rel_exact_percentiles", q_exact_percentiles, SQL_EXACT_PERCENTILES)
@@ -1378,6 +1471,7 @@ def register_all() -> None:
     register_extra("rel_pivot", q_pivot, SQL_PIVOT)
     register_extra("rel_unpivot", q_unpivot, SQL_UNPIVOT)
     register_extra("rel_mode_per_group", q_mode_per_group, SQL_MODE_PER_GROUP)
+    register_extra("rel_pareto_abc", q_pareto_abc, SQL_PARETO_ABC)
     register_extra("rel_cube", q_cube, SQL_CUBE)
     register_extra(
         "rel_window_range_frame", q_window_range_frame, SQL_WINDOW_RANGE_FRAME

@@ -70,3 +70,42 @@ def test_unpivot_inverts_pivot_exactly(spark):
         for r in q_mode_per_group(spark, SF_ORACLE).collect()
     }
     assert got == best
+
+
+def test_pareto_abc_replicates_and_cuts_correctly(spark):
+    from impala_base_to_cdw_sizing_spark.operators.olap_extra import (
+        q_pareto_abc,
+    )
+    from tests.conftest import SF_ORACLE
+
+    orders = (
+        spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        .selectExpr(
+            "o_custkey",
+            "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    rev = defaultdict(int)
+    for r in orders:
+        rev[r.o_custkey] += r.cents
+    ordered = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(rev.values())
+    cum = 0
+    agg = defaultdict(lambda: [0, 0])
+    for ck, v in ordered:
+        cum += v
+        cls = "A" if cum * 100 <= total * 80 else ("B" if cum * 100 <= total * 95 else "C")
+        agg[cls][0] += 1
+        agg[cls][1] += v
+    rows = q_pareto_abc(spark, SF_ORACLE).collect()
+    got = {r.abc_class: (r.n_customers, r.class_rev_cents) for r in rows}
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # Pareto shape is real: A is a minority of customers holding ~80%
+    by = {r.abc_class: r for r in rows}
+    n_all = sum(r.n_customers for r in rows)
+    assert by["A"].n_customers < n_all
+    assert 0.5 < by["A"].rev_share <= 0.80 + by["A"].class_rev_cents / n_all / max(total, 1)
+    assert abs(sum(r.rev_share for r in rows) - 1.0) < 1e-9
