@@ -1454,6 +1454,72 @@ FROM classed GROUP BY 1
 """
 
 
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the inequality summary
+    that pairs with ``rel_pareto_abc``'s classification: with revenues
+    sorted ASCENDING and 1-based ranks i,
+    G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n. Ranks come from
+    ``segmented_row_number`` (ordering-consistent revenue buckets +
+    triangular carry — no global window); Σ(i·xᵢ) is computed as
+    SUM(DECIMAL(19)·DECIMAL(19) → DECIMAL(38)) so the product of a
+    10⁷-scale rank and 10¹⁰-scale cents never overflows and the sum
+    stays order-independent exact. The only doubles are the two final
+    display divisions."""
+    from .segmented import segmented_row_number
+
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr("o_custkey", f"{_ABC_CENTS} AS cents")
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .withColumn(
+            "bucket", F.expr(f"rev DIV {_ABC_BUCKET_CENTS}").cast("long")
+        )
+    )
+    ranked = segmented_row_number(
+        rev, [F.col("rev").asc(), F.col("o_custkey").asc()], out="grank"
+    )
+    sums = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("CAST(rev AS DECIMAL(38,0))")).alias("s0"),
+        F.sum(
+            F.expr(
+                "CAST(grank AS DECIMAL(19,0)) * CAST(rev AS DECIMAL(19,0))"
+            )
+        ).alias("s1"),
+    )
+    return sums.selectExpr(
+        "n",
+        "CAST(s0 AS STRING) AS total_cents",
+        "2.0 * CAST(CAST(s1 AS STRING) AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(CAST(s0 AS STRING) AS DOUBLE))"
+        " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini",
+    )
+
+
+SQL_GINI = f"""
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM({_ABC_DUCK_CENTS}) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT rev, ROW_NUMBER() OVER (ORDER BY rev ASC, o_custkey ASC) AS grank
+  FROM rev
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(rev AS DECIMAL(38,0))) AS s0,
+    SUM(CAST(grank AS DECIMAL(19,0)) * CAST(rev AS DECIMAL(19,0))) AS s1
+  FROM ranked
+)
+SELECT n, CAST(s0 AS STRING) AS total_cents,
+  2.0 * CAST(CAST(s1 AS STRING) AS DOUBLE)
+    / (CAST(n AS DOUBLE) * CAST(CAST(s0 AS STRING) AS DOUBLE))
+    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+FROM sums
+"""
+
+
 def register_all() -> None:
     register("rel_correlated_subquery", q_correlated_subquery, SQL_CORRELATED)
     register("rel_exact_percentiles", q_exact_percentiles, SQL_EXACT_PERCENTILES)
@@ -1472,6 +1538,7 @@ def register_all() -> None:
     register_extra("rel_unpivot", q_unpivot, SQL_UNPIVOT)
     register_extra("rel_mode_per_group", q_mode_per_group, SQL_MODE_PER_GROUP)
     register_extra("rel_pareto_abc", q_pareto_abc, SQL_PARETO_ABC)
+    register_extra("rel_gini", q_gini, SQL_GINI)
     register_extra("rel_cube", q_cube, SQL_CUBE)
     register_extra(
         "rel_window_range_frame", q_window_range_frame, SQL_WINDOW_RANGE_FRAME

@@ -109,3 +109,32 @@ def test_pareto_abc_replicates_and_cuts_correctly(spark):
     assert by["A"].n_customers < n_all
     assert 0.5 < by["A"].rev_share <= 0.80 + by["A"].class_rev_cents / n_all / max(total, 1)
     assert abs(sum(r.rev_share for r in rows) - 1.0) < 1e-9
+
+
+def test_gini_replicates_and_bounds(spark):
+    from impala_base_to_cdw_sizing_spark.operators.olap_extra import q_gini
+    from tests.conftest import SF_ORACLE
+
+    orders = (
+        spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        .selectExpr(
+            "o_custkey",
+            "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    rev = defaultdict(int)
+    for r in orders:
+        rev[r.o_custkey] += r.cents
+    xs = [v for _, v in sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))]
+    n = len(xs)
+    s0 = sum(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = 2.0 * float(s1) / (float(n) * float(s0)) - (float(n) + 1.0) / float(n)
+    row = q_gini(spark, SF_ORACLE).collect()[0]
+    assert row.n == n and int(row.total_cents) == s0
+    assert row.gini == gini
+    # revenue inequality is real but bounded on this corpus
+    assert 0.0 < row.gini < 1.0
