@@ -1383,9 +1383,29 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("o_custkey", f"{_ABC_CENTS} AS cents")
         .groupBy("o_custkey")
         .agg(F.sum("cents").cast("long").alias("rev"))
-        .withColumn(
-            "bucket", F.expr(f"-(rev DIV {_ABC_BUCKET_CENTS})").cast("long")
-        )
+    )
+    classed = pareto_classes(rev)
+    return classed.groupBy("abc_class").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("rev").cast("long").alias("class_rev_cents"),
+        F.max("total").cast("long").alias("total_cents"),
+    ).selectExpr(
+        "abc_class",
+        "n_customers",
+        "class_rev_cents",
+        "CAST(class_rev_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)"
+        " AS rev_share",
+    )
+
+
+def pareto_classes(rev: "DataFrame") -> "DataFrame":
+    """Per-customer (o_custkey, rev, cum, total, abc_class) via the
+    segmented decomposition — split out (the ``chi2_from_cells``
+    pattern) so the hypothesis fuzz can pit the segmented cumulative
+    sum against a sequential Python computation on arbitrary revenue
+    multisets, not just this corpus."""
+    rev = rev.withColumn(
+        "bucket", F.expr(f"-(rev DIV {_ABC_BUCKET_CENTS})").cast("long")
     )
     w_local = (
         Window.partitionBy("bucket")
@@ -1401,7 +1421,7 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum("p.b_rev"), F.lit(0)).cast("long").alias("carry"))
     )
     grand = rev.agg(F.sum("rev").cast("long").alias("total"))
-    classed = (
+    return (
         local.join(F.broadcast(carry), "bucket")
         .crossJoin(F.broadcast(grand))
         .selectExpr(
@@ -1413,17 +1433,6 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " WHEN (carry + run) * 100 <= total * 95 THEN 'B'"
             " ELSE 'C' END AS abc_class",
         )
-    )
-    return classed.groupBy("abc_class").agg(
-        F.count("*").cast("long").alias("n_customers"),
-        F.sum("rev").cast("long").alias("class_rev_cents"),
-        F.max("total").cast("long").alias("total_cents"),
-    ).selectExpr(
-        "abc_class",
-        "n_customers",
-        "class_rev_cents",
-        "CAST(class_rev_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)"
-        " AS rev_share",
     )
 
 
