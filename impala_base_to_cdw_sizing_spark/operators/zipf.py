@@ -158,5 +158,141 @@ FROM sums
 """
 
 
+_HEAPS_POINTS = 10
+
+
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit — the other classic corpus law (vocabulary growth
+    V(N) = k·N^β): ln V vs ln N OLS over 10 corpus prefixes. The
+    vocabulary size after the first n documents is computed WITHOUT
+    materializing prefixes, via the first-touch identity
+    (``rel_cumulative_distinct``): V(prefix d) = #{shingles whose
+    MINIMUM doc_id falls inside the first d deciles} — one groupBy for
+    per-shingle first doc, a 10-row broadcast threshold dim, and a
+    bounded explode. Same det-ln + exact-BIGINT OLS as the Zipf fit;
+    both laws share the arithmetic, so the pair reads as one module.
+
+    Emits per-point rows (decile, n_docs, vocab) ALONGSIDE the fitted
+    (beta, r2) repeated per row — the curve and the fit in one result,
+    checkable against each other."""
+    docs = _docs(spark, sf_dir)
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    deciles = spark.range(1, _HEAPS_POINTS + 1).selectExpr("id AS decile")
+    thresholds = deciles.crossJoin(F.broadcast(bounds)).selectExpr(
+        "decile",
+        f"lo - 1 + ((hi - lo + 1) * decile) DIV {_HEAPS_POINTS} AS t",
+    )
+    first_touch = (
+        docs.withColumn("tokens", F.expr(SPARK_TOKENS))
+        .selectExpr("doc_id", f"explode({SPARK_SHINGLES}) AS shingle")
+        .groupBy("shingle")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    vocab = (
+        first_touch.crossJoin(F.broadcast(thresholds))
+        .filter(F.col("first_doc") <= F.col("t"))
+        .groupBy("decile", "t")
+        .agg(F.count("*").cast("long").alias("vocab"))
+    )
+    ndocs = (
+        docs.crossJoin(F.broadcast(thresholds))
+        .filter(F.col("doc_id") <= F.col("t"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    pts = vocab.join(ndocs, "decile").select("decile", "n_docs", "vocab")
+    # _det_ln_micro consumes its src column, so keep carry copies
+    lnd = _det_ln_micro(pts.withColumn("nd", F.col("n_docs")), "n_docs", "x_micro")
+    lnd = _det_ln_micro(lnd.withColumn("vc", F.col("vocab")), "vocab", "y_micro")
+    lnd = lnd.selectExpr(
+        "decile", "nd AS n_docs", "vc AS vocab", "x_micro", "y_micro"
+    ).localCheckpoint()  # 10 rows, read by the fit and the output join
+    sums = lnd.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x_micro").cast("long").alias("sx"),
+        F.sum("y_micro").cast("long").alias("sy"),
+        F.sum(F.expr("x_micro * y_micro")).cast("long").alias("sxy"),
+        F.sum(F.expr("x_micro * x_micro")).cast("long").alias("sxx"),
+        F.sum(F.expr("y_micro * y_micro")).cast("long").alias("syy"),
+    ).selectExpr(
+        "CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / CAST(n * sxx - sx * sx AS DOUBLE) AS beta",
+        "CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+        " * CAST(n * syy - sy * sy AS DOUBLE)) AS r2",
+    )
+    return lnd.select("decile", "n_docs", "vocab").crossJoin(
+        F.broadcast(sums)
+    )
+
+
+def _heaps_sql() -> str:
+    def det_ln(src: str, keep: str, out: str, from_t: str) -> str:
+        return f"""(
+    SELECT {keep}, {_DET_LN_W} AS {out} FROM (
+      SELECT {keep}, z, {_DET_LN_Z2} AS z2 FROM (
+        SELECT {keep}, {_DET_LN_Z} AS z FROM (
+          SELECT {keep}, {_DET_LN_Y} AS y FROM (
+            SELECT {keep}, CAST({src} AS DOUBLE) AS ratio FROM {from_t}
+          )
+        )
+      )
+    )
+  )"""
+
+    x = det_ln("n_docs", "decile, n_docs, vocab", "x_micro", "pts")
+    y = det_ln("vocab", "decile, n_docs, vocab, x_micro", "y_micro", "xs")
+    return f"""
+WITH bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+thresholds AS (
+  SELECT d.decile, b.lo - 1 + ((b.hi - b.lo + 1) * d.decile) // {_HEAPS_POINTS} AS t
+  FROM (SELECT unnest(range(1, {_HEAPS_POINTS} + 1)) AS decile) d, bounds b
+),
+first_touch AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM (
+    SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle
+    FROM (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents)
+  ) GROUP BY 1
+),
+vocab AS (
+  SELECT th.decile, CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM first_touch f JOIN thresholds th ON f.first_doc <= th.t
+  GROUP BY 1
+),
+ndocs AS (
+  SELECT th.decile, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents d JOIN thresholds th ON d.doc_id <= th.t
+  GROUP BY 1
+),
+pts AS (
+  SELECT decile, n_docs, vocab FROM vocab JOIN ndocs USING (decile)
+),
+xs AS {x},
+ys AS {y},
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x_micro) AS BIGINT) AS sx,
+    CAST(SUM(y_micro) AS BIGINT) AS sy,
+    CAST(SUM(x_micro * y_micro) AS BIGINT) AS sxy,
+    CAST(SUM(x_micro * x_micro) AS BIGINT) AS sxx,
+    CAST(SUM(y_micro * y_micro) AS BIGINT) AS syy
+  FROM ys
+),
+fit AS (
+  SELECT
+    CAST(n * sxy - sx * sy AS DOUBLE)
+      / CAST(n * sxx - sx * sx AS DOUBLE) AS beta,
+    CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+      / (CAST(n * sxx - sx * sx AS DOUBLE)
+      * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+  FROM sums
+)
+SELECT decile, n_docs, vocab, beta, r2 FROM pts, fit
+"""
+
+
 def register_all() -> None:
     register_extra("text_zipf_fit", q_zipf_fit, _zipf_sql())
+    register_extra("text_heaps_fit", q_heaps_fit, _heaps_sql())
