@@ -1529,6 +1529,86 @@ FROM sums
 """
 
 
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve deciles — the curve behind ``rel_gini``'s scalar:
+    customers in ascending revenue order split into 10 equal-count
+    tiles, each reporting its exact revenue mass and cumulative share.
+    Ranks come from ``segmented_row_number``; the tile assignment is
+    ``ntile_expr`` — the closed-form SQL-standard NTILE from a global
+    rank, O(1) per row, no window at all; the cumulative share is a
+    10-row triangular carry. Everything is BIGINT cents until the two
+    display divisions."""
+    from .segmented import ntile_expr, segmented_row_number
+
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr("o_custkey", f"{_ABC_CENTS} AS cents")
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .withColumn(
+            "bucket", F.expr(f"rev DIV {_ABC_BUCKET_CENTS}").cast("long")
+        )
+    )
+    ranked = segmented_row_number(
+        rev, [F.col("rev").asc(), F.col("o_custkey").asc()], out="grank"
+    )
+    n_total = ranked.agg(F.count("*").cast("long").alias("n"))
+    tiled = ranked.crossJoin(F.broadcast(n_total)).selectExpr(
+        "rev", f"CAST({ntile_expr('grank', 'n', 10)} AS BIGINT) AS decile"
+    )
+    per_tile = tiled.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("rev").cast("long").alias("tile_rev"),
+    )
+    a, b = per_tile.alias("a"), per_tile.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(F.col("a.decile").alias("decile"))
+        .agg(F.sum("b.tile_rev").cast("long").alias("cum_rev"))
+    )
+    grand = per_tile.agg(F.sum("tile_rev").cast("long").alias("total"))
+    return (
+        per_tile.join(cum, "decile")
+        .crossJoin(F.broadcast(grand))
+        .selectExpr(
+            "decile",
+            "n_customers",
+            "tile_rev",
+            "cum_rev",
+            "CAST(tile_rev AS DOUBLE) / CAST(total AS DOUBLE) AS tile_share",
+            "CAST(cum_rev AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share",
+        )
+    )
+
+
+SQL_LORENZ_DECILES = f"""
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM({_ABC_DUCK_CENTS}) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+),
+tiled AS (
+  SELECT rev, CAST(NTILE(10) OVER (ORDER BY rev ASC, o_custkey ASC)
+    AS BIGINT) AS decile
+  FROM rev
+),
+per_tile AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+    CAST(SUM(rev) AS BIGINT) AS tile_rev
+  FROM tiled GROUP BY 1
+),
+cum AS (
+  SELECT a.decile, CAST(SUM(b.tile_rev) AS BIGINT) AS cum_rev
+  FROM per_tile a JOIN per_tile b ON b.decile <= a.decile
+  GROUP BY 1
+),
+grand AS (SELECT CAST(SUM(tile_rev) AS BIGINT) AS total FROM per_tile)
+SELECT decile, n_customers, tile_rev, cum_rev,
+  CAST(tile_rev AS DOUBLE) / CAST(total AS DOUBLE) AS tile_share,
+  CAST(cum_rev AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+FROM per_tile JOIN cum USING (decile), grand
+"""
+
+
 def register_all() -> None:
     register("rel_correlated_subquery", q_correlated_subquery, SQL_CORRELATED)
     register("rel_exact_percentiles", q_exact_percentiles, SQL_EXACT_PERCENTILES)
@@ -1548,6 +1628,7 @@ def register_all() -> None:
     register_extra("rel_mode_per_group", q_mode_per_group, SQL_MODE_PER_GROUP)
     register_extra("rel_pareto_abc", q_pareto_abc, SQL_PARETO_ABC)
     register_extra("rel_gini", q_gini, SQL_GINI)
+    register_extra("rel_lorenz_deciles", q_lorenz_deciles, SQL_LORENZ_DECILES)
     register_extra("rel_cube", q_cube, SQL_CUBE)
     register_extra(
         "rel_window_range_frame", q_window_range_frame, SQL_WINDOW_RANGE_FRAME

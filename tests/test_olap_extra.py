@@ -138,3 +138,52 @@ def test_gini_replicates_and_bounds(spark):
     assert row.gini == gini
     # revenue inequality is real but bounded on this corpus
     assert 0.0 < row.gini < 1.0
+
+
+def test_lorenz_deciles_replicates_and_ties_to_gini(spark):
+    from impala_base_to_cdw_sizing_spark.operators.olap_extra import (
+        q_gini,
+        q_lorenz_deciles,
+    )
+    from tests.conftest import SF_ORACLE
+
+    orders = (
+        spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        .selectExpr(
+            "o_custkey",
+            "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    rev = defaultdict(int)
+    for r in orders:
+        rev[r.o_custkey] += r.cents
+    xs = [v for _, v in sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, k = len(xs), 10
+    q, r_ = divmod(n, k)
+    expect, i = {}, 0
+    cum = 0
+    for d in range(1, k + 1):
+        size = q + 1 if d <= r_ else q
+        tile = xs[i : i + size]
+        i += size
+        cum += sum(tile)
+        expect[d] = (size, sum(tile), cum)
+    rows = sorted(
+        q_lorenz_deciles(spark, SF_ORACLE).collect(), key=lambda r: r.decile
+    )
+    total = sum(xs)
+    for r in rows:
+        size, trev, crev = expect[r.decile]
+        assert (r.n_customers, r.tile_rev, r.cum_rev) == (size, trev, crev)
+        assert r.cum_share == crev / total
+    # Lorenz curve is convex-ish and ends at exactly 1
+    shares = [r.cum_share for r in rows]
+    assert shares == sorted(shares) and shares[-1] == 1.0
+    assert rows[0].tile_share < rows[-1].tile_share
+    # consistency with the scalar: positive inequality <=> bottom
+    # decile holds less than 10%
+    g = q_gini(spark, SF_ORACLE).collect()[0].gini
+    assert (g > 0) == (rows[0].tile_share < 0.1)
