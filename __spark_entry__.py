@@ -302,9 +302,12 @@ FROM summary
 
 
 # --- pytest-verified extra tier (NOT part of the driver contract) -------------
-# The driver's correctness report holds at most 50 rows; near-duplicate
-# formulations live here and are oracle-checked by tests/test_extra_tier.py
-# with the same Spark-vs-DuckDB comparator (tools/compare_oracle.py).
+# Near-duplicate formulations live here and are oracle-checked by
+# tests/test_extra_tier.py with the same Spark-vs-DuckDB comparator
+# (tools/compare_oracle.py). The strongest flagships are hoisted into the
+# declared tier via queries_ext.PROMOTED (r8 verdict task 1) — queries()
+# above therefore reports 11 sizing rows, then the promoted flagships,
+# then the long-standing declared extensions.
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

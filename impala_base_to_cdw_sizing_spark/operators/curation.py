@@ -347,7 +347,9 @@ def q_sample_importance_segmented(spark: SparkSession, sf_dir: str) -> DataFrame
     reduced from the token explosion); ranks are integers, so the
     decomposition is bit-equal to the one-window twin and runs against
     the same sequential DuckDB oracle."""
-    scored = _dsir_scored(spark, sf_dir).cache()
+    # GC-scoped materialization (not .cache(): a registered query must
+    # leave no residual CacheManager entry behind, r8 ADVICE)
+    scored = _dsir_scored(spark, sf_dir).localCheckpoint(eager=True)
     lo, hi = scored.agg(F.min("score_micro"), F.max("score_micro")).first()
     if lo is None:
         lo, hi = 0, 0

@@ -45,11 +45,15 @@ _SQL_SH_DUCK = f"list_distinct({DUCK_SHINGLES})"
 
 
 def _sh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # read 3x (prefix build + both verification joins); eager
+    # localCheckpoint materializes once and is GC-scoped, so a long-lived
+    # session never accumulates CacheManager entries (graph_rank pattern —
+    # a plain .cache() here leaked storage until unpersist, r8 ADVICE).
     return (
         _docs(spark, sf_dir)
         .withColumn("tokens", F.expr(SPARK_TOKENS))
         .selectExpr("doc_id", f"{_SQL_SH_SPARK} AS shingles")
-        .cache()
+        .localCheckpoint(eager=True)
     )
 
 

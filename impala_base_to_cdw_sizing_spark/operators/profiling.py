@@ -176,7 +176,9 @@ def q_equidepth_histogram_segmented(spark: SparkSession, sf_dir: str) -> DataFra
             "o_orderkey",
             F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("_cents"),
         )
-        .cache()
+        # GC-scoped materialization (not .cache(): a registered query must
+        # leave no residual CacheManager entry behind, r8 ADVICE)
+        .localCheckpoint(eager=True)
     )
     lo, hi = orders.agg(F.min("_cents"), F.max("_cents")).first()
     if lo is None:

@@ -15,12 +15,38 @@ _ORACLES: dict[str, str] = {}
 
 # Secondary tier: oracle-verified by pytest (tests/test_extra_tier.py runs
 # the same Spark-vs-DuckDB comparator), but NOT part of the declared
-# driver contract — the driver's correctness report holds at most 50
-# entries, so near-duplicate formulations (a second dialect of the same
-# oracle, metric companions of an operator already checked) live here to
-# keep every *distinct* operator family inside the driver-checked set.
+# driver contract — near-duplicate formulations (a second dialect of the
+# same oracle, metric companions of an operator already checked) live here
+# to keep every *distinct* operator family inside the driver-checked set.
 _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _EXTRA_ORACLES: dict[str, str] = {}
+
+# Flagships promoted from the extra tier into the declared driver contract
+# (r8 verdict task 1): the strongest LLM-pipeline operators move under the
+# driver's hard CORRECTNESS gate. They stay registered via register_extra()
+# in their home modules; queries()/oracle_sql() hoist them and
+# extra_queries()/extra_oracle_sql() exclude them, so each name lives in
+# exactly one tier. Order here IS report order (right after the 11 sizing
+# rows), keeping the promoted names inside the first 50 rows even if the
+# driver report truncates.
+PROMOTED: tuple[str, ...] = (
+    "dedup_prefixfilter",
+    "dedup_substring",
+    "dedup_substring_spans",
+    "dedup_semantic",
+    "sim_pq_refine",
+    "sim_binary_hamming",
+    "sim_mmr_rerank",
+    "text_bm25_topk",
+    "text_pmi_collocations",
+    "sketch_kmv_distinct",
+    "rel_gini",
+    "rel_incremental_join_view",
+    "mm_phash_neardup",
+    "graph_ppr",
+    "rel_funnel_window",
+    "sample_reservoir_merged",
+)
 
 
 def register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None) -> None:
@@ -122,19 +148,23 @@ def _load_providers() -> None:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_providers()
-    return dict(_QUERIES)
+    out = {name: _EXTRA_QUERIES[name] for name in PROMOTED}
+    out.update(_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
     _load_providers()
-    return dict(_ORACLES)
+    out = {name: _EXTRA_ORACLES[name] for name in PROMOTED}
+    out.update(_ORACLES)
+    return out
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_providers()
-    return dict(_EXTRA_QUERIES)
+    return {k: v for k, v in _EXTRA_QUERIES.items() if k not in PROMOTED}
 
 
 def extra_oracle_sql() -> dict[str, str]:
     _load_providers()
-    return dict(_EXTRA_ORACLES)
+    return {k: v for k, v in _EXTRA_ORACLES.items() if k not in PROMOTED}

@@ -80,6 +80,27 @@ def test_no_query_unpersists_an_unmaterialized_cache(spark):
     )
 
 
+def test_r8_segmented_and_prefixfilter_leave_no_cache_entries(spark):
+    """r8 ADVICE: the prefix-filter shingle frame and the two segmented
+    bounds-lookup frames (equidepth histogram, DSIR importance) used
+    ``cache()`` without unpersist — residual CacheManager entries for the
+    life of the session. They are now GC-scoped localCheckpoints; running
+    each query end-to-end must leave the CacheManager empty."""
+    spark.catalog.clearCache()
+    qs = {**ent.queries(), **ent.extra_queries()}
+    for name in [
+        "dedup_prefixfilter",
+        "dedup_prefixfilter_stats",
+        "rel_equidepth_histogram",
+        "sample_importance",
+    ]:
+        qs[name](spark, SF_SMALL).collect()
+    assert _cached_plans(spark) == 0, (
+        "registered queries must not leave residual cache entries "
+        "(use GC-scoped localCheckpoint for bounds-lookup frames)"
+    )
+
+
 def test_plan_keyed_caches_are_flat_across_repeat_runs(spark):
     """The dedup family's shared MinHash cache is plan-keyed: a second
     run of the same query must hit the same entry, so the cache-entry
