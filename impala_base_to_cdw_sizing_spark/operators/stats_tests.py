@@ -17,10 +17,16 @@ floats until the final display division):
     χ²_micro = Σ cell − N · 10^6
 
 obs² · 10^6 and row·col both stay far under 2^63 at every tested sf
-(obs ≤ ~3·10^5 at sf3); per-cell truncation is < 1 micro-unit, so the
-statistic is exact to ~cells·N·10^-6 — and, more importantly,
-bit-identical cross-engine because both engines execute the same
-integer DIV sequence. At petabyte counts the same sequence upgrades to
+(obs ≤ ~3·10^5 at sf3); per-cell truncation is < 1 micro-unit and
+strictly DOWNWARD, so the true statistic lies in
+[chi2, chi2 + cells·N·10^-6] — reported as ``chi2_err_bound``, and the
+``reject_independence_05`` decision is three-valued: TRUE only when the
+understated χ² already clears the critical value, FALSE only when even
+χ² + bound stays below it, NULL in the indeterminate window (r8 ADVICE:
+at ~10^6+ events × ~120 cells the bias approaches the df=115 critical
+value, so an unbounded decision could silently flip). Bit-identical
+cross-engine because both engines execute the same integer DIV
+sequence. At petabyte counts the same sequence upgrades to
 DECIMAL(38,0) verbatim.
 
 The 5% critical value is resolved from a small broadcast dimension of
@@ -92,6 +98,7 @@ def chi2_from_cells(spark: SparkSession, cells: DataFrame) -> DataFrame:
         F.sum("obs").cast("long").alias("n_total"),
         F.countDistinct("event_type").cast("long").alias("n_types"),
         F.countDistinct("hod").cast("long").alias("n_hods"),
+        F.count("*").cast("long").alias("n_cells"),
         F.sum("q1_micro").cast("long").alias("sum_q1_micro"),
     ).selectExpr(
         "n_total",
@@ -100,16 +107,27 @@ def chi2_from_cells(spark: SparkSession, cells: DataFrame) -> DataFrame:
         "(n_types - 1) * (n_hods - 1) AS dof",
         f"sum_q1_micro * n_total - n_total * CAST({_MICRO} AS BIGINT)"
         " AS chi2_micro",
+        # each q1_micro floors by < 1 micro-unit, so the TRUE statistic
+        # lies in [chi2_micro, chi2_micro + n_cells·N) — a one-sided bound
+        "n_cells * n_total AS err_micro",
     )
     # chi2 = N·Σ(obs²/(row·col)) − N, so Σq1·N − N·1e6 IS χ²·1e6 —
-    # q1 summed first, then ·N: identical association order both engines
+    # q1 summed first, then ·N: identical association order both engines.
+    # The decision is only emitted when the one-sided truncation bound
+    # cannot flip it (r8 ADVICE: at ~10^6+ events the bias approaches the
+    # critical value): reject TRUE needs chi2_micro > crit alone (the
+    # computed value UNDERstates), fail-to-reject needs
+    # chi2_micro + err_micro <= crit, the in-between window is NULL.
     return (
         summary.selectExpr(
             "n_total",
             "n_types",
             "n_hods",
             "dof",
+            "chi2_micro",
+            "err_micro",
             f"CAST(chi2_micro AS DOUBLE) / {_MICRO}.0 AS chi2",
+            f"CAST(err_micro AS DOUBLE) / {_MICRO}.0 AS chi2_err_bound",
         )
         .join(F.broadcast(crit), "dof", "left")
         .selectExpr(
@@ -118,9 +136,14 @@ def chi2_from_cells(spark: SparkSession, cells: DataFrame) -> DataFrame:
             "n_hods",
             "dof",
             "chi2",
+            "chi2_err_bound",
             "crit_05",
             "CASE WHEN crit_05 IS NULL THEN NULL"
-            " ELSE chi2 > crit_05 END AS reject_independence_05",
+            f" WHEN chi2_micro > CAST(floor(crit_05 * {_MICRO} + 0.5) AS BIGINT)"
+            " THEN TRUE"
+            f" WHEN chi2_micro + err_micro <= CAST(floor(crit_05 * {_MICRO} + 0.5) AS BIGINT)"
+            " THEN FALSE"
+            " ELSE NULL END AS reject_independence_05",
         )
     )
 
@@ -154,22 +177,30 @@ summary AS (
   SELECT n_total, n_types, n_hods,
     (n_types - 1) * (n_hods - 1) AS dof,
     sum_q1_micro * n_total - n_total * CAST({_MICRO} AS BIGINT)
-      AS chi2_micro
+      AS chi2_micro,
+    n_cells * n_total AS err_micro
   FROM (
     SELECT CAST(SUM(obs) AS BIGINT) AS n_total,
       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
       CAST(COUNT(DISTINCT hod) AS BIGINT) AS n_hods,
+      CAST(COUNT(*) AS BIGINT) AS n_cells,
       CAST(SUM(q1_micro) AS BIGINT) AS sum_q1_micro
     FROM joined
   )
 ),
 crit AS ({_SQL_CRIT})
-SELECT n_total, n_types, n_hods, dof, chi2, crit_05,
-  CASE WHEN crit_05 IS NULL THEN NULL ELSE chi2 > crit_05 END
-    AS reject_independence_05
+SELECT n_total, n_types, n_hods, dof, chi2, chi2_err_bound, crit_05,
+  CASE WHEN crit_05 IS NULL THEN NULL
+    WHEN chi2_micro > CAST(floor(crit_05 * {_MICRO} + 0.5) AS BIGINT)
+      THEN TRUE
+    WHEN chi2_micro + err_micro
+        <= CAST(floor(crit_05 * {_MICRO} + 0.5) AS BIGINT)
+      THEN FALSE
+    ELSE NULL END AS reject_independence_05
 FROM (
-  SELECT n_total, n_types, n_hods, dof,
-    CAST(chi2_micro AS DOUBLE) / {_MICRO}.0 AS chi2
+  SELECT n_total, n_types, n_hods, dof, chi2_micro, err_micro,
+    CAST(chi2_micro AS DOUBLE) / {_MICRO}.0 AS chi2,
+    CAST(err_micro AS DOUBLE) / {_MICRO}.0 AS chi2_err_bound
   FROM summary
 ) LEFT JOIN crit USING (dof)
 """
@@ -209,6 +240,11 @@ def benford_from_digit_counts(
     sample accepts, the corpus's uniform prices reject, and both are
     pinned in tests rather than assumed.
 
+    The probs dimension is the LEFT side of the join, so a first digit
+    with zero observations still contributes its full
+    (0 − n_expected)²/n_expected term (r8 ADVICE — an inner join
+    silently dropped the digit and understated χ² on degenerate input).
+
     Arithmetic: expected count = (N · p_micro) DIV 10^6 (BIGINT);
     per-digit contribution = (diff² · 10^3) DIV expected — MILLI units,
     not micro, so diff² · scale stays far under 2^63 even at 10^7 rows
@@ -219,8 +255,16 @@ def benford_from_digit_counts(
         [(str(d), p) for d, p in sorted(_BENFORD_MICRO.items())],
         "digit STRING, p_micro BIGINT",
     )
+    # LEFT join FROM the 9-row probs dimension (r8 ADVICE): a first digit
+    # with zero observations must still contribute (0 − n_expected)²/n_e,
+    # otherwise χ² is understated for degenerate inputs.
     per_digit = (
-        counts.join(F.broadcast(probs), "digit")
+        probs.join(F.broadcast(counts), "digit", "left")
+        .selectExpr(
+            "digit",
+            "p_micro",
+            "COALESCE(n_obs, CAST(0 AS BIGINT)) AS n_obs",
+        )
         .crossJoin(
             F.broadcast(counts.agg(F.sum("n_obs").cast("long").alias("n_total")))
         )
@@ -267,10 +311,10 @@ WITH counts AS (
 ),
 probs AS ({_SQL_BENFORD_PROBS}),
 per_digit AS (
-  SELECT c.digit, c.n_obs,
+  SELECT p.digit, COALESCE(c.n_obs, CAST(0 AS BIGINT)) AS n_obs,
     (t.n_total * p.p_micro) // 1000000 AS n_expected
-  FROM counts c
-  JOIN probs p USING (digit)
+  FROM probs p
+  LEFT JOIN counts c USING (digit)
   CROSS JOIN (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM counts) t
 ),
 contrib AS (

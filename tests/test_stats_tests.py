@@ -65,6 +65,56 @@ def test_chi2_accepts_on_independent_fixture(spark):
     assert abs(row.chi2) < 0.01
 
 
+def test_chi2_null_in_indeterminate_window(spark):
+    """r8 ADVICE: the per-cell floor is downward-biased by up to
+    cells·N·10^-6 χ² units; when the computed statistic sits below the
+    critical value but within that bound of it, the decision could flip
+    and must be NULL, not a confident FALSE. 2×2 at N = 10^6 gives a
+    4-unit-wide window, so a mild association (χ² ≈ 2.56 < 3.841 <
+    2.56 + 4) lands inside it. The fixture also demonstrates the bias is
+    REAL, not theoretical: the per-cell floors eat the entire statistic
+    (computed χ² = 0.0 where the float reference says 2.56), so without
+    the bound the decision would read as a confident FALSE off a number
+    that is 2.56 too low."""
+    cells = {
+        ("a", 0): 250_400, ("a", 1): 249_600,
+        ("b", 0): 249_600, ("b", 1): 250_400,
+    }
+    ref, _, _, _ = _chi2_float(cells)
+    assert 2.0 < ref < 3.841  # true statistic: inside the window
+    row = ST.chi2_from_cells(spark, _cells_df(spark, cells)).collect()[0]
+    assert row.dof == 1
+    assert row.chi2 <= ref <= row.chi2 + row.chi2_err_bound
+    assert row.chi2_err_bound == 4.0  # 4 cells · 10^6 rows · 10^-6
+    assert row.reject_independence_05 is None
+
+
+def test_benford_degenerate_input_counts_absent_digits(spark):
+    """r8 ADVICE: a first digit with zero observations must contribute
+    its full (0 − n_expected)²/n_expected term. All-nines input: 8 of 9
+    digits are absent, yet all 9 rows come back and χ² replicates the
+    pure-python left-join arithmetic (the old inner join dropped the 8
+    absent digits and understated χ² by their entire expected mass)."""
+    n = 10_000
+    rows = ST.benford_from_digit_counts(
+        spark, _digit_counts_df(spark, {"9": n})
+    ).collect()
+    assert len(rows) == 9
+    chi2_milli = 0
+    for d, p in ST._BENFORD_MICRO.items():
+        exp = (n * p) // 1_000_000
+        obs = n if d == 9 else 0
+        chi2_milli += ((obs - exp) * (obs - exp) * 1000) // exp
+    for r in rows:
+        assert r.chi2 == chi2_milli / 1000.0
+        assert r.reject_benford_05 is True
+    by_d = {r.digit: r for r in rows}
+    assert by_d["1"].n_obs == 0
+    assert by_d["1"].contrib_milli == (
+        by_d["1"].n_expected * 1000  # (0-e)²·1000 DIV e == e·1000 exactly
+    )
+
+
 def _digit_counts_df(spark, counts):
     return spark.createDataFrame(
         [(d, n) for d, n in sorted(counts.items())],
