@@ -33,21 +33,26 @@ def main(argv: list[str]) -> int:
     from .sources.files import read_query_history_csv
 
     params = parse_conf(argv[1])
-    if not params.input_file:
-        print("ERROR: API mode requires network access; set input_file for replay")
+    if not params.input_file and not params.cm_url:
+        print("ERROR: set input_file (EP2 replay) or cm_url (EP1 API mode)")
         return 1
 
-    spark = build_spark("sizing-replay")
     from pyspark.sql import functions as F
 
-    from .plans.pipeline import prepare_query_history
+    from .plans.pipeline import prepare_query_history, run_api_sizing
 
-    # replay rows use ISO string timestamps; the shared boundary adapter
-    # projects the engine's epoch-millis interval columns and a
-    # deterministic shuffle-free seq (xxhash64(query_id)) so replay and
-    # API ingest order ties identically regardless of input partitioning
-    qh = prepare_query_history(read_query_history_csv(spark, params.input_file))
-    result = run_sizing(qh, params)
+    if params.input_file:
+        spark = build_spark("sizing-replay")
+        # replay rows use ISO string timestamps; the shared boundary
+        # adapter projects the engine's epoch-millis interval columns and
+        # a deterministic shuffle-free seq (xxhash64(query_id)) so replay
+        # and API ingest order ties identically regardless of input
+        # partitioning
+        qh = prepare_query_history(read_query_history_csv(spark, params.input_file))
+        result = run_sizing(qh, params)
+    else:
+        spark = build_spark("sizing-api")
+        result = run_api_sizing(spark, params)
 
     if params.output_file:
         kept24 = _project24(classify(result.routed.kept))

@@ -58,6 +58,39 @@ def prepare_query_history(flat: DataFrame) -> DataFrame:
     )
 
 
+def run_api_sizing(
+    spark,
+    params: SizingParams,
+    fetcher=None,
+    segmented_sweep: bool = True,
+) -> SizingResult:
+    """EP1: the reference's API-mode program (``impala_query_sizing.py:
+    309-341``) — paged CM fetch → flatten → the shared sizing pipeline.
+
+    ``fetcher`` is injectable (tests drive a loopback ``http.server``);
+    by default it is the production ``requests_fetcher`` built from the
+    params' CM connection fields. Everything downstream of the flatten is
+    the SAME code path as EP2 replay, so EP1 ≡ EP2 on equivalent data is
+    structural — pinned end-to-end in tests/test_ep1_e2e.py.
+    """
+    from ..sources.cm_api import (
+        flatten_api_docs,
+        load_api_queries,
+        requests_fetcher,
+    )
+
+    if fetcher is None:
+        fetcher = requests_fetcher(
+            params.cm_url, params.cluster_name,
+            params.user_name, params.password,
+        )
+    docs = load_api_queries(
+        spark, fetcher, params.from_date, params.to_date, params.pool or None
+    )
+    qh = prepare_query_history(flatten_api_docs(docs))
+    return run_sizing(qh, params, segmented_sweep=segmented_sweep)
+
+
 def run_sizing(
     query_history: DataFrame,
     params: SizingParams,

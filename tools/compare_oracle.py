@@ -6,9 +6,17 @@ row count, column names, and exact values (column-name-sorted,
 row-sorted) — strictly stronger than the driver's order-insensitive
 value hash, so passing here implies passing there.
 
-Usage: python tools/compare_oracle.py [--extra] [sf_dir] [query_name ...]
+Usage: python tools/compare_oracle.py [--extra | --all] [--ansi]
+       [--partitions=N] [--master=local[N]] [sf_dir] [query_name ...]
 ``--extra`` checks the pytest-verified extra tier (extra_queries()) instead
-of the declared contract.
+of the declared contract; ``--all`` checks both tiers in one session.
+``--ansi`` runs Spark with spark.sql.ansi.enabled=true (r8 verdict #3:
+the integer micro/nano arithmetic rides close to 2^63 — under default
+non-ANSI Spark an overflow wraps SILENTLY; ANSI mode turns every wrap
+into an error so the sweep proves no query depends on one).
+``--partitions`` / ``--master`` override the session shape (r8 verdict
+#4: oracle equality at every shuffle width / core count proves every
+float-adjacent agg is order-independent).
 """
 
 from __future__ import annotations
@@ -87,8 +95,22 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--extra"]
-    extra = "--extra" in sys.argv[1:]
+    raw = sys.argv[1:]
+    extra = "--extra" in raw
+    both = "--all" in raw
+    ansi = "--ansi" in raw
+    partitions = None
+    master = None
+    args = []
+    for a in raw:
+        if a in ("--extra", "--all", "--ansi"):
+            continue
+        if a.startswith("--partitions="):
+            partitions = int(a.split("=", 1)[1])
+        elif a.startswith("--master="):
+            master = a.split("=", 1)[1]
+        else:
+            args.append(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -98,9 +120,18 @@ def main() -> int:
         _QH_MEMO as _qh_memo,
     )
 
-    spark = build_spark("oracle-parity")
+    extra_conf = {"spark.sql.ansi.enabled": "true"} if ansi else None
+    spark = build_spark(
+        "oracle-parity",
+        master=master,
+        shuffle_partitions=partitions,
+        extra_conf=extra_conf,
+    )
     con = duck_connection(sf_dir)
-    if extra:
+    if both:
+        qs = {**ent.queries(), **ent.extra_queries()}
+        oracles = {**ent.oracle_sql(), **ent.extra_oracle_sql()}
+    elif extra:
         qs, oracles = ent.extra_queries(), ent.extra_oracle_sql()
     else:
         qs, oracles = ent.queries(), ent.oracle_sql()

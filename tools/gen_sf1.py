@@ -33,7 +33,25 @@ Design rules (no RNG anywhere — the output is a pure function of sf0.1):
   stay the sf0.1 size instead of gaining 9 clones each (which would
   make pair outputs quadratic in the copy count).
 
-Usage: python tools/gen_sf1.py [--copies N] [--src DIR] [--out DIR]
+Skew mode (``--skew``, r8 verdict #2): the uniform key-stride copies keep
+per-key group sizes constant, but real 100 TB corpora are Zipfian. With
+the flag, four deterministic hot keys are injected AFTER the copy
+transform (conditions on the SHIFTED global ids, so every copy carries
+the same hot fraction and the dataset remains a pure function of sf0.1):
+
+- events: ~50% of rows get ``event_type = 'click'`` (event_id % 2 == 0)
+  — one pool carries half of query_history (pool == event_type in
+  sources/synthetic.py), stressing pool-grouped aggs and the sweep;
+- events: ~30% of rows get ``user_id = 0`` (event_id % 10 < 3) — one
+  user dominates sessionization/funnels/per-user windows;
+- documents: ~20% of docs (doc_id % 5 == 0) get a shared leading
+  3-word phrase — one hot shingle with df = 0.2·corpus, the quadratic
+  hazard for inverted-index candidate generation;
+- embeddings: ~25% of vectors (vec_id % 4 == 0) collapse onto one
+  dominant direction (basis e0 + small per-row deterministic offset) —
+  one hot IVF/LSH cell for the ANN/semantic-dedup family.
+
+Usage: python tools/gen_sf1.py [--copies N] [--skew] [--src DIR] [--out DIR]
 """
 
 from __future__ import annotations
@@ -98,7 +116,47 @@ def _perturb_text(text: str, copy: int) -> str:
     )
 
 
-def _copy_frame(pdf: pd.DataFrame, table: str, copy: int, st: dict[str, int]) -> pd.DataFrame:
+_HOT_PHRASE = "hotshingle alpha beta "
+
+
+def _apply_skew(out: pd.DataFrame, table: str) -> pd.DataFrame:
+    """Deterministic Zipf-ish hot keys, conditioned on the global ids."""
+    if table == "events":
+        eid = out["event_id"].to_numpy()
+        et = out["event_type"].to_numpy(dtype=object, copy=True)
+        et[eid % 2 == 0] = "click"  # one pool ~50% of query_history
+        out["event_type"] = et
+        uid = out["user_id"].to_numpy(copy=True)
+        uid[eid % 10 < 3] = 0  # one user ~30% of events
+        out["user_id"] = uid
+    elif table == "documents":
+        did = out["doc_id"].to_numpy()
+        hot = did % 5 == 0  # one shingle in ~20% of documents
+        out["text"] = [
+            _HOT_PHRASE + t if h else t for t, h in zip(out["text"], hot)
+        ]
+        out["n_chars"] = [len(t) for t in out["text"]]
+    elif table == "embeddings":
+        vid = out["vec_id"].to_numpy()
+        mat = np.stack(out["embedding"].to_numpy()).copy()
+        hot = vid % 4 == 0  # one dominant cluster ~25% of vectors
+        dim = mat.shape[1]
+        hot_ids = vid[hot]
+        cluster = np.zeros((hot.sum(), dim), dtype=mat.dtype)
+        cluster[:, 0] = 1.0
+        # small per-row deterministic offset keeps rows distinct (exact
+        # dedup must not collapse the cluster) while cosines stay ~1
+        cluster[np.arange(hot.sum()), (hot_ids * 13) % dim] += (
+            0.01 * ((hot_ids % 7) + 1)
+        ).astype(mat.dtype)
+        mat[hot] = cluster
+        out["embedding"] = list(mat)
+    return out
+
+
+def _copy_frame(
+    pdf: pd.DataFrame, table: str, copy: int, st: dict[str, int], skew: bool = False
+) -> pd.DataFrame:
     out = pdf.copy(deep=False)
     for col in out.columns:
         ref = STRIDES.get(col) or FK_COLS.get(col)
@@ -110,10 +168,12 @@ def _copy_frame(pdf: pd.DataFrame, table: str, copy: int, st: dict[str, int]) ->
     if table == "embeddings" and copy > 0:
         mat = np.stack(pdf["embedding"].to_numpy())
         out["embedding"] = list(np.roll(mat, (7 * copy) % mat.shape[1], axis=1))
+    if skew:
+        out = _apply_skew(out, table)
     return out
 
 
-def generate(src: str, out_dir: str, copies: int) -> None:
+def generate(src: str, out_dir: str, copies: int, skew: bool = False) -> None:
     os.makedirs(out_dir, exist_ok=True)
     st = _strides(src)
     for table in ["region", "nation"]:
@@ -130,21 +190,23 @@ def generate(src: str, out_dir: str, copies: int) -> None:
         try:
             for c in range(copies):
                 chunk = pa.Table.from_pandas(
-                    _copy_frame(pdf, table, c, st), schema=schema, preserve_index=False
+                    _copy_frame(pdf, table, c, st, skew=skew),
+                    schema=schema, preserve_index=False,
                 )
                 writer.write_table(chunk)
         finally:
             writer.close()
-        print(f"{table}: {len(pdf)} x {copies} rows written")
+        print(f"{table}: {len(pdf)} x {copies} rows written" + (" (skewed)" if skew else ""))
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--skew", action="store_true")
     ap.add_argument("--src", default=SRC_DEFAULT)
     ap.add_argument("--out", default=OUT_DEFAULT)
     a = ap.parse_args()
-    generate(a.src, a.out, a.copies)
+    generate(a.src, a.out, a.copies, skew=a.skew)
 
 
 if __name__ == "__main__":
