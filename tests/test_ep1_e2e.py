@@ -238,6 +238,7 @@ def test_ep1_full_program_equals_ep2_on_equivalent_data(
             res.sweep_events.unpersist()
 
 
+@pytest.mark.slow  # subprocess JVM — release-gate tier (r8 verdict #8)
 def test_ep1_cli_over_loopback(corpus_server, tmp_path):
     """The CLI surface in API mode (A1+A2 conf parse incl. the base64
     pfile secret, EP1 ingest, the three sinks, the printed reports) —

@@ -9,6 +9,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # release-gate tier (r8 verdict #8)
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from tests.conftest import SF_SMALL  # noqa: E402

@@ -5,6 +5,10 @@ row per user, three numbers each)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # release-gate tier (r8 verdict #8)
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL

@@ -7,6 +7,10 @@ just in BASELINE.md prose."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # release-gate tier (r8 verdict #8)
+
 from impala_base_to_cdw_sizing_spark.streaming.loadgen import (
     run_heavyhitters_load,
     run_neardup_load,

@@ -23,7 +23,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        # tolerate suffixed dirs like .testdata/sf1skew
+        tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        sf = float(tail.rstrip("abcdefghijklmnopqrstuvwxyz"))
+    except ValueError:
+        sf = -1.0
 
     import __spark_entry__ as ent
     from impala_base_to_cdw_sizing_spark.session import build_spark
