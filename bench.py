@@ -96,6 +96,15 @@ def main() -> None:
         name: min(p[name] for p in passes) for name in passes[0]
     }
     total = round(sum(timings.values()), 3)
+    # the declared tier widened from 50 to 66 queries in r9 (flagship
+    # promotion); the r1-comparable number for the ≤2x baseline gate is
+    # the subtotal over the original registry — everything except the
+    # promoted names (BASELINE.md records both)
+    from impala_base_to_cdw_sizing_spark.operators.queries_ext import PROMOTED
+
+    legacy50 = round(
+        sum(t for n, t in timings.items() if n not in PROMOTED), 3
+    )
     print(
         json.dumps(
             {
@@ -103,6 +112,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "legacy50_total": legacy50,
                 "sf": sf,
                 "reps": reps,
             }

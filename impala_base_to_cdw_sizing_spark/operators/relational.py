@@ -506,6 +506,26 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof PRIMARY form (r9: the skewed gate measured the
+    single per-user window at α≈1.0 when one user holds ~30% of events).
+    Session flags come from ``segmented.sessionize_flags`` — per-(user,
+    week-bucket) local lag + per-user carry over the tiny bucket
+    summary — then the same partial-agg rollup. Bit-equal to the
+    sequential twin (integer ns flags) against the SAME oracle."""
+    from .segmented import sessionize_flags
+
+    ev = _load_events(spark, sf_dir).select("user_id", "ts", "event_id")
+    return (
+        sessionize_flags(ev, _GAP_NS)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("new_session").alias("n_sessions"),
+        )
+    )
+
+
 SQL_SESSIONIZE = f"""
 SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions
 FROM (
@@ -774,7 +794,11 @@ def register_all() -> None:
     register("rel_semi_anti", q_semi_anti, SQL_SEMI_ANTI)
     register("rel_topk_per_group", q_topk_per_group, SQL_TOPK)
     register("rel_setops", q_setops, SQL_SETOPS)
-    register("rel_sessionize", q_sessionize, SQL_SESSIONIZE)
+    # segmented is the PRIMARY (r9 skewed gate: the one-window form
+    # serializes a hot user); the sequential twin stays against the SAME
+    # oracle so parity doubles as the segmented≡sequential proof.
+    register("rel_sessionize", q_sessionize_segmented, SQL_SESSIONIZE)
+    register_extra("rel_sessionize_sequential", q_sessionize, SQL_SESSIONIZE)
     # pytest-verified tier (driver report caps at 50 rows): ROLLUP is the
     # special case of rel_grouping_sets; the hourly time-bucket agg is
     # covered by events_rollup_cascade's cascading time grains

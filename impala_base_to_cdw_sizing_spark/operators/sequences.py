@@ -260,7 +260,51 @@ def register_all() -> None:
     register_extra(
         "rel_cumulative_distinct", q_cumulative_distinct, SQL_CUMULATIVE_DISTINCT
     )
-    register_extra("rel_session_stats", q_session_stats, SQL_SESSION_STATS)
+    # segmented primary (r9 skewed gate) + sequential twin, same oracle
+    register_extra(
+        "rel_session_stats", q_session_stats_segmented, SQL_SESSION_STATS
+    )
+    register_extra(
+        "rel_session_stats_sequential", q_session_stats, SQL_SESSION_STATS
+    )
+
+
+def q_session_stats_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof PRIMARY form (r9 skewed gate): flags AND session ids
+    from ``segmented.sessionize_flags(with_session_id=True)`` — per-
+    (user, week-bucket) local windows plus a per-user carry over the
+    tiny bucket summary, so a user holding 30% of the corpus spreads
+    across buckets instead of serializing one task. The session-level
+    rollup is unchanged (group keys include session_id; map-side combine
+    absorbs even the hot user's giant sessions). Bit-equal to the
+    sequential twin against the SAME oracle — integer flag/rank
+    arithmetic throughout."""
+    from .relational import _GAP_NS
+    from .segmented import sessionize_flags
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id")
+    sessions = (
+        sessionize_flags(ev, _GAP_NS, with_session_id=True)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.max("ts") - F.min("ts")).cast("long").alias("dur_ns"),
+        )
+    )
+    return sessions.groupBy("n_events").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.min("dur_ns").cast("long").alias("min_dur_ns"),
+        F.max("dur_ns").cast("long").alias("max_dur_ns"),
+        F.sum("dur_ns").cast("long").alias("sum_dur_ns"),
+    ).selectExpr(
+        "n_events",
+        "n_sessions",
+        "min_dur_ns",
+        "max_dur_ns",
+        "sum_dur_ns",
+        "CAST(sum_dur_ns AS DOUBLE) / CAST(n_sessions AS DOUBLE)"
+        " AS avg_dur_ns",
+    )
 
 
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,7 +88,8 @@ def test_materialized_shared_subplans_serve_from_checkpoint(spark):
     SHOW the materialized scan (``Scan ExistingRDD``) — proving the
     multi-read pipeline is served from the materialization, not
     recomputed per read (the dead-cache failure mode)."""
-    qs = ent.extra_queries()
+    # substring dedup was promoted to the declared tier in r9
+    qs = {**ent.queries(), **ent.extra_queries()}
     for name in ["dedup_containment", "dedup_substring", "dedup_substring_spans"]:
         plan = qs[name](spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
         a = audit_plan(plan)
