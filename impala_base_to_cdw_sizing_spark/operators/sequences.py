@@ -267,6 +267,8 @@ def register_all() -> None:
     register_extra(
         "rel_session_stats_sequential", q_session_stats, SQL_SESSION_STATS
     )
+    register_extra("rel_rolling_median", q_rolling_median, SQL_ROLLING_MEDIAN)
+    register_extra("rel_acf_hourly", q_acf_hourly, SQL_ACF_HOURLY)
 
 
 def q_session_stats_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,4 +390,195 @@ FROM (
     CAST(SUM(dur_ns) AS BIGINT) AS sum_dur_ns
   FROM sessions GROUP BY 1
 )
+"""
+
+
+# --- exact rolling median (late r9) ------------------------------------------
+
+_MEDIAN_WINDOW_DAYS = 7
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling MEDIAN of daily event counts per event_type —
+    the robust-smoothing window Spark has no built-in for (percentile
+    window functions don't exist; approx_percentile isn't exact and
+    can't window).
+
+    The rewrite: RANGE window (6 preceding days .. current) collecting
+    the BIGINT daily counts, sort the array, index the middle —
+    odd-size picks the middle element, even-size averages the two
+    middle ones. (a+b)/2.0 on 64-bit counts far below 2^52 is an exact
+    IEEE operation, so the median is bit-equal to DuckDB's
+    interpolated ``median()`` window aggregate.
+
+    Scale shape: the window runs over the (event_type, day) AGGREGATE —
+    one row per type per day, volume-bounded by the calendar, not the
+    event count — and partitions by event_type; the data-sized work is
+    the count group-by underneath, a plain shuffle agg. RANGE (not
+    ROWS) framing means calendar gaps shrink the window instead of
+    silently reaching further back in time.
+    """
+    daily = (
+        load_events(spark, sf_dir)
+        .selectExpr(
+            "event_type", f"CAST(ts DIV {86_400_000_000_000} AS BIGINT) AS day"
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-(_MEDIAN_WINDOW_DAYS - 1), 0)
+    )
+    return (
+        daily.withColumn("win", F.sort_array(F.collect_list("n_events").over(w)))
+        .selectExpr(
+            "event_type",
+            "day",
+            "n_events",
+            "CAST(size(win) AS BIGINT) AS n_in_window",
+            "CASE WHEN size(win) % 2 = 1"
+            " THEN CAST(element_at(win, CAST((size(win) + 1) DIV 2 AS INT))"
+            "   AS DOUBLE)"
+            " ELSE (CAST(element_at(win, CAST(size(win) DIV 2 AS INT))"
+            "   AS DOUBLE)"
+            " + CAST(element_at(win, CAST(size(win) DIV 2 + 1 AS INT))"
+            "   AS DOUBLE)) / 2.0 END AS rolling_median",
+        )
+    )
+
+
+SQL_ROLLING_MEDIAN = f"""
+WITH daily AS (
+  SELECT event_type,
+    CAST(epoch_ns(ts) // {86_400_000_000_000} AS BIGINT) AS day,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n_events,
+  CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window,
+  CAST(median(n_events) OVER w AS DOUBLE) AS rolling_median
+FROM daily
+WINDOW w AS (
+  PARTITION BY event_type ORDER BY day
+  RANGE BETWEEN {_MEDIAN_WINDOW_DAYS - 1} PRECEDING AND CURRENT ROW
+)
+"""
+
+
+# --- lag-k autocorrelation (late r9) -----------------------------------------
+
+_ACF_MAX_LAG = 12
+
+
+def q_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..12 autocorrelation of the hourly total-event-count series —
+    the seasonality detector (a daily cycle shows as structure across
+    the first 24 lags).
+
+    Exactness: the textbook ACF r_k = Σ(c_t−m)(c_{t+k}−m) / Σ(c_t−m)²
+    subtracts a float mean everywhere; multiplying through by n² keeps
+    it integral: with d_t = n·c_t − S (S = Σc, n = grid length, both
+    exact BIGINTs), r_k = Σ d_t·d_{t+k} / Σ d_t². The products go
+    through DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) (at 100 TB
+    d_t ~ n·c_max can pass 2^31·2^31, so BIGINT products would wrap;
+    the Gini/Lorenz precedent), the sums stay DECIMAL(38,0), and the
+    final ratio converts via the exact STRING route
+    (:func:`aggregates.dec_to_double_sql`) before one correctly-rounded
+    double division — bit-equal cross-engine at any magnitude.
+
+    The hour grid is dense from min to max observed hour with absent
+    hours as zero (generated, not assumed), so the series is a proper
+    time grid. Scale shape: everything after the hourly count group-by
+    operates on calendar-bounded frames (one row per hour); the lag
+    join is a bounded explode (≤ {_ACF_MAX_LAG} rows per hour) joined
+    back on the hour key.
+    """
+    hourly = (
+        load_events(spark, sf_dir)
+        .selectExpr(f"CAST(ts DIV {3_600_000_000_000} AS BIGINT) AS hr")
+        .groupBy("hr")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    span = hourly.agg(
+        F.min("hr").alias("hr_min"), F.max("hr").alias("hr_max")
+    )
+    grid = (
+        span.selectExpr("explode(sequence(hr_min, hr_max)) AS hr")
+        .join(hourly, "hr", "left")
+        .selectExpr("hr", "CAST(coalesce(c, 0) AS BIGINT) AS c")
+    )
+    tot = grid.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    d = grid.crossJoin(F.broadcast(tot)).selectExpr(
+        "hr", "CAST(n * c - s AS DECIMAL(19,0)) AS d", "n"
+    )
+    den = d.agg(F.sum(F.expr("d * d")).alias("den_dec"))
+    lagged = (
+        d.selectExpr(
+            "hr",
+            "d",
+            f"explode(sequence(CAST(1 AS BIGINT), CAST({_ACF_MAX_LAG} AS"
+            " BIGINT))) AS lag",
+        )
+        .selectExpr("hr + lag AS hr", "lag", "d AS d_lag")
+        .join(d.select("hr", "d"), "hr")
+        .groupBy("lag")
+        .agg(
+            F.sum(F.expr("d * d_lag")).alias("num_dec"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    return (
+        lagged.crossJoin(F.broadcast(den))
+        .selectExpr(
+            "lag",
+            "n_pairs",
+            "CAST(CAST(num_dec AS STRING) AS DOUBLE)"
+            " / CAST(CAST(den_dec AS STRING) AS DOUBLE) AS r_acf",
+        )
+        .orderBy("lag")
+    )
+
+
+SQL_ACF_HOURLY = f"""
+WITH hourly AS (
+  SELECT CAST(epoch_ns(ts) // {3_600_000_000_000} AS BIGINT) AS hr,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+span AS (
+  SELECT MIN(hr) AS hr_min, MAX(hr) AS hr_max FROM hourly
+),
+grid AS (
+  SELECT g.hr, CAST(coalesce(h.c, 0) AS BIGINT) AS c
+  FROM (SELECT UNNEST(range(hr_min, hr_max + 1)) AS hr FROM span) g
+  LEFT JOIN hourly h ON h.hr = g.hr
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+  FROM grid
+),
+d AS (
+  SELECT hr, CAST(n * c - s AS DECIMAL(19,0)) AS d
+  FROM grid CROSS JOIN tot
+),
+den AS (SELECT SUM(d * d) AS den_dec FROM d),
+lagged AS (
+  SELECT o.lag,
+    SUM(dl.d * dc.d) AS num_dec,
+    CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM d dl
+  CROSS JOIN (SELECT UNNEST(range(1, {_ACF_MAX_LAG + 1})) AS lag) o
+  JOIN d dc ON dc.hr = dl.hr + o.lag
+  GROUP BY 1
+)
+SELECT lag, n_pairs,
+  CAST(CAST(num_dec AS STRING) AS DOUBLE)
+    / CAST(CAST(den_dec AS STRING) AS DOUBLE) AS r_acf
+FROM lagged CROSS JOIN den
+ORDER BY lag
 """

@@ -1,0 +1,161 @@
+"""Pure-Python replication tests for the late-r9 trio: basket lift,
+exact rolling median, lag-k autocorrelation.
+
+Each test recomputes the operator from the raw parquet with Python
+integers (exact, order-free) and demands BIT-EQUAL doubles from the
+Spark plan — the same replication standard the det-ln/zipf/chi² tests
+set. The rolling-median gap fixture additionally pins the RANGE-frame
+semantics (calendar gaps shrink the window; ROWS framing would
+silently reach further back in time).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import duckdb
+import pytest
+
+from impala_base_to_cdw_sizing_spark.operators.basket import q_basket_lift
+from impala_base_to_cdw_sizing_spark.operators.sequences import (
+    _ACF_MAX_LAG,
+    _MEDIAN_WINDOW_DAYS,
+    q_acf_hourly,
+    q_rolling_median,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+_DAY_NS = 86_400_000_000_000
+_HR_NS = 3_600_000_000_000
+
+
+def _events():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, epoch_ns(ts), event_type FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_basket_lift_replicates_exact_integer_counts(spark):
+    rows = _events()
+    baskets = defaultdict(set)
+    for user_id, ts_ns, etype in rows:
+        baskets[(user_id, ts_ns // _DAY_NS)].add(etype)
+    n_baskets = len(baskets)
+    item_n = defaultdict(int)
+    pair_n = defaultdict(int)
+    for items in baskets.values():
+        for it in items:
+            item_n[it] += 1
+        s = sorted(items)
+        for i, a in enumerate(s):
+            for b in s[i + 1:]:
+                pair_n[(a, b)] += 1
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in q_basket_lift(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(pair_n)
+    for (a, b), r in got.items():
+        na, nb, nab = item_n[a], item_n[b], pair_n[(a, b)]
+        assert (r["n_a"], r["n_b"], r["n_ab"], r["n_baskets"]) == (
+            na, nb, nab, n_baskets,
+        )
+        # float(int)/float(int): both conversions and the division are
+        # correctly rounded IEEE ops — replicates the plan bit-for-bit
+        assert r["lift"] == float(n_baskets * nab) / float(na * nb)
+        assert r["support"] == float(nab) / float(n_baskets)
+        assert r["conf_a_to_b"] == float(nab) / float(na)
+
+
+def _py_rolling_median(daily: dict) -> dict:
+    out = {}
+    by_type = defaultdict(dict)
+    for (etype, day), n in daily.items():
+        by_type[etype][day] = n
+    for etype, days in by_type.items():
+        for day in days:
+            win = sorted(
+                n
+                for d, n in days.items()
+                if day - (_MEDIAN_WINDOW_DAYS - 1) <= d <= day
+            )
+            m = len(win)
+            med = (
+                float(win[(m - 1) // 2])
+                if m % 2 == 1
+                else (float(win[m // 2 - 1]) + float(win[m // 2])) / 2.0
+            )
+            out[(etype, day)] = (m, med)
+    return out
+
+
+def test_rolling_median_replicates(spark):
+    daily = defaultdict(int)
+    for user_id, ts_ns, etype in _events():
+        daily[(etype, ts_ns // _DAY_NS)] += 1
+    expect = _py_rolling_median(daily)
+    got = q_rolling_median(spark, SF_DIR).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        m, med = expect[(r["event_type"], r["day"])]
+        assert r["n_events"] == daily[(r["event_type"], r["day"])]
+        assert (r["n_in_window"], r["rolling_median"]) == (m, med)
+
+
+def test_rolling_median_range_frame_shrinks_over_gaps(spark, tmp_path):
+    """Days 0,1,2 then a gap to day 20: the day-20 window must contain
+    ONLY day 20 (RANGE semantics), not the last 7 observed rows."""
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM (VALUES
+            (1, TIMESTAMP '2024-01-01 00:00:00', 10, 'click', 1.0, ''),
+            (2, TIMESTAMP '2024-01-01 01:00:00', 10, 'click', 1.0, ''),
+            (3, TIMESTAMP '2024-01-02 00:00:00', 10, 'click', 1.0, ''),
+            (4, TIMESTAMP '2024-01-03 00:00:00', 10, 'click', 1.0, ''),
+            (5, TIMESTAMP '2024-01-21 00:00:00', 10, 'click', 1.0, '')
+          ) AS t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{tmp_path}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    rows = {
+        r["day"]: r for r in q_rolling_median(spark, str(tmp_path)).collect()
+    }
+    days = sorted(rows)
+    assert [rows[d]["n_in_window"] for d in days] == [1, 2, 3, 1]
+    # day 1 window = [2]; day 2 = [1,2] -> 1.5; day 3 = [1,1,2] -> 1;
+    # day 21 (post-gap) = [1] alone
+    assert [rows[d]["rolling_median"] for d in days] == [2.0, 1.5, 1.0, 1.0]
+
+
+def test_acf_hourly_replicates(spark):
+    hourly = defaultdict(int)
+    for user_id, ts_ns, etype in _events():
+        hourly[ts_ns // _HR_NS] += 1
+    lo, hi = min(hourly), max(hourly)
+    c = [hourly.get(h, 0) for h in range(lo, hi + 1)]
+    n, s = len(c), sum(c)
+    d = [n * x - s for x in c]
+    den = sum(x * x for x in d)
+    got = {r["lag"]: r for r in q_acf_hourly(spark, SF_DIR).collect()}
+    assert set(got) == set(range(1, _ACF_MAX_LAG + 1))
+    for k in range(1, _ACF_MAX_LAG + 1):
+        num = sum(d[t] * d[t + k] for t in range(n - k))
+        assert got[k]["n_pairs"] == n - k
+        # exact BIGINT/DECIMAL sums -> correctly-rounded doubles; the
+        # Python ints replicate the DECIMAL(38,0) sums exactly
+        assert got[k]["r_acf"] == float(num) / float(den)
+    # the hourly series has a strong daily cycle in the generator; at
+    # minimum the ACF must be a correlation (|r| <= 1) and lag-author
+    # degenerate witnesses (all equal) are excluded by den > 0
+    assert den > 0
+    assert all(abs(r["r_acf"]) <= 1.0 for r in got.values())
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-v"]))
