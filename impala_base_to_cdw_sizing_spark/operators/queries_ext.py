@@ -131,7 +131,7 @@ def _load_providers() -> None:
     sq.register_all()
     lm_quality.register_all()
 
-    from . import basket, binary_ann, mdm, mmr, phrase_search, ppjoin, rake, retrieval, sequences, sketch_sets, stats_tests, zipf
+    from . import basket, binary_ann, selection, mdm, mmr, phrase_search, ppjoin, rake, retrieval, sequences, sketch_sets, stats_tests, zipf
 
     retrieval.register_all()
     sketch_sets.register_all()
@@ -145,6 +145,7 @@ def _load_providers() -> None:
     zipf.register_all()
     mmr.register_all()
     basket.register_all()
+    selection.register_all()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -157,5 +157,57 @@ def test_acf_hourly_replicates(spark):
     assert all(abs(r["r_acf"]) <= 1.0 for r in got.values())
 
 
+
+def test_median_twopass_replicates_and_matches_percentile_cont(spark):
+    from impala_base_to_cdw_sizing_spark.operators.selection import (
+        q_median_twopass,
+    )
+
+    con = duckdb.connect()
+    cents = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT CAST(l_extendedprice * 100 AS BIGINT)"
+            f" FROM '{SF_DIR}/lineitem.parquet'"
+        ).fetchall()
+    )
+    qc = con.execute(
+        "SELECT quantile_cont(l_extendedprice, 0.5)"
+        f" FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchone()[0]
+    con.close()
+    n = len(cents)
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+    row = q_median_twopass(spark, SF_DIR).collect()[0]
+    assert (row["n"], row["k1"], row["k2"]) == (n, k1, k2)
+    assert (row["v_lo_cents"], row["v_hi_cents"]) == (
+        cents[k1 - 1], cents[k2 - 1],
+    )
+    assert row["median"] == float(cents[k1 - 1] + cents[k2 - 1]) / 200.0
+    # independent semantic witness: the two-pass selection IS
+    # PERCENTILE_CONT(0.5) of the dollar column
+    assert row["median"] == pytest.approx(float(qc), rel=0, abs=1e-9)
+
+
+def test_median_twopass_even_and_odd_fixtures(spark, tmp_path):
+    con = duckdb.connect()
+    for name, vals, want in [
+        ("even", [10.00, 20.00, 30.00, 40.00], 25.0),
+        ("odd", [10.00, 20.00, 30.00, 40.00, 50.00], 30.0),
+    ]:
+        d = tmp_path / name
+        d.mkdir()
+        rows = ", ".join(f"(CAST({v} AS DECIMAL(12,2)))" for v in vals)
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {rows}) AS t(l_extendedprice))"
+            f" TO '{d}/lineitem.parquet' (FORMAT PARQUET)"
+        )
+        from impala_base_to_cdw_sizing_spark.operators.selection import (
+            q_median_twopass,
+        )
+
+        row = q_median_twopass(spark, str(d)).collect()[0]
+        assert row["median"] == want, name
+    con.close()
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-v"]))
