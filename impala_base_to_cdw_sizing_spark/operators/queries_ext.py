@@ -131,7 +131,7 @@ def _load_providers() -> None:
     sq.register_all()
     lm_quality.register_all()
 
-    from . import basket, binary_ann, selection, mdm, mmr, phrase_search, ppjoin, rake, retrieval, sequences, sketch_sets, stats_tests, zipf
+    from . import basket, binary_ann, infotheory, selection, mdm, mmr, phrase_search, ppjoin, rake, retrieval, sequences, sketch_sets, stats_tests, zipf
 
     retrieval.register_all()
     sketch_sets.register_all()
@@ -146,6 +146,7 @@ def _load_providers() -> None:
     mmr.register_all()
     basket.register_all()
     selection.register_all()
+    infotheory.register_all()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
