@@ -52,7 +52,14 @@ def main(argv: list[str]) -> int:
         result = run_sizing(qh, params)
     else:
         spark = build_spark("sizing-api")
-        result = run_api_sizing(spark, params)
+        try:
+            result = run_api_sizing(spark, params)
+        except Exception as e:  # noqa: BLE001 — fail fast with a clear line
+            # the reference dies with a raw traceback on an unreachable
+            # CM host (urllib2 inside the page loop); the engine keeps
+            # the fail-fast contract but names the failure
+            print(f"ERROR: API fetch from {params.cm_url} failed: {e}")
+            return 1
 
     if params.output_file:
         kept24 = _project24(classify(result.routed.kept))

@@ -55,13 +55,17 @@ def test_oracle_sql_parses_in_duckdb():
             raise AssertionError(f"oracle {name} failed to plan: {e}") from e
 
 
-def test_cli_api_mode_requires_input_file(tmp_path: Path):
+def test_cli_api_mode_unreachable_host_fails_with_named_error(tmp_path: Path):
+    """API mode is a real program path since r9 (`run_api_sizing`); an
+    unreachable CM host must fail fast with a one-line named error, not
+    a raw traceback (the reference dies in urllib2 mid-page-loop). The
+    happy path over a live loopback server is tests/test_ep1_e2e.py."""
     conf = tmp_path / "api.conf"
-    conf.write_text("cm_url=https://example:7183\n")
+    conf.write_text("cm_url=https://cm-host.invalid:7183\n")
     r = subprocess.run(
         [sys.executable, "-m", "impala_base_to_cdw_sizing_spark", str(conf)],
-        capture_output=True, text=True, timeout=120,
+        capture_output=True, text=True, timeout=300,
         cwd=str(Path(__file__).resolve().parent.parent),
     )
     assert r.returncode == 1
-    assert "API mode requires network access" in r.stdout
+    assert "ERROR: API fetch from https://cm-host.invalid:7183 failed" in r.stdout
