@@ -110,5 +110,94 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- weighted median (late r9) ------------------------------------------------
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lower weighted median of l_extendedprice weighted by l_quantity —
+    "the price level at or below which half the shipped VOLUME sits",
+    the volume-weighted robust center a revenue profile wants. Same
+    two-pass selection shape as :func:`q_median_twopass`, with weights:
+
+      pass 1  per-bucket WEIGHT sums; the triangular carry locates the
+              bucket where the cumulative weight crosses the threshold
+              T = (W + 1) DIV 2 and the in-bucket weight offset.
+      pass 2  rescan only that bucket; a running weight sum over the
+              bounded bucket partition picks the first value whose
+              cumulative weight reaches the offset.
+
+    Weights are exact BIGINTs (TPC-H quantities are integral), the
+    answer is an exact cents value, and ties in cents can only select
+    the same value — deterministic output with no global sort and no
+    value buffering."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    c = li.selectExpr(
+        "CAST(l_extendedprice * 100 AS BIGINT) AS cents",
+        "CAST(l_quantity AS BIGINT) AS w",
+        f"CAST(CAST(l_extendedprice * 100 AS BIGINT) DIV {_BUCKET_CENTS}"
+        " AS BIGINT) AS bucket",
+    )
+    tot = c.agg(F.sum("w").cast("long").alias("w_total")).selectExpr(
+        "w_total", "(w_total + 1) DIV 2 AS threshold"
+    )
+    bweights = c.groupBy("bucket").agg(F.sum("w").cast("long").alias("bw"))
+    t, p = bweights.alias("t"), bweights.alias("p")
+    cum = (
+        t.join(F.broadcast(p), F.col("p.bucket") < F.col("t.bucket"), "left")
+        .groupBy(F.col("t.bucket").alias("bucket"), F.col("t.bw").alias("bw"))
+        .agg(F.coalesce(F.sum("p.bw"), F.lit(0)).cast("long").alias("cum_below"))
+    )
+    target = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter("cum_below < threshold AND threshold <= cum_below + bw")
+        .selectExpr("bucket", "w_total", "threshold",
+                    "threshold - cum_below AS offset")
+    )
+    w_run = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    picked = (
+        c.join(F.broadcast(target), "bucket")
+        .withColumn("cw", F.sum("w").over(w_run))
+        .filter(F.col("cw") >= F.col("offset"))
+    )
+    return picked.groupBy("w_total", "threshold").agg(
+        F.min("cents").cast("long").alias("median_cents")
+    ).selectExpr(
+        "w_total",
+        "threshold",
+        "median_cents",
+        "CAST(median_cents AS DOUBLE) / 100.0 AS weighted_median",
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH c AS (
+  SELECT CAST(l_extendedprice * 100 AS BIGINT) AS cents,
+    CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+tot AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS w_total,
+    (CAST(SUM(w) AS BIGINT) + 1) // 2 AS threshold
+  FROM c
+),
+run AS (
+  SELECT cents,
+    SUM(w) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cw
+  FROM c
+)
+SELECT w_total, threshold,
+  CAST(MIN(cents) AS BIGINT) AS median_cents,
+  CAST(MIN(cents) AS DOUBLE) / 100.0 AS weighted_median
+FROM run CROSS JOIN tot
+WHERE cw >= threshold
+GROUP BY 1, 2
+"""
+
+
 def register_all() -> None:
     register_extra("rel_median_twopass", q_median_twopass, SQL_MEDIAN_TWOPASS)
+    register_extra("rel_weighted_median", q_weighted_median, SQL_WEIGHTED_MEDIAN)

@@ -337,3 +337,44 @@ def register_all() -> None:
         "rel_chi2_independence", q_chi2_independence, SQL_CHI2_INDEPENDENCE
     )
     register_extra("rel_benford_digits", q_benford_digits, SQL_BENFORD_DIGITS)
+    register_extra("rel_cramers_v", q_cramers_v, SQL_CRAMERS_V)
+
+
+# --- Cramér's V effect size (late r9) ----------------------------------------
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V = sqrt(χ² / (N·min(r−1, c−1))) over the same
+    event_type × hour-of-day contingency table — the EFFECT SIZE the
+    chi-square test alone does not give (χ² grows with N even when the
+    association is trivially weak; V is scale-free in [0, 1], the number
+    a 100 TB profile actually wants).
+
+    Arithmetic rides the chi-square integer pipeline unchanged:
+    ``chi2`` is exactly chi2_micro/10^6 in both engines, N·min(r−1,c−1)
+    is an exact BIGINT cast to double below 2^52, and the final
+    division + sqrt are single correctly-rounded IEEE ops — bit-equal
+    cross-engine. ``cramers_v_upper`` propagates the one-sided per-cell
+    truncation bound through the same monotone chain, so the TRUE V is
+    bracketed by [cramers_v, cramers_v_upper]."""
+    return q_chi2_independence(spark, sf_dir).selectExpr(
+        "n_total",
+        "dof",
+        "chi2",
+        "least(n_types - 1, n_hods - 1) AS min_rc",
+        "sqrt(chi2 / CAST(n_total * least(n_types - 1, n_hods - 1)"
+        " AS DOUBLE)) AS cramers_v",
+        "sqrt((chi2 + chi2_err_bound) / CAST(n_total"
+        " * least(n_types - 1, n_hods - 1) AS DOUBLE)) AS cramers_v_upper",
+    )
+
+
+SQL_CRAMERS_V = f"""
+SELECT n_total, dof, chi2,
+  least(n_types - 1, n_hods - 1) AS min_rc,
+  sqrt(chi2 / CAST(n_total * least(n_types - 1, n_hods - 1)
+    AS DOUBLE)) AS cramers_v,
+  sqrt((chi2 + chi2_err_bound) / CAST(n_total
+    * least(n_types - 1, n_hods - 1) AS DOUBLE)) AS cramers_v_upper
+FROM ({SQL_CHI2_INDEPENDENCE})
+"""

@@ -272,3 +272,54 @@ def test_entropy_jsd_replicates_det_ln_chain(spark):
     )
     assert abs(row["h_weekday"] - true_hp) < 1e-5
     assert -1e-12 <= row["jsd_nats"] <= math.log(2.0)
+
+
+def test_weighted_median_replicates(spark):
+    from impala_base_to_cdw_sizing_spark.operators.selection import (
+        q_weighted_median,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT CAST(l_extendedprice * 100 AS BIGINT),"
+        " CAST(l_quantity AS BIGINT)"
+        f" FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchall()
+    con.close()
+    rows.sort()
+    w_total = sum(w for _, w in rows)
+    threshold = (w_total + 1) // 2
+    cw = 0
+    for cents, w in rows:
+        cw += w
+        if cw >= threshold:
+            med = cents
+            break
+    r = q_weighted_median(spark, SF_DIR).collect()[0]
+    assert (r["w_total"], r["threshold"], r["median_cents"]) == (
+        w_total, threshold, med,
+    )
+    assert r["weighted_median"] == float(med) / 100.0
+
+
+def test_cramers_v_replicates_and_is_scale_free(spark):
+    """V from the chi-square integer pipeline; brackets hold and the
+    value sits in [0, 1] (scale-free, unlike chi2 itself)."""
+    import math
+
+    from impala_base_to_cdw_sizing_spark.operators.stats_tests import (
+        q_chi2_independence,
+        q_cramers_v,
+    )
+
+    chi = q_chi2_independence(spark, SF_DIR).collect()[0]
+    r = q_cramers_v(spark, SF_DIR).collect()[0]
+    min_rc = min(chi["n_types"] - 1, chi["n_hods"] - 1)
+    assert r["min_rc"] == min_rc
+    assert r["cramers_v"] == math.sqrt(
+        chi["chi2"] / float(chi["n_total"] * min_rc)
+    )
+    assert r["cramers_v_upper"] == math.sqrt(
+        (chi["chi2"] + chi["chi2_err_bound"]) / float(chi["n_total"] * min_rc)
+    )
+    assert 0.0 <= r["cramers_v"] <= r["cramers_v_upper"] <= 1.0
