@@ -198,6 +198,113 @@ GROUP BY 1, 2
 """
 
 
+# --- grouped two-pass median (late r9) ---------------------------------------
+
+
+def q_group_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact median (PERCENTILE_CONT(0.5) per l_returnflag) by
+    the same two-pass bucket selection — the grouped proof that the
+    pattern composes: every frame just carries the group key, the
+    triangular carry runs per group, and pass 2's window partitions by
+    (group, bucket, rank-target), all still bounded. This is the shape
+    that replaces ``percentile``'s per-group value buffering when single
+    groups are themselves huge (one group holding 30% of a 100 TB table
+    is the skew-gate scenario)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    c = li.selectExpr(
+        "l_returnflag AS grp",
+        "CAST(l_extendedprice * 100 AS BIGINT) AS cents",
+        f"CAST(CAST(l_extendedprice * 100 AS BIGINT) DIV {_BUCKET_CENTS}"
+        " AS BIGINT) AS bucket",
+    )
+    tot = c.groupBy("grp").agg(F.count("*").cast("long").alias("n"))
+    ks = tot.selectExpr(
+        "grp",
+        "n",
+        "explode(array_distinct(array((n + 1) DIV 2, (n + 2) DIV 2))) AS k",
+    )
+    bcounts = c.groupBy("grp", "bucket").agg(
+        F.count("*").cast("long").alias("bn")
+    )
+    t, p = bcounts.alias("t"), bcounts.alias("p")
+    cum = (
+        t.join(
+            F.broadcast(p),
+            (F.col("p.grp") == F.col("t.grp"))
+            & (F.col("p.bucket") < F.col("t.bucket")),
+            "left",
+        )
+        .groupBy(
+            F.col("t.grp").alias("grp"),
+            F.col("t.bucket").alias("bucket"),
+            F.col("t.bn").alias("bn"),
+        )
+        .agg(F.coalesce(F.sum("p.bn"), F.lit(0)).cast("long").alias("cum_below"))
+    )
+    targets = (
+        ks.join(F.broadcast(cum), "grp")
+        .filter("cum_below < k AND k <= cum_below + bn")
+        .selectExpr("grp", "n", "k", "bucket", "k - cum_below AS offset")
+    )
+    w = Window.partitionBy("grp", "bucket", "k").orderBy("cents")
+    picked = (
+        c.join(F.broadcast(targets), ["grp", "bucket"])
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == F.col("offset"))
+        .select("grp", "n", "k", "cents")
+    )
+    return (
+        picked.groupBy("grp", "n")
+        .agg(
+            F.min("k").cast("long").alias("k1"),
+            F.max("k").cast("long").alias("k2"),
+            F.min("cents").cast("long").alias("v_lo_cents"),
+            F.max("cents").cast("long").alias("v_hi_cents"),
+        )
+        .selectExpr(
+            "grp",
+            "n",
+            "k1",
+            "k2",
+            "v_lo_cents",
+            "v_hi_cents",
+            "CAST(v_lo_cents + v_hi_cents AS DOUBLE) / 200.0 AS median",
+        )
+    )
+
+
+SQL_GROUP_MEDIAN_TWOPASS = """
+WITH c AS (
+  SELECT l_returnflag AS grp,
+    CAST(l_extendedprice * 100 AS BIGINT) AS cents
+  FROM lineitem
+),
+tot AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1
+),
+ks AS (
+  SELECT grp, n, (n + 1) // 2 AS k1, (n + 2) // 2 AS k2 FROM tot
+),
+ranked AS (
+  SELECT grp, cents,
+    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents) AS rk
+  FROM c
+)
+SELECT r.grp, ks.n, ks.k1, ks.k2,
+  CAST(MIN(CASE WHEN rk = k1 THEN cents END) AS BIGINT) AS v_lo_cents,
+  CAST(MAX(CASE WHEN rk = k2 THEN cents END) AS BIGINT) AS v_hi_cents,
+  CAST(MIN(CASE WHEN rk = k1 THEN cents END)
+     + MAX(CASE WHEN rk = k2 THEN cents END) AS DOUBLE) / 200.0 AS median
+FROM ranked r JOIN ks ON ks.grp = r.grp
+WHERE rk = k1 OR rk = k2
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def register_all() -> None:
     register_extra("rel_median_twopass", q_median_twopass, SQL_MEDIAN_TWOPASS)
     register_extra("rel_weighted_median", q_weighted_median, SQL_WEIGHTED_MEDIAN)
+    register_extra(
+        "rel_group_median_twopass", q_group_median_twopass,
+        SQL_GROUP_MEDIAN_TWOPASS,
+    )

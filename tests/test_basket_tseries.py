@@ -323,3 +323,31 @@ def test_cramers_v_replicates_and_is_scale_free(spark):
         (chi["chi2"] + chi["chi2_err_bound"]) / float(chi["n_total"] * min_rc)
     )
     assert 0.0 <= r["cramers_v"] <= r["cramers_v_upper"] <= 1.0
+
+
+def test_group_median_twopass_replicates(spark):
+    from impala_base_to_cdw_sizing_spark.operators.selection import (
+        q_group_median_twopass,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT l_returnflag, CAST(l_extendedprice * 100 AS BIGINT)"
+        f" FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchall()
+    con.close()
+    by_grp = defaultdict(list)
+    for grp, cents in rows:
+        by_grp[grp].append(cents)
+    got = {r["grp"]: r for r in q_group_median_twopass(spark, SF_DIR).collect()}
+    assert set(got) == set(by_grp)
+    for grp, vals in by_grp.items():
+        vals.sort()
+        n = len(vals)
+        k1, k2 = (n + 1) // 2, (n + 2) // 2
+        r = got[grp]
+        assert (r["n"], r["k1"], r["k2"]) == (n, k1, k2)
+        assert (r["v_lo_cents"], r["v_hi_cents"]) == (
+            vals[k1 - 1], vals[k2 - 1],
+        )
+        assert r["median"] == float(vals[k1 - 1] + vals[k2 - 1]) / 200.0
