@@ -7,6 +7,8 @@ pipeline) must be REUSED across runs, not duplicated."""
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as ent
 from tests.conftest import SF_SMALL
 
@@ -30,6 +32,9 @@ def test_converted_queries_leave_no_cache_entries(spark):
     )
 
 
+@pytest.mark.slow  # full-registry plan sweep (~2 min alone) — the
+# release gate re-runs it; the default tier keeps the per-family and
+# declared-tier guards
 def test_no_query_unpersists_an_unmaterialized_cache(spark):
     """Registry-wide liveness invariant (r5 verdict #9): a ``cache()``
     that is ``unpersist()``-ed before any action ever ran is DEAD — the

@@ -125,6 +125,9 @@ def plan_output_case_collisions(df) -> dict[str, set[str]]:
     return bad
 
 
+@pytest.mark.slow  # full-registry plan sweep (~2 min alone) — the
+# release gate re-runs it; the default tier keeps the per-family and
+# declared-tier guards
 def test_registry_plans_have_no_case_colliding_attributes(spark):
     reg = dict(ent.queries())
     reg.update(ent.extra_queries())

@@ -5,6 +5,8 @@ the pins and the audit tool can never drift apart."""
 
 from __future__ import annotations
 
+import pytest
+
 import sys
 from pathlib import Path
 
@@ -44,6 +46,9 @@ def test_no_row_udfs_or_cartesians_anywhere(spark):
     assert arrow_users <= {"mm_decode_stub"}, arrow_users
 
 
+@pytest.mark.slow  # full-registry plan sweep (~2 min alone) — the
+# release gate re-runs it; the default tier keeps the per-family and
+# declared-tier guards
 def test_extra_tier_has_no_row_udfs_or_cartesians(spark):
     """The same hygiene bar for the pytest-verified tier: none of the 90
     extra queries may plan a row-at-a-time Python UDF or a cartesian

@@ -11,6 +11,8 @@ nodes while the sequential twins contain exactly the one they pay for.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -140,6 +142,9 @@ def test_segmented_row_number_empty_and_single_bucket(spark):
 _BOUNDED_INPUT_WINDOWS = {"rel_skyline"}
 
 
+@pytest.mark.slow  # full-registry plan sweep (~2 min alone) — the
+# release gate re-runs it; the default tier keeps the per-family and
+# declared-tier guards
 def test_registry_primaries_have_no_global_window(spark):
     """Registry-wide structural guard (r7 verdict #1): no registered
     primary query plans a partition-less Window — the shape that moves
