@@ -105,7 +105,14 @@ def q_entropy_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     tp = totals.groupBy().pivot("seg", [0, 1]).sum("nt").selectExpr(
         "CAST(`0` AS BIGINT) AS np", "CAST(`1` AS BIGINT) AS nq"
     )
-    mix = wide.crossJoin(F.broadcast(tp)).filter("n_p + n_q > 0").selectExpr(
+    # degenerate-corpus guard (r9 ADVICE): if one segment is empty
+    # (np = 0 or nq = 0) the mixture ratio divides by zero and the two
+    # engines disagree on the wreckage (empty frame vs NULL/inf row).
+    # Both dialects filter the identical predicate, so the degenerate
+    # case is a defined, parity-checked 0-row result.
+    mix = wide.crossJoin(F.broadcast(tp)).filter(
+        "n_p + n_q > 0 AND np > 0 AND nq > 0"
+    ).selectExpr(
         "event_type",
         "np",
         "nq",
@@ -216,7 +223,7 @@ mix_ratio AS (
       AS STRING) AS DOUBLE)
       / CAST(CAST(CAST(2 * np AS DECIMAL(19,0))
       * CAST(nq AS DECIMAL(19,0)) AS STRING) AS DOUBLE) AS ratio
-  FROM wide CROSS JOIN tp WHERE n_p + n_q > 0
+  FROM wide CROSS JOIN tp WHERE n_p + n_q > 0 AND np > 0 AND nq > 0
 ),
 mix_ln AS ({_SQL_LN.format(src="mix_ratio")}),
 mix_h AS (

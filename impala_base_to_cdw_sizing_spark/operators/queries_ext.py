@@ -149,8 +149,22 @@ def _load_providers() -> None:
     infotheory.register_all()
 
 
+def _check_promoted(registry: dict, kind: str) -> None:
+    """A promoted name that its home module renamed or dropped must fail
+    loudly at registry load with the contract error, not a bare KeyError
+    deep inside a dict comprehension (r9 ADVICE)."""
+    missing = [n for n in PROMOTED if n not in registry]
+    if missing:
+        raise RuntimeError(
+            f"promoted names not registered as {kind}: {missing} — "
+            "every name in queries_ext.PROMOTED must stay registered via "
+            "register_extra() in its home module"
+        )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_providers()
+    _check_promoted(_EXTRA_QUERIES, "extra queries")
     out = {name: _EXTRA_QUERIES[name] for name in PROMOTED}
     out.update(_QUERIES)
     return out
@@ -158,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     _load_providers()
+    _check_promoted(_EXTRA_ORACLES, "extra oracles")
     out = {name: _EXTRA_ORACLES[name] for name in PROMOTED}
     out.update(_ORACLES)
     return out

@@ -35,9 +35,43 @@ def _driver_memory() -> str:
         with open("/proc/meminfo") as fh:
             total_kb = int(fh.readline().split()[1])
         quarter_g = total_kb // (4 * 1024 * 1024)
-        return f"{min(48, max(8, quarter_g))}g"
+        heap_g = min(48, max(8, quarter_g))
+        # /proc/meminfo reports HOST RAM inside containers; a cgroup
+        # memory limit below host/4 would let the kernel OOM-kill the
+        # JVM where a smaller heap is safe (r9 ADVICE). Clamp to 80% of
+        # the cgroup limit (v2 then v1), leaving headroom for Python +
+        # off-heap; never below 1g so the JVM can still start.
+        cg = _cgroup_limit_bytes()
+        if cg is not None:
+            cap_g = int(cg * 0.8) // (1024**3)
+            heap_g = max(1, min(heap_g, cap_g))
+        return f"{heap_g}g"
     except (OSError, ValueError, IndexError):
         return "8g"
+
+
+def _cgroup_limit_bytes() -> int | None:
+    """The container memory limit, if one is set: cgroup v2
+    ``memory.max`` ("max" = unlimited) or v1 ``memory.limit_in_bytes``
+    (huge sentinel ≈ total addressable = unlimited)."""
+    for path in (
+        "/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+    ):
+        try:
+            raw = open(path).read().strip()
+        except OSError:
+            continue
+        if raw == "max":
+            return None
+        try:
+            val = int(raw)
+        except ValueError:
+            continue
+        if val >= 1 << 60:  # v1 "unlimited" sentinel
+            return None
+        return val
+    return None
 
 
 def build_spark(

@@ -97,3 +97,24 @@ def test_embedding_rotation_preserves_within_copy_geometry(derived):
     assert np.allclose(m0[:50] @ m0[:50].T, m1[:50] @ m1[:50].T, atol=1e-5)
     # but copies are NOT clones of each other
     assert not (m0 == m1).all()
+
+
+def test_skew_hot_vectors_distinct_and_near_dup(tmp_path_factory):
+    """r9 ADVICE: the skew-mode hot-cluster offset must be injective per
+    id — the old (id*13)%dim index + id%7 magnitude produced bit-equal
+    vectors for ids congruent mod 7*dim (0 and 448 collide inside even a
+    3-copy sf0.001 derivation), silently collapsing exact dedup."""
+    import numpy as np
+
+    out = str(tmp_path_factory.mktemp("derived_skew"))
+    generate(SF_SMALL, out, COPIES, skew=True)
+    emb = _read(out, "embeddings", ["vec_id", "embedding"])
+    hot = emb[emb["vec_id"] % 4 == 0]
+    assert len(hot) > 300  # the collision range is exercised
+    sigs = {tuple(v) for v in hot["embedding"]}
+    assert len(sigs) == len(hot)  # no two hot vectors bit-equal
+    # near-dup semantics preserved: every hot vector stays ~parallel to
+    # the cluster axis (offsets are <= 0.022 on a unit base component)
+    m = np.stack(hot["embedding"].to_numpy())
+    cos = m[:, 0] / np.linalg.norm(m, axis=1)
+    assert (cos > 0.999).all()

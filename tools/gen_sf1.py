@@ -142,12 +142,24 @@ def _apply_skew(out: pd.DataFrame, table: str) -> pd.DataFrame:
         hot = vid % 4 == 0  # one dominant cluster ~25% of vectors
         dim = mat.shape[1]
         hot_ids = vid[hot]
-        cluster = np.zeros((hot.sum(), dim), dtype=mat.dtype)
+        nh = int(hot.sum())
+        cluster = np.zeros((nh, dim), dtype=mat.dtype)
         cluster[:, 0] = 1.0
-        # small per-row deterministic offset keeps rows distinct (exact
-        # dedup must not collapse the cluster) while cosines stay ~1
-        cluster[np.arange(hot.sum()), (hot_ids * 13) % dim] += (
-            0.01 * ((hot_ids % 7) + 1)
+        # Injective per-id offset (r9 ADVICE: the old (id*13)%dim index +
+        # id%7 magnitude collided for ids congruent mod 7·dim, making hot
+        # vectors bit-equal and breaking the "exact dedup must not
+        # collapse the cluster" invariant). Two adjacent components with
+        # coprime-modulus magnitudes: collision now needs id ≡ mod
+        # lcm(dim,997,1009) ≈ 6.4e7 — beyond any generated id range.
+        # Both increments (1e-5, 1e-6) are ≫ float32 ulp even on top of
+        # the 1.0 base component, and cosines stay ~1 (offsets ≤ 0.022).
+        c1 = ((hot_ids * 13) % dim).astype(np.int64)
+        rows = np.arange(nh)
+        cluster[rows, c1] += (
+            0.01 * (1.0 + (hot_ids % 997) / 997.0)
+        ).astype(mat.dtype)
+        cluster[rows, (c1 + 1) % dim] += (
+            0.001 * (1.0 + (hot_ids % 1009) / 1009.0)
         ).astype(mat.dtype)
         mat[hot] = cluster
         out["embedding"] = list(mat)
