@@ -22,6 +22,7 @@ from impala_base_to_cdw_sizing_spark.operators.aggregates import (
     size_matrix_sql,
     summarize,
     summarize_sql,
+    utilization_sql,
 )
 from impala_base_to_cdw_sizing_spark.operators.classify import classify, classify_cte
 from impala_base_to_cdw_sizing_spark.operators.derive import derive, derived_cte
@@ -198,6 +199,18 @@ def q_sizing_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sizing_report_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 + H1-H5: every value the five report sections print, as one
+    oracle-checked row (r9 verdict #5 — the last reference semantics
+    previously verified only by pytest)."""
+    from impala_base_to_cdw_sizing_spark.plans.reports import report_values_df
+
+    accepted = _accepted(spark, sf_dir)
+    classified = classify(derive(accepted, P))
+    kept, pruned = prune_split(classified, P)
+    return report_values_df(kept, accepted, pruned, P)
+
+
 # --- contract -----------------------------------------------------------------
 
 
@@ -206,21 +219,67 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_sizing_size_matrix(spark, "/root/testdata/sf0.001")
 
 
+# The 12 sizing-pipeline rows are ALWAYS the first entries of queries()
+# (the reference-parity core the driver must see every round).
+_SIZING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sizing_derive": q_sizing_derive,
+    "sizing_derive_rangejoin": q_sizing_derive_rangejoin,
+    "sizing_route_pruned": q_sizing_route_pruned,
+    "sizing_skipped": q_sizing_skipped,
+    "sizing_size_matrix": q_sizing_size_matrix,
+    "sizing_summary": q_sizing_summary,
+    "sizing_summary_pool": q_sizing_summary_pool,
+    "sizing_argmax": q_sizing_argmax,
+    "sizing_sweep_running": q_sizing_sweep_running,
+    "sizing_sweep_max": q_sizing_sweep_max,
+    "sizing_utilization": q_sizing_utilization,
+    "sizing_report_values": q_sizing_report_values,
+}
+
+# Deterministic declared-tier rotation (r9 verdict #1). The driver's
+# CORRECTNESS sample covers the first 50 rows of queries(); with >50
+# declared names, a fixed order would leave the tail driver-unverified
+# forever. Rule (recorded in README §Driver contract): the sizing rows
+# stay fixed; the remaining declared names rotate by
+# shift = (round - 10) * (50 - len(sizing)) mod len(rest), where round =
+# 1 + count of CORRECTNESS_r*.json files beside this file. Consecutive
+# windows tile (2*38 > 55), so every declared name lands inside the
+# driver's sample at least every other round. The 16 names the r9 sample
+# rotated out lead the canonical order, so the round-10 window starts
+# with them.
+_ROTATION_HEAD: tuple[str, ...] = (
+    "rel_tpch_q3_topk", "rel_tpch_q5_star", "rel_tpch_q7_volume",
+    "rel_tpch_q4_exists", "rel_tpch_q6_pushdown", "rel_tpch_q13_histogram",
+    "rel_semi_anti", "rel_topk_per_group", "rel_setops", "rel_sessionize",
+    "rel_correlated_subquery", "rel_exact_percentiles", "rel_grouping_sets",
+    "rel_window_suite", "rel_scalar_funcs", "rel_approx_distinct",
+)
+
+_DRIVER_SAMPLE_ROWS = 50
+
+
+def _round_number() -> int:
+    from pathlib import Path
+
+    here = Path(__file__).resolve().parent
+    return len(list(here.glob("CORRECTNESS_r*.json"))) + 1
+
+
+def _rotated_names(ext_names: list[str]) -> list[str]:
+    head = [n for n in _ROTATION_HEAD if n in ext_names]
+    canon = head + [n for n in ext_names if n not in set(head)]
+    if not canon:
+        return canon
+    window = _DRIVER_SAMPLE_ROWS - len(_SIZING_QUERIES)
+    shift = ((_round_number() - 10) * window) % len(canon)
+    return canon[shift:] + canon[:shift]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    base: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        "sizing_derive": q_sizing_derive,
-        "sizing_derive_rangejoin": q_sizing_derive_rangejoin,
-        "sizing_route_pruned": q_sizing_route_pruned,
-        "sizing_skipped": q_sizing_skipped,
-        "sizing_size_matrix": q_sizing_size_matrix,
-        "sizing_summary": q_sizing_summary,
-        "sizing_summary_pool": q_sizing_summary_pool,
-        "sizing_argmax": q_sizing_argmax,
-        "sizing_sweep_running": q_sizing_sweep_running,
-        "sizing_sweep_max": q_sizing_sweep_max,
-        "sizing_utilization": q_sizing_utilization,
-    }
-    base.update(queries_ext.queries())
+    base = dict(_SIZING_QUERIES)
+    ext = queries_ext.queries()
+    for n in _rotated_names(list(ext)):
+        base[n] = ext[n]
     return base
 
 
@@ -228,6 +287,74 @@ _DERIVE_ORACLE = oracle_with(
     ACCEPTED_CTE, DERIVED_CTE, CLASSIFIED_CTE,
     body="SELECT " + ", ".join(SIZING_OUTPUT_COLS) + " FROM classified",
 )
+
+
+def _report_values_oracle() -> str:
+    from impala_base_to_cdw_sizing_spark.functions import (
+        ceil_long_sql,
+        round2_sql,
+    )
+    from impala_base_to_cdw_sizing_spark.operators.aggregates import (
+        utilization_sql,
+    )
+    from impala_base_to_cdw_sizing_spark.operators.classify import (
+        tsize_case_sql,
+    )
+
+    return oracle_with(
+        ACCEPTED_CTE, DERIVED_CTE, CLASSIFIED_CTE, KEPT_CTE,
+        EXPLODE_EVENTS_CTE,
+        f"running AS ({RUNNING_SUMS_SQL})",
+        f"summary AS ({summarize_sql(P)})",
+        f"maxima AS ({SWEEP_MAXIMA_SQL})",
+        f"util AS ({utilization_sql(P)})",
+        "tsz AS (SELECT "
+        f"{tsize_case_sql('min_executor_pod_workload')} AS tsize_workload "
+        "FROM summary)",
+        "mlong AS (SELECT 'cache' AS dim, tsize_cache AS tsize FROM kept"
+        " UNION ALL SELECT 'mem', tsize_mem FROM kept"
+        " UNION ALL SELECT 'cpu', tsize_cpu FROM kept"
+        " UNION ALL SELECT 'spill', tsize_spill FROM kept)",
+        "matrix AS (SELECT dim, tsize, COUNT(*) AS n FROM mlong"
+        " GROUP BY dim, tsize)",
+        "constrained AS (SELECT concat_ws(' ', "
+        "MAX(CASE WHEN m.dim = 'cache' AND m.n > 0 THEN 'cache' END), "
+        "MAX(CASE WHEN m.dim = 'mem' AND m.n > 0 THEN 'mem' END), "
+        "MAX(CASE WHEN m.dim = 'cpu' AND m.n > 0 THEN 'cpu' END), "
+        "MAX(CASE WHEN m.dim = 'spill' AND m.n > 0 THEN 'spill' END)"
+        ") AS constrained_by "
+        "FROM matrix m JOIN tsz t ON m.tsize = t.tsize_workload)",
+        body=f"""
+SELECT
+  s.total_queries,
+  {round2_sql('s.total_query_time')} AS total_query_time_sec,
+  (SELECT query_id FROM kept ORDER BY min_executor_pod DESC, seq ASC LIMIT 1)
+    AS highest_resources_query_id,
+  s.max_backends AS max_nodes,
+  s.max_vcores AS max_cores_per_node,
+  s.max_data AS max_data_per_node_gb,
+  s.max_spill AS max_spill_per_node_gb,
+  s.max_mem AS max_memory_per_node_gb,
+  s.max_data_rate,
+  s.n_pools,
+  (SELECT COUNT(*) FROM classified
+   WHERE min_executor_pod > {P.pod_limit}) AS prune_count,
+  x.max_concurrent_queries,
+  x.max_pods_workload_ts_ms AS max_concurrent_ts_ms,
+  x.max_concurrent_cores,
+  {round2_sql('coalesce(x.max_concurrent_cache, 0)')} AS max_concurrent_data_gb,
+  {round2_sql('coalesce(x.max_concurrent_spill, 0)')} AS max_concurrent_spill_gb,
+  {round2_sql('coalesce(x.max_concurrent_memory, 0)')} AS max_concurrent_memory_gb,
+  x.max_concurrent_data_rate,
+  t.tsize_workload,
+  s.min_executor_pod_workload AS min_pods,
+  {ceil_long_sql('coalesce(x.max_pods_workload, 0)')} AS max_pods,
+  c.constrained_by,
+  u.cache_util_pct, u.mem_util_pct, u.cpu_util_pct, u.spill_util_pct
+FROM summary s
+CROSS JOIN maxima x CROSS JOIN util u CROSS JOIN tsz t CROSS JOIN constrained c
+""",
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -287,17 +414,13 @@ def oracle_sql() -> dict[str, str]:
         "sizing_utilization": oracle_with(
             ACCEPTED_CTE, DERIVED_CTE,
             f"summary AS ({summarize_sql(P)})",
-            body=f"""
-SELECT
-  (floor((100 * util_cache / ((min_executor_pod_workload * total_query_time) * {P.cache_gb_per_node})) * 100.0 + 0.5) / 100.0) AS cache_util_pct,
-  (floor((100 * util_mem / ((min_executor_pod_workload * total_query_time) * {P.query_mem_per_node})) * 100.0 + 0.5) / 100.0) AS mem_util_pct,
-  (floor((100 * util_cpu / ((min_executor_pod_workload * total_query_time) * {P.vcores_per_node})) * 100.0 + 0.5) / 100.0) AS cpu_util_pct,
-  (floor((100 * util_spill / ((min_executor_pod_workload * total_query_time) * {P.scratch_gb_per_node})) * 100.0 + 0.5) / 100.0) AS spill_util_pct
-FROM summary
-""",
+            body=utilization_sql(P),
         ),
+        "sizing_report_values": _report_values_oracle(),
     }
-    base.update(queries_ext.oracle_sql())
+    ext = queries_ext.oracle_sql()
+    for n in _rotated_names(list(ext)):
+        base[n] = ext[n]
     return base
 
 

@@ -173,3 +173,22 @@ def utilization(summary: DataFrame, params: SizingParams) -> DataFrame:
             "spill_util_pct"
         ),
     )
+
+
+def utilization_sql(params: SizingParams) -> str:
+    """Oracle body for :func:`utilization` over a ``summary`` CTE —
+    the identical floor-quantized expression text in both dialects."""
+    def pct(util: str, per_node: float) -> str:
+        return (
+            f"(floor((100 * {util} / ((min_executor_pod_workload"
+            f" * total_query_time) * {per_node})) * 100.0 + 0.5) / 100.0)"
+        )
+
+    return f"""
+SELECT
+  {pct('util_cache', params.cache_gb_per_node)} AS cache_util_pct,
+  {pct('util_mem', params.query_mem_per_node)} AS mem_util_pct,
+  {pct('util_cpu', params.vcores_per_node)} AS cpu_util_pct,
+  {pct('util_spill', params.scratch_gb_per_node)} AS spill_util_pct
+FROM summary
+"""

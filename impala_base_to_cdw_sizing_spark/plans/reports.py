@@ -103,6 +103,101 @@ def collect_report_values(
     )
 
 
+def report_values_df(kept, accepted, pruned, params: SizingParams):
+    """The five report sections (H1-H5 + G9) as ONE oracle-checkable row
+    (``impala_query_sizing.py:399-458``; ``constrained_by`` :428-437).
+
+    :func:`collect_report_values` collects the same numbers driver-side
+    to render text; this is the declared-tier twin — every value is a
+    column of a single-row DataFrame so the DuckDB oracle can hash it.
+    All inputs are one-row aggregate frames (or the ≤30-row size matrix),
+    composed with broadcast cross joins — no shuffle grows with data.
+
+    ``constrained_by`` is the canonical-dim-order string (SURVEY §7.0
+    declared fix: the reference iterates a set literal at :431, which is
+    nondeterministic across Python runs); absent dims are skipped by
+    ``concat_ws``, so "no dimension constrained" is the empty string in
+    both engines. Rounding uses the deterministic ``round2`` twin.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions import ceil_long, round2
+    from ..operators.aggregates import size_matrix, summarize, utilization
+    from ..operators.classify import tsize_expr
+    from ..operators.sweep import explode_events, running_sums, sweep_maxima
+
+    summary = summarize(kept, accepted)
+    maxima = sweep_maxima(running_sums(explode_events(kept), segmented=True))
+    util = utilization(summary, params)
+    # G4 as a global aggregate (1 row even on empty input, like the
+    # oracle's scalar subquery): max pod, earliest seq wins ties.
+    argmax = kept.agg(
+        F.max_by(
+            F.col("query_id"), F.struct(F.col("min_executor_pod"), -F.col("seq"))
+        ).alias("highest_resources_query_id")
+    )
+    prune = pruned.agg(F.count("*").alias("prune_count"))
+    tsz = summary.select(
+        tsize_expr(F.col("min_executor_pod_workload")).alias("tsize_workload")
+    )
+    constrained = (
+        size_matrix(kept)
+        .join(F.broadcast(tsz), F.col("tsize") == F.col("tsize_workload"))
+        .agg(
+            F.concat_ws(
+                " ",
+                *[
+                    F.max(F.when((F.col("dim") == d) & (F.col("n") > 0), F.lit(d)))
+                    for d in CONSTRAINT_DIMS
+                ],
+            ).alias("constrained_by")
+        )
+    )
+    row = (
+        summary.crossJoin(F.broadcast(argmax))
+        .crossJoin(F.broadcast(prune))
+        .crossJoin(F.broadcast(maxima))
+        .crossJoin(F.broadcast(util))
+        .crossJoin(F.broadcast(tsz))
+        .crossJoin(F.broadcast(constrained))
+    )
+    z = F.lit(0.0)
+    return row.select(
+        F.col("total_queries"),
+        round2(F.col("total_query_time")).alias("total_query_time_sec"),
+        F.col("highest_resources_query_id"),
+        F.col("max_backends").alias("max_nodes"),
+        F.col("max_vcores").alias("max_cores_per_node"),
+        F.col("max_data").alias("max_data_per_node_gb"),
+        F.col("max_spill").alias("max_spill_per_node_gb"),
+        F.col("max_mem").alias("max_memory_per_node_gb"),
+        F.col("max_data_rate"),
+        F.col("n_pools"),
+        F.col("prune_count"),
+        F.col("max_concurrent_queries"),
+        F.col("max_pods_workload_ts_ms").alias("max_concurrent_ts_ms"),
+        F.col("max_concurrent_cores"),
+        round2(F.coalesce(F.col("max_concurrent_cache"), z)).alias(
+            "max_concurrent_data_gb"
+        ),
+        round2(F.coalesce(F.col("max_concurrent_spill"), z)).alias(
+            "max_concurrent_spill_gb"
+        ),
+        round2(F.coalesce(F.col("max_concurrent_memory"), z)).alias(
+            "max_concurrent_memory_gb"
+        ),
+        F.col("max_concurrent_data_rate"),
+        F.col("tsize_workload"),
+        F.col("min_executor_pod_workload").alias("min_pods"),
+        ceil_long(F.coalesce(F.col("max_pods_workload"), z)).alias("max_pods"),
+        F.col("constrained_by"),
+        F.col("cache_util_pct"),
+        F.col("mem_util_pct"),
+        F.col("cpu_util_pct"),
+        F.col("spill_util_pct"),
+    )
+
+
 def format_reports(v: ReportValues) -> str:
     """Render the five sections (presentation only; values are the API)."""
     ind, con, cs, util = v.individual, v.concurrent, v.cluster_sizing, v.utilization

@@ -7,7 +7,12 @@ row-sorted) — strictly stronger than the driver's order-insensitive
 value hash, so passing here implies passing there.
 
 Usage: python tools/compare_oracle.py [--extra | --all] [--ansi]
-       [--partitions=N] [--master=local[N]] [sf_dir] [query_name ...]
+       [--partitions=N] [--master=local[N]] [--manifest=PATH]
+       [sf_dir] [query_name ...]
+``--manifest`` writes a JSON record of exactly which names were checked
+(r9 verdict #2: ANSI_SWEEP.json at the repo root is the ANSI sweep's
+manifest; tests/test_sweep_manifests.py fails if any registered query
+is missing from it, so registry growth forces a sweep re-run).
 ``--extra`` checks the pytest-verified extra tier (extra_queries()) instead
 of the declared contract; ``--all`` checks both tiers in one session.
 ``--ansi`` runs Spark with spark.sql.ansi.enabled=true (r8 verdict #3:
@@ -101,6 +106,7 @@ def main() -> int:
     ansi = "--ansi" in raw
     partitions = None
     master = None
+    manifest_path = None
     args = []
     for a in raw:
         if a in ("--extra", "--all", "--ansi"):
@@ -109,6 +115,8 @@ def main() -> int:
             partitions = int(a.split("=", 1)[1])
         elif a.startswith("--master="):
             master = a.split("=", 1)[1]
+        elif a.startswith("--manifest="):
+            manifest_path = a.split("=", 1)[1]
         else:
             args.append(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -137,14 +145,18 @@ def main() -> int:
         qs, oracles = ent.queries(), ent.oracle_sql()
 
     failures = 0
+    checked: list[str] = []
+    failed_names: list[str] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked.append(name)
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
+            failed_names.append(name)
             continue
         finally:
             # registered queries cache frames they read twice and cannot
@@ -160,15 +172,30 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
+            failed_names.append(name)
             continue
         issues = compare_frames(name, spark_pdf, duck_pdf)
         if issues:
             failures += 1
+            failed_names.append(name)
             print(f"FAIL {name}:")
             for msg in issues:
                 print(f"  - {msg}")
         else:
             print(f"OK   {name}: rows={len(spark_pdf)} cols={len(spark_pdf.columns)}")
+    if manifest_path:
+        import json
+
+        Path(manifest_path).write_text(json.dumps({
+            "sf_dir": sf_dir,
+            "ansi": ansi,
+            "partitions": partitions,
+            "master": master,
+            "checked": sorted(checked),
+            "ok": len(checked) - failures,
+            "fail": failures,
+            "failed_names": failed_names,
+        }, indent=1) + "\n")
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 

@@ -52,6 +52,7 @@ def run_config(
     if only:
         qs = {n: qs[n] for n in sorted(only)}
     ok, failed = 0, []
+    checked = sorted(qs)
     for name, fn in qs.items():
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
@@ -70,15 +71,19 @@ def run_config(
             ok += 1
     spark.stop()
     con.close()
-    return {"ok": ok, "fail": len(failed), "failed_names": failed}
+    return {"ok": ok, "fail": len(failed), "failed_names": failed, "checked": checked}
 
 
 def main() -> int:
     args = sys.argv[1:]
     only = None
+    manifest_path = None
     for a in list(args):
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
+            args.remove(a)
+        elif a.startswith("--manifest="):
+            manifest_path = a.split("=", 1)[1]
             args.remove(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     labels = args[1:] or list(CONFIGS)
@@ -87,7 +92,19 @@ def main() -> int:
         summary[label] = run_config(label, CONFIGS[label], sf_dir, only=only)
         print(f"done {label}: {summary[label]['ok']} ok, "
               f"{summary[label]['fail']} fail", file=sys.stderr)
-    print(json.dumps({"sf_dir": sf_dir, "configs": summary}))
+    out = {"sf_dir": sf_dir, "configs": summary}
+    if manifest_path:
+        # names checked = intersection-checked set per config; record the
+        # union plus per-config results so the manifest invariant test
+        # (tests/test_sweep_manifests.py) can demand full-registry
+        # coverage at every session shape (r9 verdict #2)
+        checked = sorted(
+            set().union(*(c["checked"] for c in summary.values()))
+        )
+        Path(manifest_path).write_text(
+            json.dumps({**out, "checked": checked}, indent=1) + "\n"
+        )
+    print(json.dumps(out))
     return 1 if any(c["fail"] for c in summary.values()) else 0
 
 
