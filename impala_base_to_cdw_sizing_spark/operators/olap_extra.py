@@ -249,10 +249,18 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 
 
 def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolated percentiles per group — both engines use
-    the same PERCENTILE_CONT definition, verified bit-equal. (The sorted
+    """Exact linear-interpolated percentiles per group. (The sorted
     per-group pass is the expensive exact form; ``percentile_approx`` in
-    rel_approx_distinct is the sketch-based scale path.)"""
+    rel_approx_distinct is the sketch-based scale path.)
+
+    Float note (r10): Spark's ``percentile`` interpolates as
+    ``(hi_i - pos)*lo + (pos - lo_i)*hi`` while DuckDB's
+    ``quantile_cont`` computes ``lo + (hi - lo)*frac`` — algebraically
+    identical, rounded differently (measured 1 ulp apart on p99 at
+    skewed sf0.01). The oracle therefore spells out Spark's exact
+    formula over ranked rows instead of calling ``quantile_cont``;
+    every input to the two multiplies is the identical double in both
+    engines, so the products and sum are bit-equal."""
     li = _t(spark, sf_dir, "lineitem")
     # one percentile(array(...)) call: the exact aggregator buffers each
     # group's values once for all four cut points, not once per point
@@ -273,12 +281,38 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EXACT_PERCENTILES = """
-SELECT l_returnflag, COUNT(*) AS n,
-  quantile_cont(l_extendedprice, 0.25) AS p25,
-  quantile_cont(l_extendedprice, 0.5) AS p50,
-  quantile_cont(l_extendedprice, 0.75) AS p75,
-  quantile_cont(l_extendedprice, 0.99) AS p99
-FROM lineitem GROUP BY l_returnflag
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+cuts AS (
+  SELECT g.l_returnflag, g.n, p.p,
+    p.p * CAST(g.n - 1 AS DOUBLE) AS pos,
+    CAST(floor(p.p * CAST(g.n - 1 AS DOUBLE)) AS BIGINT) AS lo_i,
+    CAST(ceil(p.p * CAST(g.n - 1 AS DOUBLE)) AS BIGINT) AS hi_i
+  FROM (SELECT DISTINCT l_returnflag, n FROM ranked) g
+  CROSS JOIN (SELECT CAST(UNNEST([0.25, 0.5, 0.75, 0.99]) AS DOUBLE) AS p) p
+),
+interp AS (
+  -- Spark Percentile.getPercentile: returns the key WITHOUT interpolating
+  -- when the two bracketing keys are equal (duplicate-heavy data hits
+  -- this constantly), else (hi_i - pos)*lo + (pos - lo_i)*hi
+  SELECT c.l_returnflag, c.n, c.p,
+    CASE WHEN c.lo_i = c.hi_i OR lo.v = hi.v THEN lo.v
+         ELSE (CAST(c.hi_i AS DOUBLE) - c.pos) * lo.v
+            + (c.pos - CAST(c.lo_i AS DOUBLE)) * hi.v END AS val
+  FROM cuts c
+  JOIN ranked lo ON lo.l_returnflag = c.l_returnflag AND lo.rn = c.lo_i + 1
+  JOIN ranked hi ON hi.l_returnflag = c.l_returnflag AND hi.rn = c.hi_i + 1
+)
+SELECT l_returnflag, any_value(n) AS n,
+  MAX(CASE WHEN p = 0.25 THEN val END) AS p25,
+  MAX(CASE WHEN p = 0.5  THEN val END) AS p50,
+  MAX(CASE WHEN p = 0.75 THEN val END) AS p75,
+  MAX(CASE WHEN p = 0.99 THEN val END) AS p99
+FROM interp GROUP BY l_returnflag
 """
 
 
