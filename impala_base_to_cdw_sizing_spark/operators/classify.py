@@ -86,6 +86,42 @@ def classify_cte(source: str = "derived") -> str:
 )"""
 
 
+def classify_range_join_melted(
+    df: DataFrame, pairs: list[tuple[str, str]], dim: str = "pods"
+) -> DataFrame:
+    """Fourth equivalent form (r9 verdict residual nit): instead of one
+    broadcast range join PER classified column (five sequential BNLJs in
+    ``sizing_derive_rangejoin``), melt the five value columns into
+    ``(seq, out_name, val)`` long form, run ONE broadcast range join
+    against the bucket dim, and pivot back on ``seq``.
+
+    Why it is NOT the primary: the five sequential BNLJs are
+    shuffle-FREE pipelined broadcasts (each a 5-row dim scan per task),
+    while the pivot-back here shuffles 5x the fact rows — and the
+    when-chain form is pure expression (0 exchanges). At 100 TB
+    zero-shuffle wins; this form exists to document the melt pattern
+    and is pinned bit-equal to the other three by
+    ``tests/test_classify.py::test_melted_range_join_equals_when_chain``.
+    """
+    # stack() needs one common type; the pod columns mix BIGINT (already
+    # ceiled) and DOUBLE (the pre-ceil raw max) — DOUBLE holds both
+    # exactly here (pods < 2^53) and ceil() lands on the same bucket
+    stack_expr = "stack({n}, {args}) AS (out_name, val)".format(
+        n=len(pairs),
+        args=", ".join(f"'{out}', CAST({val} AS DOUBLE)" for val, out in pairs),
+    )
+    long = df.selectExpr("seq AS _seq", stack_expr)
+    b = size_buckets(df.sparkSession, dim).select("lo", "hi", "label")
+    x = F.ceil(F.col("val")).cast("long")
+    joined = long.join(F.broadcast(b), (x >= b.lo) & (x <= b.hi), "left")
+    wide = (
+        joined.groupBy("_seq")
+        .pivot("out_name", [out for _, out in pairs])
+        .agg(F.first("label"))
+    )
+    return df.join(wide, df["seq"] == wide["_seq"], "left").drop("_seq")
+
+
 def classify_bucketizer(
     df: DataFrame, value_col: str, out_col: str = "label", dim: str = "pods"
 ) -> DataFrame:
