@@ -242,11 +242,12 @@ _SIZING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # forever. Rule (recorded in README §Driver contract): the sizing rows
 # stay fixed; the remaining declared names rotate by
 # shift = (round - 10) * (50 - len(sizing)) mod len(rest), where round =
-# 1 + count of CORRECTNESS_r*.json files beside this file. Consecutive
-# windows tile (2*38 > 55), so every declared name lands inside the
-# driver's sample at least every other round. The 16 names the r9 sample
-# rotated out lead the canonical order, so the round-10 window starts
-# with them.
+# 1 + the highest N parsed from CORRECTNESS_rN.json files beside this
+# file (robust to gaps or stray files — r10 ADVICE). Consecutive windows
+# tile (2*38 = 76 > 66 rotating names as of r11: 78 declared - 12 fixed
+# sizing), so every declared name lands inside the driver's sample at
+# least every other round. The 16 names the r9 sample rotated out lead
+# the canonical order, so the round-10 window started with them.
 _ROTATION_HEAD: tuple[str, ...] = (
     "rel_tpch_q3_topk", "rel_tpch_q5_star", "rel_tpch_q7_volume",
     "rel_tpch_q4_exists", "rel_tpch_q6_pushdown", "rel_tpch_q13_histogram",
@@ -259,10 +260,24 @@ _DRIVER_SAMPLE_ROWS = 50
 
 
 def _round_number() -> int:
+    """1 + the highest round number among CORRECTNESS_rN.json artifacts.
+
+    A max over parsed round numbers (not a count of files) keeps the
+    rotation stable if a round file is ever deleted, skipped, or a stray
+    non-numeric name matches the glob (r10 ADVICE). The driver writes
+    CORRECTNESS_r{N}.json only AFTER sampling queries(), so the file for
+    the in-flight round never shifts its own sample.
+    """
+    import re
     from pathlib import Path
 
     here = Path(__file__).resolve().parent
-    return len(list(here.glob("CORRECTNESS_r*.json"))) + 1
+    rounds = []
+    for p in here.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if m:
+            rounds.append(int(m.group(1)))
+    return (max(rounds) if rounds else 0) + 1
 
 
 def _rotated_names(ext_names: list[str]) -> list[str]:

@@ -96,13 +96,17 @@ def main() -> None:
         name: min(p[name] for p in passes) for name in passes[0]
     }
     total = round(sum(timings.values()), 3)
-    # the declared tier widened from 50 to 66 queries in r9 (flagship
-    # promotion); the r1-comparable number for the ≤2x baseline gate is
-    # the subtotal over the original registry — everything except the
-    # promoted names (BASELINE.md records both)
+    # the declared tier widened from 50 queries in r9+ (flagship
+    # promotions, sizing_report_values, sizing_api_flatten); the
+    # r1-comparable number for the ≤2x baseline gate is the subtotal over
+    # the original registry — everything except the post-r1 names
+    # (BASELINE.md records both)
     from impala_base_to_cdw_sizing_spark.operators.queries_ext import PROMOTED
 
-    post_r1 = set(PROMOTED) | {"sizing_report_values"}  # r10 addition
+    post_r1 = set(PROMOTED) | {
+        "sizing_report_values",  # r10 addition
+        "sizing_api_flatten",  # r11 addition
+    }
     legacy50 = round(
         sum(t for n, t in timings.items() if n not in post_r1), 3
     )
@@ -112,7 +116,14 @@ def main() -> None:
                 "metric": "suite_total",
                 "value": total,
                 "unit": "sec",
+                # round-over-round comparisons read queries_min (r10
+                # verdict #7); queries stays as the min-of-reps alias it
+                # has carried since r3 so older tooling keeps working,
+                # and queries_single records the UN-minned first pass so
+                # the noise band is visible in the artifact itself.
                 "queries": timings,
+                "queries_min": timings,
+                "queries_single": passes[0],
                 "legacy50_total": legacy50,
                 "sf": sf,
                 "reps": reps,

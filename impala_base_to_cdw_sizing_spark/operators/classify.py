@@ -114,10 +114,14 @@ def classify_range_join_melted(
     b = size_buckets(df.sparkSession, dim).select("lo", "hi", "label")
     x = F.ceil(F.col("val")).cast("long")
     joined = long.join(F.broadcast(b), (x >= b.lo) & (x <= b.hi), "left")
+    # F.max, not F.first: if bucket ranges ever overlapped, first() would
+    # be order-nondeterministic while max() stays deterministic by
+    # construction (r10 ADVICE). With the disjoint shipped buckets each
+    # group has at most one non-NULL label, so max == the single match.
     wide = (
         joined.groupBy("_seq")
         .pivot("out_name", [out for _, out in pairs])
-        .agg(F.first("label"))
+        .agg(F.max("label"))
     )
     return df.join(wide, df["seq"] == wide["_seq"], "left").drop("_seq")
 

@@ -46,6 +46,17 @@ PROMOTED: tuple[str, ...] = (
     "graph_ppr",
     "rel_funnel_window",
     "sample_reservoir_merged",
+    # r10 verdict task #1: the next ten flagships under the driver gate.
+    "dedup_containment",
+    "dedup_hybrid",
+    "corpus_select_budget",
+    "text_quality_gopher",
+    "sim_lsh_ann_multiprobe",
+    "graph_pagerank_conserving",
+    "rel_median_twopass",
+    "rel_entropy_jsd",
+    "mix_sources_temperature",
+    "rel_scd2_intervals",
 )
 
 
@@ -73,6 +84,7 @@ def _load_providers() -> None:
         return
     _LOADED = True
     from . import (
+        api_flatten,
         asof,
         kmeans,
         multimodal,
@@ -82,6 +94,8 @@ def _load_providers() -> None:
         similarity,
         text,
     )
+
+    api_flatten.register_all()
 
     from . import rollup_cascade
 

@@ -118,32 +118,38 @@ def flatten_api_docs(docs: DataFrame) -> DataFrame:
     casts and GB/sec unit conversions (impala_query_sizing.py:189-208).
 
     The ``has_mem_metric`` flag carries the D1 skip-route condition
-    (missing ``memory_aggregate_peak``) downstream.
+    (missing ``memory_aggregate_peak``) downstream. Rounding goes through
+    :func:`..functions.round2` (not ``F.round``) — identical HALF_UP
+    result for these non-negative byte/ms counts, and the same IEEE op
+    sequence DuckDB runs, so the ``sizing_api_flatten`` oracle row
+    hash-matches (the repo-wide cross-engine rounding rule).
     """
+    from ..functions import round2
+
     attr = F.col("attributes")
     gb = 1024 * 1024 * 1024
     return docs.select(
         F.col("queryId").alias("query_id"),
-        F.element_at(attr, "pool").alias("pool"),
+        F.try_element_at(attr, F.lit("pool")).alias("pool"),
         F.col("startTime").alias("start_time"),
         F.col("endTime").alias("end_time"),
         F.col("durationMillis").cast("long").alias("duration_millis"),
-        F.round(F.element_at(attr, "hdfs_bytes_read").cast("double") / gb, 2).alias(
+        round2(F.try_element_at(attr, F.lit("hdfs_bytes_read")).cast("double") / gb).alias(
             "reqd_cache_gb"
         ),
-        F.round(
-            F.element_at(attr, "memory_aggregate_peak").cast("double") / gb, 2
+        round2(
+            F.try_element_at(attr, F.lit("memory_aggregate_peak")).cast("double") / gb
         ).alias("reqd_agg_mem"),
-        F.round(F.element_at(attr, "memory_spilled").cast("double") / gb, 2).alias(
+        round2(F.try_element_at(attr, F.lit("memory_spilled")).cast("double") / gb).alias(
             "memory_spilled_gb"
         ),
-        F.round(
-            F.element_at(attr, "thread_cpu_time").cast("double") / 1000, 2
+        round2(
+            F.try_element_at(attr, F.lit("thread_cpu_time")).cast("double") / 1000
         ).alias("cpu_time_sec"),
         F.col("queryType").alias("query_type"),
-        F.element_at(attr, "admission_wait").cast("int").alias("admission_wait"),
-        F.element_at(attr, "num_backends").cast("int").alias("num_backends"),
-        F.element_at(attr, "memory_aggregate_peak").isNotNull().alias(
+        F.try_element_at(attr, F.lit("admission_wait")).cast("int").alias("admission_wait"),
+        F.try_element_at(attr, F.lit("num_backends")).cast("int").alias("num_backends"),
+        F.try_element_at(attr, F.lit("memory_aggregate_peak")).isNotNull().alias(
             "has_mem_metric"
         ),
         F.col("queryState").alias("query_state"),

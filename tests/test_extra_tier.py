@@ -48,22 +48,32 @@ def test_extra_tier_is_nonempty_and_fully_oracled():
 
     sizing = list(entry_mod._SIZING_QUERIES)
     assert declared_order[: len(sizing)] == sizing
-    ext_names = [n for n in declared_order if n not in entry_mod._SIZING_QUERIES]
     rnd = entry_mod._round_number()
     window = entry_mod._DRIVER_SAMPLE_ROWS - len(sizing)
 
+    # Reconstruct the canonical (unrotated) order from the REGISTRATION
+    # source — head names first, then queries_ext registration order —
+    # instead of un-rotating the already-rotated declared order, which
+    # only re-canonicalizes head entries (r10 ADVICE).
+    ext_reg = list(queries_ext.queries())
+    head = [n for n in entry_mod._ROTATION_HEAD if n in ext_reg]
+    canon = head + [n for n in ext_reg if n not in set(head)]
+    assert sorted(canon) == sorted(
+        n for n in declared_order if n not in entry_mod._SIZING_QUERIES
+    )
+
     def sample_at(round_no: int) -> set[str]:
-        shift = ((round_no - 10) * window) % len(ext_names)
-        canon = entry_mod._rotated_names(ext_names)
-        # _rotated_names uses the CURRENT round; reconstruct for round_no
-        base = canon[-((rnd - 10) * window) % len(ext_names):] + \
-            canon[: -((rnd - 10) * window) % len(ext_names)] \
-            if ((rnd - 10) * window) % len(ext_names) else canon
-        rotated = base[shift:] + base[:shift]
+        shift = ((round_no - 10) * window) % len(canon)
+        rotated = canon[shift:] + canon[:shift]
         return set(sizing) | set(rotated[:window])
 
-    this_round, next_round = sample_at(rnd), sample_at(rnd + 1)
-    assert this_round | next_round == set(declared_order)
+    # the reconstruction must reproduce the ACTUAL driver sample (first
+    # 50 rows of queries()) for the current round, exactly
+    assert sample_at(rnd) == set(
+        declared_order[: entry_mod._DRIVER_SAMPLE_ROWS]
+    )
+    # and two consecutive rounds' samples jointly cover every declared name
+    assert sample_at(rnd) | sample_at(rnd + 1) == set(declared_order)
 
 
 @pytest.mark.parametrize("name,fn,sql", _cases(), ids=[c[0] for c in _cases()])
