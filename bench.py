@@ -79,7 +79,11 @@ def main() -> None:
     from impala_base_to_cdw_sizing_spark.session import build_spark
     from impala_base_to_cdw_sizing_spark.sources.synthetic import _QH_MEMO
 
-    spark = build_spark("bench")
+    # width scales with the input dir (r10 verdict #6) — at sf0.1 this
+    # stays at the core count, so driver-bench numbers are comparable;
+    # ≥sf1 runs get the measured wider-shuffle remediation automatically
+    spark = build_spark("bench", data_dir=sf_dir)
+    shuffle_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # warm the JVM + parquet footers so per-query numbers measure the
     # queries, not session startup
@@ -127,6 +131,7 @@ def main() -> None:
                 "legacy50_total": legacy50,
                 "sf": sf,
                 "reps": reps,
+                "shuffle_partitions": shuffle_partitions,
             }
         )
     )

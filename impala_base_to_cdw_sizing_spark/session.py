@@ -8,6 +8,7 @@ scale.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -74,11 +75,45 @@ def _cgroup_limit_bytes() -> int | None:
     return None
 
 
+_BYTES_PER_SHUFFLE_PARTITION = 8 * 1024 * 1024  # compressed parquet bytes
+
+
+def _scaled_partitions(data_dir: str | None, cpus: int) -> int:
+    """Shuffle width scaled to the INPUT SIZE, not just the core count
+    (r10 verdict #6).
+
+    The r10 sf10 width experiment showed the fixed cores-wide default
+    under-partitions big local runs: prefixfilter's sf10 pass dropped
+    118→96 s going 32→256 partitions with no plan change (each shuffle
+    partition's working set must fit the per-thread share of one JVM
+    heap). Rule: one shuffle partition per ~8 MiB of compressed parquet
+    input, floored at the core count, capped at 2048 (the ~1.7 GB sf10
+    dir lands at ~217 — the measured sweet spot's neighborhood; sf0.1
+    and below stay at the core count, so driver-bench numbers are
+    unchanged). On a real cluster the same rule holds with the cap
+    lifted: width scales with data, the floor with total cores.
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` overrides for width sweeps.
+    """
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env:
+        return int(env)
+    if not data_dir:
+        return cpus
+    try:
+        total = sum(
+            f.stat().st_size for f in Path(data_dir).glob("*.parquet")
+        )
+    except OSError:
+        return cpus
+    return min(2048, max(cpus, total // _BYTES_PER_SHUFFLE_PARTITION))
+
+
 def build_spark(
     app_name: str = "impala_base_to_cdw_sizing_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    data_dir: str | None = None,
 ) -> SparkSession:
     """Build a SparkSession.
 
@@ -88,11 +123,13 @@ def build_spark(
     - AQE on (runtime re-plan, skew-join handling, partition coalescing).
     - UTC session timezone (determinism + DuckDB-oracle comparability).
     - Arrow enabled for the few Pandas-UDF paths (multimodal/similarity).
-    - shuffle.partitions sized to parallelism, not the 200 default.
+    - shuffle.partitions sized to parallelism AND input scale (pass
+      ``data_dir`` so ≥sf1 harness runs measure the plan, not the width),
+      not the 200 default.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or cpus
+    shuffle_partitions = shuffle_partitions or _scaled_partitions(data_dir, cpus)
 
     builder = (
         SparkSession.builder.appName(app_name)

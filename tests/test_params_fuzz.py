@@ -1,0 +1,182 @@
+"""Fuzz the SIZING PARAMS, not just the rows (r10 verdict #5).
+
+``test_derive_parity_fuzz`` fuzzes input rows at ``DEFAULT_PARAMS`` only;
+the derive/classify/summarize/utilization SQL *generators* take a
+``SizingParams`` and could silently hardcode a constant that only matches
+at the default point. Here Hypothesis draws the params (adjustment pcts,
+node shapes, pod_limit, mt_dop — which drives ``mt_scaling_factor`` and
+``parallel_factor``) over a FIXED deterministic row corpus, and asserts
+the Spark operators and the param-injected DuckDB CTEs agree bit-for-bit
+at every drawn point:
+
+  derive(P)    ==  derived_cte(P)      (18 derived columns)
+  classify     ==  classify_cte        (5 labels over the fuzzed pods)
+  summarize    ==  summarize_sql(P)    (incl. the pod_limit kept-split)
+  utilization  ==  utilization_sql(P)  (the per-node divisors)
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from impala_base_to_cdw_sizing_spark.config import SizingParams
+from impala_base_to_cdw_sizing_spark.operators.aggregates import (
+    summarize,
+    summarize_sql,
+    utilization,
+    utilization_sql,
+)
+from impala_base_to_cdw_sizing_spark.operators.classify import (
+    classify,
+    classify_cte,
+)
+from impala_base_to_cdw_sizing_spark.operators.derive import (
+    DERIVED_COLUMNS,
+    derive,
+    derived_cte,
+)
+
+QH_SCHEMA = (
+    "seq long, query_id string, pool string, duration_millis long, "
+    "reqd_cache_gb double, reqd_agg_mem double, memory_spilled_gb double, "
+    "cpu_time_sec double, admission_wait long, num_backends long"
+)
+
+TSIZE_COLS = [
+    "tsize_cache", "tsize_mem", "tsize_cpu", "tsize_spill",
+    "recommended_tsize",
+]
+
+
+def _corpus() -> list[tuple]:
+    """Deterministic rows spanning the interesting regimes: all-zero
+    resources (kept under ANY pod_limit), values that cross typical
+    limits, > 999-pod monsters (NULL tsize + prune at most limits), and
+    tie pairs."""
+    rows = []
+    for i in range(60):
+        rows.append(
+            (
+                i,
+                f"q-{i:04d}",
+                ["etl", "bi", "adhoc"][i % 3],
+                500 + (i * 7919) % 360_000,          # duration_millis
+                ((i * 31) % 5001) / 10.0 * (1 + i % 7),   # reqd_cache_gb
+                ((i * 53 + 7) % 2001) / 10.0 * (1 + i % 5),  # reqd_agg_mem
+                0.0 if i % 10 < 7 else ((i * 17) % 3001) / 10.0,  # spill
+                ((i * 13) % 900) * (1 + i % 4) / 2.0,  # cpu_time_sec
+                (i * 13) % 250,                       # admission_wait
+                1 + i % 40,                           # num_backends
+            )
+        )
+    # all-zero resources: kept under every pod_limit >= 1
+    rows.append((60, "q-zero-a", "etl", 1000, 0.0, 0.0, 0.0, 0.0, 0, 1))
+    # tiny-but-nonzero cache: pods == 1 for every cache_gb_per_node >= 1,
+    # so the kept set ALWAYS contains a >=1-pod row and the utilization
+    # denominator (max_pod * total_time) never hits the reference's own
+    # ZeroDivisionError regime (which ANSI Spark would surface as an error)
+    rows.append((61, "q-tiny", "bi", 2000, 0.5, 0.0, 0.0, 0.0, 5, 2))
+    # monsters: pods far beyond 999 for most node shapes
+    rows.append((62, "q-big", "adhoc", 750, 9.9e6, 8.8e6, 7.7e6, 1e6, 9, 3))
+    # exact tie pair on every resource (argmax/tie rules live elsewhere;
+    # here it exercises equal pre-ceil maxima through greatest())
+    rows.append((63, "q-tie-a", "etl", 4000, 100.0, 50.0, 25.0, 12.0, 1, 4))
+    rows.append((64, "q-tie-b", "etl", 4000, 100.0, 50.0, 25.0, 12.0, 1, 4))
+    return rows
+
+
+PARAMS_STRATEGY = st.builds(
+    SizingParams,
+    mem_adjustment_pct=st.integers(min_value=1, max_value=400),
+    cpu_adjustment_pct=st.integers(min_value=1, max_value=400),
+    scratch_gb_per_node=st.integers(min_value=1, max_value=10_000),
+    cache_gb_per_node=st.integers(min_value=1, max_value=10_000),
+    query_mem_per_node=st.integers(min_value=1, max_value=2_000),
+    vcores_per_node=st.integers(min_value=1, max_value=128),
+    pod_limit=st.integers(min_value=1, max_value=1_000),
+    mt_dop=st.integers(min_value=1, max_value=64),
+)
+
+_SPARK = None
+
+
+def _assert_frames_equal(tag: str, got: pd.DataFrame, want: pd.DataFrame):
+    assert sorted(got.columns) == sorted(want.columns), tag
+    assert len(got) == len(want), f"{tag}: {len(got)} vs {len(want)}"
+    for c in sorted(got.columns):
+        gv, wv = got[c].tolist(), want[c].tolist()
+        pairs = list(zip(gv, wv))
+        bad = [
+            (i, a, b)
+            for i, (a, b) in enumerate(pairs)
+            if not (a == b or (pd.isna(a) and pd.isna(b)))
+        ]
+        assert not bad, f"{tag} col {c}: first mismatch {bad[0]}"
+
+
+def test_param_injected_oracles_agree_on_fuzzed_params(spark):
+    global _SPARK
+    _SPARK = spark
+
+    rows = _corpus()
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "seq", "query_id", "pool", "duration_millis", "reqd_cache_gb",
+            "reqd_agg_mem", "memory_spilled_gb", "cpu_time_sec",
+            "admission_wait", "num_backends",
+        ],
+    )
+    sdf = _SPARK.createDataFrame(rows, QH_SCHEMA)
+    sdf.cache().count()  # one corpus, many param points
+
+    @settings(max_examples=10, deadline=None)
+    @given(PARAMS_STRATEGY)
+    def check(params: SizingParams):
+        con = duckdb.connect()
+        con.register("qh", pdf)
+        prefix = (
+            f"WITH {derived_cte(params, source='qh')},"
+            f" {classify_cte(source='derived')}"
+        )
+
+        # 1. derive + 2. classify, one pass
+        d = derive(sdf, params)
+        got = (
+            classify(d)
+            .select("seq", *DERIVED_COLUMNS, *TSIZE_COLS)
+            .toPandas()
+            .sort_values("seq")
+            .reset_index(drop=True)
+        )
+        want = (
+            con.execute(
+                f"{prefix} SELECT seq, "
+                + ", ".join(DERIVED_COLUMNS + TSIZE_COLS)
+                + " FROM classified ORDER BY seq"
+            )
+            .fetch_df()
+            .reset_index(drop=True)
+        )
+        _assert_frames_equal("derive+classify", got, want)
+
+        # 3. summarize with the param-dependent kept-split
+        kept = d.filter(F.col("min_executor_pod") <= params.pod_limit)
+        summary = summarize(kept, d)
+        got_s = summary.toPandas()
+        want_s = con.execute(f"{prefix} {summarize_sql(params)}").fetch_df()
+        _assert_frames_equal("summarize", got_s, want_s)
+
+        # 4. utilization percentages off the same summary
+        got_u = utilization(summary, params).toPandas()
+        want_u = con.execute(
+            f"{prefix}, summary AS ({summarize_sql(params)})"
+            f" {utilization_sql(params)}"
+        ).fetch_df()
+        _assert_frames_equal("utilization", got_u, want_u)
+
+    check()
+    sdf.unpersist()

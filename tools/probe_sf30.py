@@ -22,7 +22,7 @@ from impala_base_to_cdw_sizing_spark.session import build_spark  # noqa: E402
 def main() -> None:
     sf_dir = sys.argv[1]
     which = set(sys.argv[2:]) or {"components", "prefix", "hardneg"}
-    spark = build_spark("probe-sf30")
+    spark = build_spark("probe-sf30", data_dir=sf_dir)
     out: dict[str, object] = {"sf_dir": sf_dir}
 
     if "components" in which:
