@@ -111,7 +111,9 @@ def test_plan_keyed_caches_are_flat_across_repeat_runs(spark):
     run of the same query must hit the same entry, so the cache-entry
     count is identical after run 1 and run 2 — flat, not growing."""
     spark.catalog.clearCache()
-    qs = ent.extra_queries()
+    # union of tiers: graph_pagerank_conserving was promoted to the
+    # declared tier in r11
+    qs = {**ent.queries(), **ent.extra_queries()}
     qs["graph_pagerank"](spark, SF_SMALL).collect()
     after_first = _cached_plans(spark)
     qs["graph_pagerank"](spark, SF_SMALL).collect()
