@@ -148,6 +148,13 @@ def pagerank_ranks_conserving(
             "doc_id",
             f"CAST({base} + coalesce(in_sum, 0) AS BIGINT) AS pre",
         )
+        # materialize the round (graph_ppr's per-round hygiene): the
+        # leak aggregate AND next round's contrib both read `pre`, so
+        # without truncation the round's whole subplan is evaluated
+        # twice and the lineage compounds per iteration (measured 12 s
+        # at sf0.1 vs ~4 s for the same-shape ppr loop). One tiny
+        # N-row checkpoint per round makes leak + ranks single-eval.
+        pre = pre.localCheckpoint(eager=True)
         leak = F.broadcast(
             pre.agg((F.lit(_NANO) - F.sum("pre")).cast("long").alias("leak"))
         )
