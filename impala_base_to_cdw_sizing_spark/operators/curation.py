@@ -108,7 +108,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor cap (lowest id stands in for the paper's keep-one-per-group
     choice, deterministic for the oracle). Keep the rows where is_dup
     is false."""
-    assigned = _sem_assigned(spark, sf_dir)
+    # materialize once (GC-scoped): the plan references `assigned` three
+    # times (anchors, candidate side, final join) and each reference
+    # otherwise re-executes the full sqrt(n)-cell quantizer train+assign
+    # chain. n rows of (id, cluster, vec) — linear in the corpus, the
+    # same footprint the IVF cell-assignment path carries.
+    assigned = _sem_assigned(spark, sf_dir).localCheckpoint()
     dup_ids = (
         _sem_candidate_pairs(assigned)
         .withColumn(

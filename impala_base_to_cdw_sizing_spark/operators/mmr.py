@@ -125,7 +125,12 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "redundancy",
             )
         )
-        selected = selected.unionByName(pick)
+        # truncate lineage each round (the graph_pagerank pattern): the
+        # unrolled chain references `selected` three times per round
+        # (anti-join, penalty join, union), so without a checkpoint the
+        # plan grows ~3^k — 294 exchanges for k=5 on a ≤10-row/query
+        # frame, all planner overhead. `selected` is ≤ k rows/query.
+        selected = selected.unionByName(pick).localCheckpoint()
     return selected.select(
         "q_id", "mmr_rank", F.col("c_id").alias("neighbor_id"), "rel", "redundancy"
     )

@@ -57,6 +57,20 @@ PROMOTED: tuple[str, ...] = (
     "rel_entropy_jsd",
     "mix_sources_temperature",
     "rel_scd2_intervals",
+    # r11: ten more flagships under the driver gate. text_langid /
+    # text_token_count / text_fingerprint close the task-spec text-analysis
+    # list (language-ID, token counting, document fingerprinting) at the
+    # declared tier alongside the already-promoted text_quality_gopher.
+    "text_langid",
+    "text_token_count",
+    "text_fingerprint",
+    "rel_retention_cohorts",
+    "rel_tpch_q9_profit",
+    "rel_tpch_q18_having",
+    "sketch_countmin_topk",
+    "rel_hll_rollup",
+    "sim_ivf_trained",
+    "mix_sources",
 )
 
 
