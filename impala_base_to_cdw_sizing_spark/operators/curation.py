@@ -108,12 +108,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor cap (lowest id stands in for the paper's keep-one-per-group
     choice, deterministic for the oracle). Keep the rows where is_dup
     is false."""
-    # materialize once (GC-scoped): the plan references `assigned` three
-    # times (anchors, candidate side, final join) and each reference
-    # otherwise re-executes the full sqrt(n)-cell quantizer train+assign
-    # chain. n rows of (id, cluster, vec) — linear in the corpus, the
-    # same footprint the IVF cell-assignment path carries.
-    assigned = _sem_assigned(spark, sf_dir).localCheckpoint()
+    # plan-keyed cache (the shared-MinHash-pipeline pattern): the plan
+    # references `assigned` three times (anchors, candidate side, final
+    # join), and dedup_hybrid builds the IDENTICAL train+assign chain —
+    # one CacheManager entry serves all of them. n rows of
+    # (id, cluster, vec) — linear in the corpus, evictable.
+    assigned = _sem_assigned(spark, sf_dir).cache()
     dup_ids = (
         _sem_candidate_pairs(assigned)
         .withColumn(
@@ -181,7 +181,8 @@ def q_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     sem = (
-        _sem_candidate_pairs(_sem_assigned(spark, sf_dir))
+        # same plan as dedup_semantic's cached assignment — plan-keyed hit
+        _sem_candidate_pairs(_sem_assigned(spark, sf_dir).cache())
         .withColumn(
             "cosine",
             F.expr(SPARK_DOT.format(a="av", b="bv"))

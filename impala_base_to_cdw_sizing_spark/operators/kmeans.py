@@ -42,20 +42,42 @@ def _emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """vectors × broadcast centroids → nearest cluster per vector."""
-    dists = emb.crossJoin(F.broadcast(centroids)).withColumn(
+    """vectors × broadcast centroids → nearest cluster per vector.
+
+    Two scale choices, both value-preserving:
+    - ``cv·cv`` is evaluated once per centroid BEFORE the cross join
+      (k rows), not once per (vector, centroid) pair (n·k rows) — the
+      dot is an interpreted higher-order function, so per-pair
+      re-evaluation dominated the assign cost;
+    - the argmin is a ``min(struct(dist2, cluster, …))`` aggregation
+      (lexicographic struct ordering = the (dist2 asc, cluster asc)
+      tie-break), which partial-aggregates map-side to one row per
+      vector instead of shuffling + sorting all n·k scored rows the
+      row_number window needed.
+    """
+    cents = F.broadcast(
+        centroids.withColumn("c_norm2", F.expr(SPARK_DOT.format(a="cv", b="cv")))
+    )
+    dists = emb.crossJoin(cents).withColumn(
         "dist2",
         F.col("norm2")
-        + F.expr(SPARK_DOT.format(a="cv", b="cv"))
+        + F.col("c_norm2")
         - 2 * F.expr(SPARK_DOT.format(a="v", b="cv")),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("dist2").asc(), F.col("cluster").asc()
-    )
     return (
-        dists.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("vec_id", "label", "v", "norm2", "cluster")
+        dists.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct("dist2", "cluster", "label", "v", "norm2")
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.label").alias("label"),
+            F.col("best.v").alias("v"),
+            F.col("best.norm2").alias("norm2"),
+            F.col("best.cluster").alias("cluster"),
+        )
     )
 
 

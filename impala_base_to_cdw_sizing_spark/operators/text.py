@@ -2026,7 +2026,7 @@ def cc_labels_star(
     equal to :func:`cc_labels_converged` (and oracle-checked through
     ``dedup_components``'s recursive-CTE fixpoint when registered)."""
 
-    def _star(e: DataFrame, large: bool) -> DataFrame:
+    def _star(e: DataFrame, large: bool, dedupe: bool = True) -> DataFrame:
         m = e.groupBy("doc_a").agg(F.min("doc_b").alias("mnb")).select(
             "doc_a", F.least("doc_a", "mnb").alias("m")
         )
@@ -2041,7 +2041,9 @@ def cc_labels_star(
             out = withm.filter(F.col("doc_b") <= F.col("doc_a")).select(
                 F.col("doc_b").alias("u"), F.col("m").alias("v")
             ).union(m.select(F.col("doc_a").alias("u"), F.col("m").alias("v")))
-        out = out.filter(F.col("u") != F.col("v")).distinct()
+        out = out.filter(F.col("u") != F.col("v"))
+        if dedupe:
+            out = out.distinct()
         # re-symmetrize for the next round's per-node neighborhoods
         return out.select(
             F.col("u").alias("doc_a"), F.col("v").alias("doc_b")
@@ -2051,7 +2053,14 @@ def cc_labels_star(
     prev_digest = None
     rounds = 0
     for _ in range(max_iters):
-        e = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
+        # the intermediate large-star output skips its distinct: the
+        # small-star pass only min-aggregates and joins over it, both
+        # duplicate-insensitive for the resulting edge SET, and the round
+        # ends in a distinct — one shuffle fewer per round, identical
+        # per-round edge sets (so identical digests and round counts)
+        e = _star(
+            _star(e, large=True, dedupe=False), large=False
+        ).localCheckpoint(eager=True)
         rounds += 1
         digest = e.agg(
             F.count("*").alias("n"),

@@ -44,6 +44,13 @@ def test_no_row_udfs_or_cartesians_anywhere(spark):
     # the sanctioned vectorized path appears only where documented
     arrow_users = {n for n, a in audits.items() if a["arrow_eval"] > 0}
     assert arrow_users <= {"mm_decode_stub"}, arrow_users
+    # plan-size blowup pin (r11): an unrolled loop that re-references a
+    # growing frame multiplies the plan ~branch^rounds — sim_mmr_rerank
+    # shipped at 294 exchanges this way before its per-round checkpoint.
+    # The widest legitimate declared plan is dedup_semantic at 40; any
+    # plan past 64 exchanges is a lineage bug, not a bigger query.
+    bloated = {n: a["exchanges"] for n, a in audits.items() if a["exchanges"] > 64}
+    assert not bloated, f"plan blowup (exchanges > 64): {bloated}"
 
 
 @pytest.mark.slow  # full-registry plan sweep (~2 min alone) — the
