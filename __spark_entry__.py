@@ -244,10 +244,14 @@ _SIZING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # shift = (round - 10) * (50 - len(sizing)) mod len(rest), where round =
 # 1 + the highest N parsed from CORRECTNESS_rN.json files beside this
 # file (robust to gaps or stray files — r10 ADVICE). Consecutive windows
-# tile (2*38 = 76 > 66 rotating names as of r11: 78 declared - 12 fixed
-# sizing), so every declared name lands inside the driver's sample at
-# least every other round. The 16 names the r9 sample rotated out lead
-# the canonical order, so the round-10 window started with them.
+# tile EXACTLY (2*38 = 76 rotating names as of late r11: 88 declared -
+# 12 fixed sizing), so every declared name lands inside the driver's
+# sample at least every other round — with ZERO slack. 76 is the tiling
+# capacity: promoting a 77th rotating name breaks the every-other-round
+# guarantee (test_extra_tier's coverage assert will fail), so further
+# promotion requires widening the window or adopting a 3-round contract.
+# The 16 names the r9 sample rotated out lead the canonical order, so
+# the round-10 window started with them.
 _ROTATION_HEAD: tuple[str, ...] = (
     "rel_tpch_q3_topk", "rel_tpch_q5_star", "rel_tpch_q7_volume",
     "rel_tpch_q4_exists", "rel_tpch_q6_pushdown", "rel_tpch_q13_histogram",

@@ -96,13 +96,32 @@ def _scaled_partitions(data_dir: str | None, cpus: int) -> int:
     """
     env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     if env:
-        return int(env)
+        try:
+            width = int(env)
+        except ValueError:
+            raise ValueError(
+                f"SPARK_GRAFT_SHUFFLE_PARTITIONS={env!r} is not an integer"
+            ) from None
+        if width < 1:
+            raise ValueError(
+                f"SPARK_GRAFT_SHUFFLE_PARTITIONS must be >= 1, got {width}"
+            )
+        return width
     if not data_dir:
         return cpus
     try:
-        total = sum(
-            f.stat().st_size for f in Path(data_dir).glob("*.parquet")
-        )
+        # a '*.parquet' entry may be a single file OR a Spark-written
+        # directory dataset (dir/table.parquet/part-*.parquet) — stat'ing
+        # the directory inode would count it as ~4 KiB and silently
+        # disable the scale-aware width, so sum the leaf files
+        total = 0
+        for entry in Path(data_dir).glob("*.parquet"):
+            if entry.is_dir():
+                total += sum(
+                    f.stat().st_size for f in entry.rglob("*") if f.is_file()
+                )
+            else:
+                total += entry.stat().st_size
     except OSError:
         return cpus
     return min(2048, max(cpus, total // _BYTES_PER_SHUFFLE_PARTITION))

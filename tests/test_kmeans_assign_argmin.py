@@ -90,9 +90,9 @@ def test_assign_dist2_doubles_are_bit_identical_to_python(spark):
     rests on."""
     from impala_base_to_cdw_sizing_spark.operators.kmeans import _emb_norm, _assign
     from impala_base_to_cdw_sizing_spark.operators.similarity import SPARK_DOT
+    from tests.conftest import SF_SMALL
 
-    sf = "/root/testdata/sf0.001"
-    emb = _emb_norm(spark, sf).limit(50)
+    emb = _emb_norm(spark, SF_SMALL).limit(50)
     cents = (
         emb.limit(5)
         .selectExpr("vec_id AS cluster", "v AS cv")

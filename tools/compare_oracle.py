@@ -157,6 +157,13 @@ def main() -> int:
         qs, oracles = ent.queries(), ent.oracle_sql()
 
     if sample_n is not None:
+        if manifest_path is not None:
+            raise SystemExit(
+                "--sample with --manifest would overwrite the full-sweep "
+                "manifest with a partial one (and fail "
+                "tests/test_sweep_manifests.py); run the sample without "
+                "--manifest, or the manifest without --sample"
+            )
         import random
 
         pool = sorted(qs)
