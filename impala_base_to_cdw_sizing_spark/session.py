@@ -114,11 +114,15 @@ def _scaled_partitions(data_dir: str | None, cpus: int) -> int:
         # directory dataset (dir/table.parquet/part-*.parquet) — stat'ing
         # the directory inode would count it as ~4 KiB and silently
         # disable the scale-aware width, so sum the leaf files
+        # data files only — sidecars (_SUCCESS, .crc, _metadata) are
+        # not scan input and would overcount the width basis (r11 ADVICE)
         total = 0
         for entry in Path(data_dir).glob("*.parquet"):
             if entry.is_dir():
                 total += sum(
-                    f.stat().st_size for f in entry.rglob("*") if f.is_file()
+                    f.stat().st_size
+                    for f in entry.rglob("*")
+                    if f.is_file() and not f.name.startswith(("_", "."))
                 )
             else:
                 total += entry.stat().st_size

@@ -50,8 +50,13 @@ def test_no_query_unpersists_an_unmaterialized_cache(spark):
     served at least one action (the graph_rank pattern: cache → eager
     checkpoint consumes it → unpersist). Dead caches trip the assert;
     eager ``localCheckpoint`` materializations never call unpersist at
-    all, so they pass vacuously."""
-    from pyspark.sql import DataFrame
+    all, so they pass vacuously.
+
+    The patch targets the CONCRETE classic.DataFrame (r12): in PySpark 4
+    ``pyspark.sql.DataFrame`` is the abstract base and classic overrides
+    ``unpersist``, so the original base-class patch never fired — the
+    test passed vacuously for every query."""
+    from pyspark.sql.classic.dataframe import DataFrame
 
     cm = spark._jsparkSession.sharedState().cacheManager()
     offenders: list[str] = []
@@ -123,5 +128,27 @@ def test_plan_keyed_caches_are_flat_across_repeat_runs(spark):
     after_repeat = _cached_plans(spark)
     assert after_repeat == after_first, (
         f"cache entries grew across repeat runs: {after_first} -> {after_repeat}"
+    )
+    spark.catalog.clearCache()
+
+    # the semantic family's shared _sem_assigned cache (curation.py) is
+    # plan-keyed the same way: dedup_semantic and dedup_hybrid build the
+    # IDENTICAL train+assign chain, so repeat runs and the sibling query
+    # must share ONE entry, not add one per run (r11 ADVICE — a future
+    # change that breaks plan canonicalization, e.g. a checkpoint inside
+    # trained_centroids, would otherwise grow the CacheManager silently)
+    qs["dedup_semantic"](spark, SF_SMALL).collect()
+    qs["dedup_hybrid"](spark, SF_SMALL).collect()
+    # first pass leaves exactly two entries: the shared _sem_assigned
+    # chain (semantic + hybrid hit the SAME one) and hybrid's lexical
+    # MinHash sigs frame
+    after_sem_first = _cached_plans(spark)
+    assert after_sem_first == 2, after_sem_first
+    qs["dedup_semantic"](spark, SF_SMALL).collect()
+    qs["dedup_hybrid"](spark, SF_SMALL).collect()
+    after_sem_repeat = _cached_plans(spark)
+    assert after_sem_repeat == after_sem_first, (
+        "semantic-dedup plan-keyed cache grew across repeat/sibling runs: "
+        f"{after_sem_first} -> {after_sem_repeat}"
     )
     spark.catalog.clearCache()

@@ -94,6 +94,66 @@ def test_flagship_narrow_plans_stay_shuffle_free(spark):
     assert audits["rel_tpch_q6_pushdown"]["exchanges"] == 1
 
 
+def test_iterative_per_round_plans_stay_bounded(spark):
+    """r11 ADVICE: the 64-exchange pin audits only the FINAL plan, which
+    for checkpoint-per-round queries is a ``Scan ExistingRDD`` — 0
+    exchanges regardless of what each round planned, so exactly the
+    query class that motivated the pin (sim_mmr_rerank's 294-exchange
+    unrolled greedy, r10) is invisible to the final-plan audit. Audit
+    every frame AT its ``localCheckpoint`` call instead: each per-round
+    plan must stay under the same 64-exchange blowup bound."""
+    # patch the CONCRETE class: pyspark.sql.DataFrame is the abstract
+    # base in PySpark 4 and classic.DataFrame overrides localCheckpoint,
+    # so a base-class patch would never fire (hook silently vacuous)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    per_round: dict[str, list[int]] = {}
+    current = {"name": "?"}
+    orig = DataFrame.localCheckpoint
+
+    def audited(self, eager=True):
+        plan = self._jdf.queryExecution().executedPlan().toString()
+        per_round.setdefault(current["name"], []).append(
+            audit_plan(plan)["exchanges"]
+        )
+        return orig(self, eager)
+
+    qs = {**ent.queries(), **ent.extra_queries()}
+    DataFrame.localCheckpoint = audited
+    try:
+        for name in [
+            "sim_mmr_rerank",
+            "dedup_components",
+            "dedup_components_star",
+            "graph_pagerank",
+            "graph_ppr",
+        ]:
+            current["name"] = name
+            qs[name](spark, SF_SMALL)
+            spark.catalog.clearCache()
+    finally:
+        DataFrame.localCheckpoint = orig
+    # every audited query must actually checkpoint (the hook saw it) …
+    # (kmeans_clusters iterates via collected-centroid broadcast, no
+    # per-round frame checkpoint — nothing for this hook to see there)
+    assert set(per_round) == {
+        "sim_mmr_rerank", "dedup_components", "dedup_components_star",
+        "graph_pagerank", "graph_ppr",
+    }, sorted(per_round)
+    # … and every intra-round plan stays bounded. The graph queries
+    # checkpoint once at the END of a 3-round linear lineage whose plan
+    # STRING re-prints the cached MinHash edge subtree (InMemoryRelation
+    # includes its child plan) at every reference — the string count is
+    # ~202 while the executed shuffle count is ~15, so they get their own
+    # pin (measured 202; a 3^k blowup would be thousands).
+    final_ckpt = {"graph_pagerank", "graph_ppr"}
+    offenders = {
+        n: rounds for n, rounds in per_round.items()
+        if any(r > (256 if n in final_ckpt else 64) for r in rounds)
+    }
+    assert not offenders, f"per-round plan blowup: {offenders}"
+
+
 def test_materialized_shared_subplans_serve_from_checkpoint(spark):
     """r5 verdict #2 done-criteria: the executed plans of the queries
     whose shared subplans are eagerly localCheckpoint-ed must actually

@@ -70,3 +70,25 @@ def test_read_query_history_csv_enforces_schema(spark, tmp_path):
     assert len(df.columns) == 12
     row = df.collect()[0]
     assert row.query_id == "q1" and row.duration_millis is None
+
+
+def test_scaled_partitions_ignores_sidecar_files(tmp_path):
+    """r11 ADVICE: directory-dataset input sizing must sum DATA files
+    only — _SUCCESS / .crc / _metadata sidecars are not scan input and
+    would inflate the width basis."""
+    from impala_base_to_cdw_sizing_spark.session import _scaled_partitions
+
+    mib = 1024 * 1024
+    ds = tmp_path / "t.parquet"
+    ds.mkdir()
+
+    def sparse(p, size):
+        with open(p, "wb") as f:
+            f.truncate(size)
+
+    sparse(ds / "part-00000.snappy.parquet", 64 * mib)
+    sparse(ds / "_SUCCESS", 64 * mib)  # absurd on purpose: the width
+    sparse(ds / ".part-00000.crc", 64 * mib)  # must not see these bytes
+    sparse(ds / "_metadata", 64 * mib)
+    # 64 MiB of data at 8 MiB/partition -> 8, not 32
+    assert _scaled_partitions(str(tmp_path), cpus=1) == 8
