@@ -302,6 +302,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return base
 
 
+def canonical_query_order() -> list[str]:
+    """The declared names in rotation-INDEPENDENT order (the shift-0
+    layout: 12 sizing rows, then head, then registration order).
+
+    ``bench.py`` iterates passes in this order, not ``queries()`` order:
+    the driver-sample rotation reorders ``queries()`` every round, which
+    changes plan-keyed cache adjacency between queries that share a
+    pipeline stage — r11's `graph_ppr` 3.89→10.58 s "regression" was
+    exactly this (the rotation moved it BEFORE the MinHash family, so it
+    paid the shared signature build that `dedup_minhash` had warmed in
+    r10's order; measured cold 13.1 s vs warm 4.9 s at sf0.1, r12). A
+    fixed bench order makes per-query timings carry identical adjacency
+    every round, so round-over-round deltas mean plan changes, not
+    rotation weather.
+
+    Shared-stage billing: the MinHash signature pipeline is built once
+    per pass (plan-keyed ``sigs`` cache) and the FIRST toucher pays it —
+    in raw registration order that was ``graph_ppr``, which then benched
+    build+graph (7.4 s) while ``dedup_minhash`` benched 0.6 s warm. The
+    owning query is hoisted before every consumer, so the build cost is
+    billed to ``dedup_minhash`` and the graph/CC rows measure their own
+    work."""
+    ext = list(queries_ext.queries())
+    head = [n for n in _ROTATION_HEAD if n in ext]
+    names = (
+        list(_SIZING_QUERIES) + head + [n for n in ext if n not in set(head)]
+    )
+    consumers = {
+        "graph_ppr", "graph_pagerank", "graph_pagerank_conserving",
+        "graph_triangles", "dedup_hybrid", "dedup_components",
+        "dedup_components_star", "dedup_cluster_rep",
+    }
+    if "dedup_minhash" in names:
+        first = min(
+            (names.index(n) for n in consumers if n in names),
+            default=len(names),
+        )
+        if first < names.index("dedup_minhash"):
+            names.remove("dedup_minhash")
+            names.insert(first, "dedup_minhash")
+    return names
+
+
 _DERIVE_ORACLE = oracle_with(
     ACCEPTED_CTE, DERIVED_CTE, CLASSIFIED_CTE,
     body="SELECT " + ", ".join(SIZING_OUTPUT_COLS) + " FROM classified",

@@ -1,52 +1,75 @@
 """Benchmark harness: runs every declared query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
-"sf", "reps"}.
+compact JSON line: {"metric", "value" (total sec), "unit", "queries"
+(the 12 sizing rows + ep2 — the r1-era headline subset), "legacy50_total",
+"sf", "reps", "detail_file", ...}.
+
+The FULL per-query map lives in the committed ``BENCH_DETAIL_r{N}.json``
+next to this file (r11 verdict #3: with 88 declared queries the
+all-inclusive stdout line outgrew the driver's 2000-char tail capture,
+so BENCH_r11.json recorded ``parsed: null`` — the compact line is sized
+to always fit; the detail file carries everything the line used to).
 
 Each query is forced end-to-end with the noop sink (full column
 materialization — a bare count() would let Catalyst prune the work).
 
-Noise robustness (VERDICT r3 item 6): single-pass local timings showed
-up to 4.5x machine-noise spread on identical code, so the suite runs
+Noise robustness (r3 verdict #6): single-pass local timings showed up to
+4.5x machine-noise spread on identical code, so the suite runs
 ``--reps N`` full passes (default 3, or $SPARK_GRAFT_REPS) and reports
-the per-query MIN across passes — the comparable number BASELINE.md's
-r3 variance analysis had to reconstruct by hand. The cache is cleared
-between passes so every rep pays the same intra-pass plan-keyed cache
-sharing the single-pass numbers did (min-of-reps stays like-for-like
-with earlier rounds' best case, not an artifact of warm caches).
+the per-query MIN across passes. The cache is cleared between passes so
+every rep pays the same intra-pass plan-keyed cache sharing.
+
+Isolation mode (r11 verdict #7): shared-JVM contamination (GC pressure,
+cache adjacency under the rotation's changing pass order) made three
+rounds of per-query regressions attributable only by essay. The default
+run therefore ALSO re-times ``_ISOLATED_QUERIES`` each in its own fresh
+subprocess JVM (``--one NAME`` child mode) and records both numbers plus
+the 1-min load average per rep — an in-pass movement that vanishes under
+isolation is harness weather, mechanically. ``--isolate a,b`` overrides
+the list; ``--isolate none`` (or SPARK_GRAFT_ISOLATE=none) skips it.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# the r11 weak list + drift watch: per-query isolation recorded by default
+_ISOLATED_QUERIES = (
+    "graph_ppr",
+    "mm_phash_neardup",
+    "ep2_full_pipeline",
+    "rel_scalar_funcs",
+)
+
+
+def _arg(flag: str) -> str | None:
+    argv = sys.argv[1:]
+    if flag in argv:
+        return argv[argv.index(flag) + 1]
+    for a in argv:
+        if a.startswith(flag + "="):
+            return a.split("=", 1)[1]
+    return None
+
 
 def _reps_from_argv() -> int:
-    argv = sys.argv[1:]
-    if "--reps" in argv:
-        return max(1, int(argv[argv.index("--reps") + 1]))
-    for a in argv:
-        if a.startswith("--reps="):
-            return max(1, int(a.split("=", 1)[1]))
+    v = _arg("--reps")
+    if v is not None:
+        return max(1, int(v))
     return max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
 
 
-def _run_pass(spark, sf_dir: str, ent) -> dict[str, float]:
-    timings: dict[str, float] = {}
-    for name, fn in ent.queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-
-    # headline: ONE full EP2 pipeline pass (the reference's whole program —
-    # derive+classify+route+aggregates+sweep+reports off a single cached
-    # derive), comparable to the reference's single-node end-to-end run.
+def _run_ep2(spark, sf_dir: str) -> float:
+    """ONE full EP2 pipeline pass (the reference's whole program —
+    derive+classify+route+aggregates+sweep+reports off a single cached
+    derive), comparable to the reference's single-node end-to-end run."""
     t0 = time.perf_counter()
     from impala_base_to_cdw_sizing_spark.config import DEFAULT_PARAMS
     from impala_base_to_cdw_sizing_spark.plans.pipeline import run_sizing
@@ -66,8 +89,92 @@ def _run_pass(spark, sf_dir: str, ent) -> dict[str, float]:
     res.summary.unpersist()
     if res.sweep_events is not None:
         res.sweep_events.unpersist()
-    timings["ep2_full_pipeline"] = round(time.perf_counter() - t0, 3)
+    return round(time.perf_counter() - t0, 3)
+
+
+def _run_pass(spark, sf_dir: str, ent) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    qs = ent.queries()
+    # canonical, rotation-independent order (r12): identical cache
+    # adjacency every round — see canonical_query_order's docstring
+    for name in ent.canonical_query_order():
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    timings["ep2_full_pipeline"] = _run_ep2(spark, sf_dir)
     return timings
+
+
+def _build_session(sf_dir: str):
+    from impala_base_to_cdw_sizing_spark.session import build_spark
+
+    # width scales with the input dir (r10 verdict #6) — at sf0.1 this
+    # stays at the core count, so driver-bench numbers are comparable;
+    # >=sf1 runs get the measured wider-shuffle remediation automatically
+    spark = build_spark("bench", data_dir=sf_dir)
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # queries, not session startup
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    return spark
+
+
+def _one_query_mode(sf_dir: str, sf: float, name: str, reps: int) -> None:
+    """Child mode: fresh JVM, one query, ``reps`` timings + load avg."""
+    import __spark_entry__ as ent
+
+    spark = _build_session(sf_dir)
+    times, loads = [], []
+    for _ in range(reps):
+        loads.append(round(os.getloadavg()[0], 2))
+        if name == "ep2_full_pipeline":
+            times.append(_run_ep2(spark, sf_dir))
+        else:
+            fn = ent.queries()[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(round(time.perf_counter() - t0, 3))
+        spark.catalog.clearCache()
+        from impala_base_to_cdw_sizing_spark.sources.synthetic import _QH_MEMO
+
+        _QH_MEMO.clear()
+    print(json.dumps(
+        {"query": name, "times": times, "min": min(times), "loadavg1": loads}
+    ))
+
+
+def _isolated_runs(sf_dir: str, reps: int) -> dict[str, dict]:
+    """Re-time each weak-list query in its own subprocess JVM."""
+    names_arg = _arg("--isolate") or os.environ.get("SPARK_GRAFT_ISOLATE")
+    if names_arg == "none":
+        return {}
+    names = (
+        [n for n in names_arg.split(",") if n]
+        if names_arg
+        else list(_ISOLATED_QUERIES)
+    )
+    out: dict[str, dict] = {}
+    for name in names:
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()),
+             "--one", name, "--reps", str(reps)],
+            capture_output=True, text=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            timeout=1200,
+        )
+        rec = None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                cand = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if isinstance(cand, dict) and cand.get("query") == name:
+                rec = cand
+                break
+        out[name] = rec if rec is not None else {
+            "query": name, "error": (proc.stderr or "no output")[-400:]
+        }
+    return out
 
 
 def main() -> None:
@@ -75,63 +182,90 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     reps = _reps_from_argv()
 
+    one = _arg("--one")
+    if one:
+        _one_query_mode(sf_dir, sf, one, reps)
+        return
+
     import __spark_entry__ as ent
-    from impala_base_to_cdw_sizing_spark.session import build_spark
     from impala_base_to_cdw_sizing_spark.sources.synthetic import _QH_MEMO
 
-    # width scales with the input dir (r10 verdict #6) — at sf0.1 this
-    # stays at the core count, so driver-bench numbers are comparable;
-    # ≥sf1 runs get the measured wider-shuffle remediation automatically
-    spark = build_spark("bench", data_dir=sf_dir)
+    spark = _build_session(sf_dir)
     shuffle_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    # warm the JVM + parquet footers so per-query numbers measure the
-    # queries, not session startup
-    spark.read.parquet(f"{sf_dir}/events.parquet").count()
-
-    passes = []
+    passes, pass_loads = [], []
     for _ in range(reps):
+        pass_loads.append(round(os.getloadavg()[0], 2))
         passes.append(_run_pass(spark, sf_dir, ent))
         # reset cross-query cache sharing so every pass is like-for-like
         spark.catalog.clearCache()
         _QH_MEMO.clear()
 
-    timings = {
-        name: min(p[name] for p in passes) for name in passes[0]
-    }
+    timings = {name: min(p[name] for p in passes) for name in passes[0]}
     total = round(sum(timings.values()), 3)
     # the declared tier widened from 50 queries in r9+ (flagship
     # promotions, sizing_report_values, sizing_api_flatten); the
-    # r1-comparable number for the ≤2x baseline gate is the subtotal over
-    # the original registry — everything except the post-r1 names
-    # (BASELINE.md records both)
+    # r1-comparable number for the <=2x baseline gate is the subtotal
+    # over the original registry (BASELINE.md records both)
     from impala_base_to_cdw_sizing_spark.operators.queries_ext import PROMOTED
 
-    post_r1 = set(PROMOTED) | {
-        "sizing_report_values",  # r10 addition
-        "sizing_api_flatten",  # r11 addition
+    post_r1 = set(PROMOTED) | {"sizing_report_values", "sizing_api_flatten"}
+    legacy50 = round(sum(t for n, t in timings.items() if n not in post_r1), 3)
+
+    # stop the shared-pass session before the isolated JVMs spin up so
+    # they do not compete with it for cores
+    spark.stop()
+    isolated = _isolated_runs(sf_dir, reps)
+
+    # full per-query evidence -> committed detail file (never stdout:
+    # the driver's tail capture holds 2000 chars and 3x88 entries broke
+    # it in r11)
+    round_no = ent._round_number()
+    detail_file = f"BENCH_DETAIL_r{round_no:02d}.json"
+    detail = {
+        "round": round_no,
+        "sf": sf,
+        "reps": reps,
+        "shuffle_partitions": shuffle_partitions,
+        "suite_total": total,
+        "legacy50_total": legacy50,
+        "queries_min": timings,
+        "passes": passes,
+        "loadavg1_per_pass": pass_loads,
+        "isolated": isolated,
     }
-    legacy50 = round(
-        sum(t for n, t in timings.items() if n not in post_r1), 3
+    (Path(__file__).resolve().parent / detail_file).write_text(
+        json.dumps(detail, indent=1, sort_keys=True) + "\n"
     )
+
+    # probe runs (scaling exponents via tools/scaling_report.py) want the
+    # whole map inline and are not tail-capture-bound; the driver default
+    # stays compact
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+        sizing_subset = timings
+    else:
+        sizing_subset = {
+            n: t for n, t in timings.items()
+            if n.startswith("sizing_") or n == "ep2_full_pipeline"
+        }
     print(
         json.dumps(
             {
                 "metric": "suite_total",
                 "value": total,
                 "unit": "sec",
-                # round-over-round comparisons read queries_min (r10
-                # verdict #7); queries stays as the min-of-reps alias it
-                # has carried since r3 so older tooling keeps working,
-                # and queries_single records the UN-minned first pass so
-                # the noise band is visible in the artifact itself.
-                "queries": timings,
-                "queries_min": timings,
-                "queries_single": passes[0],
+                # compact headline subset — the FULL 88-query map is in
+                # detail_file (see module docstring)
+                "queries": sizing_subset,
+                "n_queries": len(timings),
                 "legacy50_total": legacy50,
+                "isolated_min": {
+                    n: r.get("min") for n, r in isolated.items()
+                },
                 "sf": sf,
                 "reps": reps,
                 "shuffle_partitions": shuffle_partitions,
+                "detail_file": detail_file,
             }
         )
     )

@@ -503,7 +503,12 @@ def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hashed = with_bmp_payload(docs).mapInPandas(
         _batches, "doc_id long, hi long, lo long"
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the encode->parse->dHash Arrow kernel is the expensive stage and
+    # the band join reads it on BOTH sides (anchor window + candidate
+    # side) — without materialization it runs twice (measured 2x at
+    # sf0.1, r12). The materialized frame is 24 bytes/doc (doc_id, hi,
+    # lo) — linear, distributed, fine at 100 TB corpus scale.
     banded = hashed.selectExpr(
         "doc_id", "hi", "lo",
         "explode(array("

@@ -103,3 +103,16 @@ def test_extra_query_matches_oracle(spark, name, fn, sql):
     duck_pdf = con.execute(sql).fetch_df()
     issues = compare_frames(name, spark_pdf, duck_pdf)
     assert not issues, f"{name}: " + "; ".join(issues)
+
+
+def test_canonical_query_order_covers_declared_tier():
+    """bench.py iterates canonical_query_order(); it must stay a
+    permutation of the declared queries() keys (rotation-independent
+    order, same name set) with the sizing rows leading."""
+    import __spark_entry__ as entry_mod
+
+    order = entry_mod.canonical_query_order()
+    assert len(order) == len(set(order))
+    assert set(order) == set(ent.queries())
+    sizing = list(entry_mod._SIZING_QUERIES)
+    assert order[: len(sizing)] == sizing
