@@ -75,14 +75,35 @@ _SEM_TAU = 0.3
 # The oracle mirrors both bounds exactly, so parity is unconditional.
 _SEM_CELL_CAP = 128
 
+# r12 asymptotic bounds on the quantizer itself (the measured sf3→sf10
+# ramp: each Lloyd round is an n·k dot kernel, so k = sqrt(n) over the
+# full corpus is O(iters · n^1.5) — fine below ~1M vectors, the genuine
+# compute wall at 100 TB). Web-scale regime (the SemDeDup paper trains
+# k ~ 1e4..1e5 on a sample):
+# - k = least(ceil(sqrt(n)), _SEM_K_CAP): the one-pass FINAL assignment
+#   is then ≤ 4096·n dots — linear, distributed.
+# - Lloyd TRAINING runs on the deterministic prefix sample
+#   vec_id < _SEM_TRAIN_CAP — per-round cost bounded at S·k regardless
+#   of corpus size.
+# Both caps are mirrored verbatim in the oracle CTEs and are INERT at
+# every oracle-checked sf (n ≤ 60k at sf0.1 < S; sqrt(n) < k-cap until
+# n > 16.8M), so driver correctness rows are bit-identical.
+_SEM_K_CAP = 4096
+_SEM_TRAIN_CAP = 65536
+
 
 def _sem_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every vector assigned to its trained sqrt(n)-cell quantizer cell."""
     emb = _emb_norm(spark, sf_dir)
-    k_frame = emb.agg(F.ceil(F.sqrt(F.count("*"))).cast("long").alias("k"))
-    return _assign(emb, trained_centroids(emb, k_frame=k_frame)).select(
-        "vec_id", "cluster", "v", "norm2"
+    k_frame = emb.agg(
+        F.least(
+            F.ceil(F.sqrt(F.count("*"))), F.lit(_SEM_K_CAP)
+        ).cast("long").alias("k")
     )
+    return _assign(
+        emb,
+        trained_centroids(emb, k_frame=k_frame, train_cap=_SEM_TRAIN_CAP),
+    ).select("vec_id", "cluster", "v", "norm2")
 
 
 def _sem_candidate_pairs(assigned: DataFrame) -> DataFrame:
@@ -142,7 +163,9 @@ anchors AS (
 
 
 def _sql_dedup_semantic() -> str:
-    parts, _prev = _cte_chain(dynamic_k=True)  # ends in final(vec_id, norm2, v, cluster)
+    parts, _prev = _cte_chain(
+        dynamic_k=True, k_cap=_SEM_K_CAP, train_cap=_SEM_TRAIN_CAP
+    )  # ends in final(vec_id, norm2, v, cluster)
     return (
         "WITH " + ",\n".join(parts + [_SQL_SEM_ANCHORS.strip()]) + f""",
 dups AS (
@@ -202,7 +225,9 @@ def q_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_dedup_hybrid() -> str:
     from .text import _minhash_sql
 
-    parts, _prev = _cte_chain(dynamic_k=True)  # kmeans chain ending in final(...)
+    parts, _prev = _cte_chain(
+        dynamic_k=True, k_cap=_SEM_K_CAP, train_cap=_SEM_TRAIN_CAP
+    )  # kmeans chain ending in final(...)
     return (
         "WITH RECURSIVE " + ",\n".join(parts + [_SQL_SEM_ANCHORS.strip()]) + f""",
 mh AS ({_minhash_sql().strip()}),

@@ -103,7 +103,11 @@ def _recompute(assigned: DataFrame) -> DataFrame:
     )
 
 
-def trained_centroids(emb: DataFrame, k_frame: DataFrame | None = None) -> DataFrame:
+def trained_centroids(
+    emb: DataFrame,
+    k_frame: DataFrame | None = None,
+    train_cap: int | None = None,
+) -> DataFrame:
     """Centroids after ``N_ITERS`` unrolled Lloyd iterations from the
     deterministic first-``K`` init — the trained coarse quantizer the IVF
     search consumes.
@@ -112,7 +116,18 @@ def trained_centroids(emb: DataFrame, k_frame: DataFrame | None = None) -> DataF
     data-dependent cell count (SemDeDup scales k with corpus size;
     ceil(sqrt(n)) keeps expected cell size ~sqrt(n)). Supplied as a
     broadcast scalar so the init filter stays declarative — no driver
-    action."""
+    action.
+
+    ``train_cap``: optionally TRAIN on the deterministic prefix sample
+    ``vec_id < train_cap`` only (the r12 scale bound: each Lloyd round
+    is an n·k dot kernel, so full-corpus training with k = sqrt(n) is
+    O(iters · n^1.5) — the measured sf3→sf10 ramp of the semantic-dedup
+    family. Web-scale quantizers train on a bounded sample; the FINAL
+    assignment over the full corpus is unchanged). The init set
+    ``vec_id < k`` is a subset of any cap ≥ k, and the oracle twin
+    applies the identical filter, so parity is unconditional; at every
+    oracle-checked sf (n ≤ 60k < cap) the sample IS the corpus and
+    results are bit-identical to the uncapped form."""
     if k_frame is None:
         init = emb.filter(F.col("vec_id") < K)
     else:
@@ -121,9 +136,12 @@ def trained_centroids(emb: DataFrame, k_frame: DataFrame | None = None) -> DataF
             .filter(F.col("vec_id") < F.col("k"))
             .drop("k")
         )
+    train = (
+        emb if train_cap is None else emb.filter(F.col("vec_id") < train_cap)
+    )
     centroids = init.selectExpr("vec_id AS cluster", "v AS cv")
     for _ in range(N_ITERS):
-        centroids = _recompute(_assign(emb, centroids))
+        centroids = _recompute(_assign(train, centroids))
     return centroids
 
 
@@ -147,8 +165,10 @@ def q_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _iteration_sql(prev: str, i: int) -> str:
-    """One unrolled Lloyd iteration as two CTEs over ``prev`` centroids."""
+def _iteration_sql(prev: str, i: int, src: str = "normed") -> str:
+    """One unrolled Lloyd iteration as two CTEs over ``prev`` centroids;
+    ``src`` names the training-vector CTE (``train`` when a prefix-sample
+    cap is active, the full ``normed`` otherwise)."""
     return f"""
 assign{i} AS (
   SELECT vec_id, v, norm2, cluster FROM (
@@ -156,7 +176,7 @@ assign{i} AS (
       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
         e.norm2 + {DUCK_DOT.format(a='c.cv', b='c.cv')}
           - 2 * {DUCK_DOT.format(a='e.v', b='c.cv')} ASC, c.cluster ASC) AS r
-    FROM normed e, {prev} c
+    FROM {src} e, {prev} c
   ) WHERE r = 1
 ),
 cent{i} AS (
@@ -173,31 +193,47 @@ cent{i} AS (
 )"""
 
 
-def _cte_chain(dynamic_k: bool = False) -> tuple[list[str], str]:
+def _cte_chain(
+    dynamic_k: bool = False,
+    k_cap: int | None = None,
+    train_cap: int | None = None,
+) -> tuple[list[str], str]:
     """The shared unrolled-Lloyd CTE chain ending in ``final`` (every
     vector assigned to its trained cluster); returns (parts, last_cent).
 
     ``dynamic_k``: use k = ceil(sqrt(n)) cells instead of the fixed
     ``K`` — the oracle twin of :func:`trained_centroids`'s ``k_frame``
     path (ceil/sqrt/COUNT are exactly specified, so both engines derive
-    the same k)."""
+    the same k). ``k_cap``/``train_cap`` mirror the Spark side's
+    least(k, cap) cell bound and prefix-sample training set — identical
+    filters, so parity is unconditional at any scale."""
     parts = [
         f"emb AS ({DUCK_EMB})",
         f"normed AS (SELECT vec_id, v, {DUCK_DOT.format(a='v', b='v')} AS norm2 FROM emb)",
     ]
     if dynamic_k:
+        k_expr = "ceil(sqrt(COUNT(*)))"
+        if k_cap is not None:
+            k_expr = f"least({k_expr}, {k_cap})"
         parts.append(
-            "kdyn AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM normed)"
+            f"kdyn AS (SELECT CAST({k_expr} AS BIGINT) AS k FROM normed)"
         )
         k_sql = "(SELECT k FROM kdyn)"
     else:
         k_sql = str(K)
+    if train_cap is None:
+        train_src = "normed"
+    else:
+        train_src = "train"
+        parts.append(
+            f"train AS (SELECT * FROM normed WHERE vec_id < {train_cap})"
+        )
     parts.append(
         f"cent0 AS (SELECT vec_id AS cluster, v AS cv FROM normed WHERE vec_id < {k_sql})"
     )
     prev = "cent0"
     for i in range(1, N_ITERS + 1):
-        parts.append(_iteration_sql(prev, i).strip())
+        parts.append(_iteration_sql(prev, i, src=train_src).strip())
         prev = f"cent{i}"
     final = f"""
 final AS (

@@ -72,3 +72,71 @@ def test_quantizer_cell_count_scales_with_corpus(spark):
         assigned.groupBy("cluster").count().agg(F.max("count")).collect()[0][0]
     )
     assert biggest <= 6 * k_init
+
+
+def test_capped_training_parity_when_caps_bind(spark, tmp_path):
+    """r12 quantizer bounds: k = least(ceil(sqrt(n)), k_cap) and Lloyd
+    training restricted to the vec_id < train_cap prefix sample are
+    mirrored verbatim in the oracle CTE chain. The shipped caps
+    (4096 / 65536) are inert at every test sf, so this test BINDS both
+    with tiny values on a synthetic corpus and checks engine parity of
+    the full train→assign chain under them."""
+    import duckdb
+
+    from impala_base_to_cdw_sizing_spark.operators.kmeans import (
+        _assign,
+        _cte_chain,
+        _emb_norm,
+        trained_centroids,
+    )
+
+    n, k_cap, train_cap = 240, 5, 100  # sqrt(240) ≈ 15.5 > 5: both bind
+    rows = [
+        (
+            i,
+            "en",
+            [
+                ((i * 7 + j * 13) % 29) / 29.0
+                + (1.0 if j == i % DIM else 0.0)
+                for j in range(DIM)
+            ],
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+
+    emb = _emb_norm(spark, str(tmp_path))
+    k_frame = emb.agg(
+        F.least(F.ceil(F.sqrt(F.count("*"))), F.lit(k_cap))
+        .cast("long")
+        .alias("k")
+    )
+    got = {
+        r.vec_id: r.cluster
+        for r in _assign(
+            emb, trained_centroids(emb, k_frame=k_frame, train_cap=train_cap)
+        )
+        .select("vec_id", "cluster")
+        .collect()
+    }
+
+    parts, _ = _cte_chain(dynamic_k=True, k_cap=k_cap, train_cap=train_cap)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    want = {
+        int(v): int(c)
+        for v, c in con.execute(
+            "WITH " + ",\n".join(parts) + " SELECT vec_id, cluster FROM final"
+        ).fetchall()
+    }
+    assert got == want
+    # the k cap really bound the cell count
+    assert len(set(got.values())) <= k_cap

@@ -108,6 +108,18 @@ def counts(spark):
         rec["cc_labels"] = labels.count()
         rec["cc_rounds"] = rounds[0]
         edges.unpersist()
+
+        # semantic-dedup candidate structure (r12: the quantizer family's
+        # scale defense — anchor-capped within-cell pairs)
+        from impala_base_to_cdw_sizing_spark.operators.curation import (
+            _sem_assigned,
+            _sem_candidate_pairs,
+        )
+
+        assigned = _sem_assigned(spark, d).cache()
+        rec["sem_vectors"] = assigned.count()
+        rec["sem_candidates"] = _sem_candidate_pairs(assigned).count()
+        assigned.unpersist()
         spark.catalog.clearCache()
         out[tag] = rec
     return out
@@ -173,3 +185,22 @@ def test_components_edges_linear(counts):
     for hi, lo in [("sf3", "sf1"), ("sf3skew", "sf1skew")]:
         r = _ratio(counts, "cc_edges", hi, lo)
         assert LIN_LO <= r <= LIN_HI, (hi, lo, r)
+
+
+def test_semdedup_candidates_bounded_and_skew_flat(counts):
+    """The anchor cap's hard bound (candidates <= CAP * n) and skew
+    flatness, pinned at sf1/sf3 (r11 verdict #5 follow-through; the
+    sf10 probe measured 21.9M uniform vs 22.0M skew = +0.5%). Growth
+    may run SUB-linear while cells are below the cap (cells ~sqrt(n)
+    deep), so only the upper bound is asserted."""
+    from impala_base_to_cdw_sizing_spark.operators.curation import (
+        _SEM_CELL_CAP,
+    )
+
+    for tag, rec in counts.items():
+        assert rec["sem_candidates"] <= _SEM_CELL_CAP * rec["sem_vectors"], tag
+    for hi, lo in [("sf3", "sf1"), ("sf3skew", "sf1skew")]:
+        assert _ratio(counts, "sem_candidates", hi, lo) <= LIN_HI, (hi, lo)
+    for sf in ("sf1", "sf3"):
+        r = counts[sf + "skew"]["sem_candidates"] / counts[sf]["sem_candidates"]
+        assert 1 / SKEW_TOL <= r <= SKEW_TOL, (sf, r)

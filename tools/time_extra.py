@@ -33,7 +33,9 @@ def main() -> None:
     import __spark_entry__ as ent
     from impala_base_to_cdw_sizing_spark.session import build_spark
 
-    spark = build_spark("time-extra")
+    # data_dir engages the scale-aware shuffle width (sf10 → ~209
+    # partitions), matching the bench/probe protocol since r11
+    spark = build_spark("time-extra", data_dir=sf_dir)
     timings: dict[str, float] = {}
     wanted = set(sys.argv[1:])
     registry = ent.extra_queries()
