@@ -244,14 +244,19 @@ _SIZING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # shift = (round - 10) * (50 - len(sizing)) mod len(rest), where round =
 # 1 + the highest N parsed from CORRECTNESS_rN.json files beside this
 # file (robust to gaps or stray files — r10 ADVICE). Consecutive windows
-# tile EXACTLY (2*38 = 76 rotating names as of late r11: 88 declared -
-# 12 fixed sizing), so every declared name lands inside the driver's
-# sample at least every other round — with ZERO slack. 76 is the tiling
-# capacity: promoting a 77th rotating name breaks the every-other-round
-# guarantee (test_extra_tier's coverage assert will fail), so further
-# promotion requires widening the window or adopting a 3-round contract.
-# The 16 names the r9 sample rotated out lead the canonical order, so
-# the round-10 window started with them.
+# tile EXACTLY: as of r13 the contract is THREE-round rotation (r12
+# verdict task 3) — 3*38 = 114 rotating names (126 declared - 12 fixed
+# sizing), so any three consecutive rounds' driver samples partition the
+# rotating tier with ZERO slack, and every declared name is
+# driver-verified at least once per three rounds. 114 is the tiling
+# capacity: promoting a 115th rotating name breaks the guarantee
+# (test_extra_tier's coverage assert + its hypothesis tiling property
+# will fail), so further promotion requires a 4-round contract. The 16
+# names the r9 sample rotated out lead the canonical order, so the
+# round-10 window started with them. Contract history: 2-round/76
+# names r11-r12; widened r13 after verifying all 38 promotions at
+# sf0.01 (every name keeps pytest-tier oracle coverage every slow-tier
+# run regardless of rotation slot).
 _ROTATION_HEAD: tuple[str, ...] = (
     "rel_tpch_q3_topk", "rel_tpch_q5_star", "rel_tpch_q7_volume",
     "rel_tpch_q4_exists", "rel_tpch_q6_pushdown", "rel_tpch_q13_histogram",
@@ -333,6 +338,9 @@ def canonical_query_order() -> list[str]:
         "graph_ppr", "graph_pagerank", "graph_pagerank_conserving",
         "graph_triangles", "dedup_hybrid", "dedup_components",
         "dedup_components_star", "dedup_cluster_rep",
+        # r13 promotion: the incremental (new-vs-corpus) dedup reads the
+        # same plan-keyed sigs cache via _band_frame(_MH_FULL)
+        "dedup_incremental",
     }
     if "dedup_minhash" in names:
         first = min(

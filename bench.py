@@ -139,7 +139,8 @@ def _one_query_mode(sf_dir: str, sf: float, name: str, reps: int) -> None:
 
         _QH_MEMO.clear()
     print(json.dumps(
-        {"query": name, "times": times, "min": min(times), "loadavg1": loads}
+        {"query": name, "sf": sf, "times": times, "min": min(times),
+         "loadavg1": loads}
     ))
 
 
@@ -155,13 +156,22 @@ def _isolated_runs(sf_dir: str, reps: int) -> dict[str, dict]:
     )
     out: dict[str, dict] = {}
     for name in names:
-        proc = subprocess.run(
-            [sys.executable, str(Path(__file__).resolve()),
-             "--one", name, "--reps", str(reps)],
-            capture_output=True, text=True,
-            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-            timeout=1200,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, str(Path(__file__).resolve()),
+                 "--one", name, "--reps", str(reps)],
+                capture_output=True, text=True,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                timeout=1200,
+            )
+        except subprocess.TimeoutExpired as exc:
+            # one hung child must not sink the round's detail file +
+            # stdout line (r12 ADVICE): record and keep going
+            out[name] = {
+                "query": name,
+                "error": f"isolated run timed out after {exc.timeout}s",
+            }
+            continue
         rec = None
         for line in reversed(proc.stdout.strip().splitlines()):
             try:

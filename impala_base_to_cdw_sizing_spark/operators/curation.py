@@ -91,6 +91,14 @@ _SEM_CELL_CAP = 128
 _SEM_K_CAP = 4096
 _SEM_TRAIN_CAP = 65536
 
+# Lloyd's init set (lowest-k vec_ids) must be a subset of the training
+# sample (vec_id < TRAIN_CAP) or training starts from centroids it can
+# never re-visit. Also note: the prefix sample is deterministic (oracle
+# parity demands it) and assumes vec_id is uncorrelated with content —
+# true for the synthetic fixtures; a production ingest whose ids encode
+# crawl order/source should swap in a stratified id sample here.
+assert _SEM_K_CAP <= _SEM_TRAIN_CAP
+
 
 def _sem_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every vector assigned to its trained sqrt(n)-cell quantizer cell."""

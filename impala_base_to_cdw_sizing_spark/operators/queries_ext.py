@@ -30,6 +30,53 @@ _EXTRA_ORACLES: dict[str, str] = {}
 # rows), keeping the promoted names inside the first 50 rows even if the
 # driver report truncates.
 PROMOTED: tuple[str, ...] = (
+    # r13 (r12 verdict task 3): the declared tier adopts a THREE-round
+    # rotation contract (114 rotating names = 3 windows of 38, zero
+    # slack) and these 38 distinct operator families move under the
+    # driver gate. They lead PROMOTED so the r13/r14 windows cover all
+    # of them first (head16 + first 22 in r13, next 16 + old flagships
+    # in r14). Each was oracle-verified at sf0.01 (driver scale, not
+    # just the pytest tier's sf0.001) before promotion — ALL GREEN,
+    # tools/compare_oracle.py r13.
+    "sample_importance",
+    "corpus_quality_strata",
+    "rel_equidepth_histogram",
+    "text_bpe_merges_converged",
+    "text_bpe_encode_converged",
+    "sim_sq8_ann",
+    "sketch_bitmap_rollup",
+    "asof_view_after_purchase",
+    "rel_interval_join_banded",
+    "mm_resize",
+    "emb_pca_power",
+    "emb_whitening",
+    "emb_random_projection",
+    "emb_outliers",
+    "emb_hard_negatives",
+    "sample_split",
+    "dedup_incremental",
+    "dedup_chunks",
+    "dedup_soft_weights",
+    "text_stats",
+    "text_unigram_surprisal",
+    "text_bigram_perplexity",
+    "text_rake_keywords",
+    "text_zipf_fit",
+    "sketch_heavyhitters_global",
+    "sketch_kmv_jaccard",
+    "skew_join_hot",
+    "graph_triangles",
+    "rel_rollup",
+    "rel_cube",
+    "rel_pivot",
+    "rel_unpivot",
+    "rel_json_props",
+    "rel_gapfill_hourly",
+    "rel_skyline",
+    "rel_drift_psi",
+    "rel_markov_transitions",
+    "rel_golden_record",
+    # pre-r13 flagships (r8/r10/r11 promotions), unchanged below.
     "dedup_prefixfilter",
     "dedup_substring",
     "dedup_substring_spans",

@@ -72,28 +72,66 @@ def test_extra_tier_is_nonempty_and_fully_oracled():
     assert sample_at(rnd) == set(
         declared_order[: entry_mod._DRIVER_SAMPLE_ROWS]
     )
-    # and two consecutive rounds' samples jointly cover every declared name
-    assert sample_at(rnd) | sample_at(rnd + 1) == set(declared_order)
+    # and three consecutive rounds' samples jointly cover every declared name
+    assert (
+        sample_at(rnd) | sample_at(rnd + 1) | sample_at(rnd + 2)
+        == set(declared_order)
+    )
 
-    # r11 verdict #6/#8 — the declared-tier FREEZE, pinned: rotation
-    # capacity is exactly full (76 rotating names = 2 windows of 38,
-    # zero slack), so consecutive samples must PARTITION the rotating
-    # tier — any off-by-one in the shift arithmetic would silently
-    # leave names uncovered. Growing the declared tier past 2*window
-    # breaks this two-round coverage guarantee; the decision (recorded
-    # in README's driver-contract section) is to keep the tier frozen
-    # at 88 and leave the 137 extras pytest-oracle-checked every round.
-    assert len(canon) == 2 * window, (
-        f"declared rotating tier must stay exactly 2 windows "
-        f"({2 * window}), got {len(canon)} — see README driver contract"
+    # r13 (r12 verdict task 3) — the THREE-round rotation contract,
+    # pinned: rotation capacity is exactly full (114 rotating names =
+    # 3 windows of 38, zero slack), so any three consecutive samples
+    # must PARTITION the rotating tier — any off-by-one in the shift
+    # arithmetic would silently leave names uncovered. Growing the
+    # declared tier past 3*window breaks the guarantee; see README's
+    # driver-contract section and the hypothesis tiling property below.
+    assert len(canon) == 3 * window, (
+        f"declared rotating tier must stay exactly 3 windows "
+        f"({3 * window}), got {len(canon)} — see README driver contract"
     )
-    ext_this = sample_at(rnd) - set(sizing)
-    ext_next = sample_at(rnd + 1) - set(sizing)
-    assert not ext_this & ext_next, (
-        "consecutive driver samples overlap on rotating names — "
-        "zero-slack tiling broken"
+    exts = [sample_at(rnd + i) - set(sizing) for i in range(3)]
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert not exts[i] & exts[j], (
+                "driver samples within one rotation cycle overlap on "
+                "rotating names — zero-slack tiling broken"
+            )
+    assert exts[0] | exts[1] | exts[2] == set(canon)
+
+
+def test_rotation_tiling_property():
+    """r12 verdict task 8: the shift formula's tiling invariant, proved
+    over the PARAMETER SPACE rather than today's constants — for any
+    rotating-tier size that is an exact multiple m of the window, every
+    m consecutive rounds' windows partition the tier, from ANY starting
+    round. This held for the 2-round contract (n = 2w) before r13
+    widened it and holds for the 3-round contract (n = 3w) now, so a
+    future contract change re-proves itself by construction."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        window=st.integers(min_value=1, max_value=64),
+        mult=st.integers(min_value=1, max_value=5),
+        start_round=st.integers(min_value=1, max_value=1000),
     )
-    assert ext_this | ext_next == set(canon)
+    def prop(window: int, mult: int, start_round: int) -> None:
+        n = window * mult
+        canon = list(range(n))
+
+        def win(round_no: int) -> set[int]:
+            shift = ((round_no - 10) * window) % n
+            rotated = canon[shift:] + canon[:shift]
+            return set(rotated[:window])
+
+        wins = [win(start_round + i) for i in range(mult)]
+        assert set().union(*wins) == set(canon)
+        for i in range(mult):
+            for j in range(i + 1, mult):
+                assert not wins[i] & wins[j]
+
+    prop()
 
 
 @pytest.mark.parametrize("name,fn,sql", _cases(), ids=[c[0] for c in _cases()])

@@ -187,20 +187,59 @@ def test_components_edges_linear(counts):
         assert LIN_LO <= r <= LIN_HI, (hi, lo, r)
 
 
+def _sem_model(n: int) -> float:
+    """Balanced-cell candidate-count model for the anchor-capped
+    SemDeDup pairing: k = min(ceil(sqrt(n)), K_CAP) cells of c = n/k
+    vectors each; per cell, pairs = c(c-1)/2 while c <= CAP (exact
+    all-pairs regime) else CAP*c - CAP(CAP+1)/2 (each of the CAP
+    anchors pairs with every higher-id member). Total = k * per-cell.
+
+    Regimes this implies for 3x data growth:
+      - deep pre-saturation (c << CAP): ~n^1.5 -> ratio 5.20
+      - full saturation (c >> CAP):     ~CAP*n -> ratio 3.00
+      - the sf1/sf3 fixtures sit at the boundary (c = 141 vs 245,
+        CAP = 128): model ratio 4.077, measured 4.074 (r13 probe,
+        cand/model = 1.001 / 1.000 uniform, 1.095 / 1.029 skew).
+    The r12 pin asserted the linear band (<= 3.75) here, which is the
+    saturated asymptote, not this regime — re-derived per r12 verdict
+    task 1; decision recorded in SCALE.md (r13)."""
+    import math
+
+    from impala_base_to_cdw_sizing_spark.operators.curation import (
+        _SEM_CELL_CAP,
+        _SEM_K_CAP,
+    )
+
+    k = min(math.ceil(math.sqrt(n)), _SEM_K_CAP)
+    c = n / k
+    cap = _SEM_CELL_CAP
+    per = c * (c - 1) / 2 if c <= cap else cap * c - cap * (cap + 1) / 2
+    return k * per
+
+
 def test_semdedup_candidates_bounded_and_skew_flat(counts):
-    """The anchor cap's hard bound (candidates <= CAP * n) and skew
-    flatness, pinned at sf1/sf3 (r11 verdict #5 follow-through; the
-    sf10 probe measured 21.9M uniform vs 22.0M skew = +0.5%). Growth
-    may run SUB-linear while cells are below the cap (cells ~sqrt(n)
-    deep), so only the upper bound is asserted."""
+    """Three asserts, strongest first: (1) the hard bound
+    candidates <= CAP * n holds everywhere (the scale guarantee);
+    (2) the measured count tracks the balanced-cell model within
+    [0.8, 1.25] absolute (k-means imbalance under hot-key skew adds
+    <= +9.5% measured) and the sf3/sf1 growth ratio tracks the MODEL
+    ratio within +-15% — the falsifiable replacement for the r12
+    linear-band pin, which was wrong for this pre-saturation regime;
+    (3) skew flatness (sf10 probe: 21.9M uniform vs 22.0M skew)."""
     from impala_base_to_cdw_sizing_spark.operators.curation import (
         _SEM_CELL_CAP,
     )
 
     for tag, rec in counts.items():
         assert rec["sem_candidates"] <= _SEM_CELL_CAP * rec["sem_vectors"], tag
+        ratio_to_model = rec["sem_candidates"] / _sem_model(rec["sem_vectors"])
+        assert 0.8 <= ratio_to_model <= 1.25, (tag, ratio_to_model)
     for hi, lo in [("sf3", "sf1"), ("sf3skew", "sf1skew")]:
-        assert _ratio(counts, "sem_candidates", hi, lo) <= LIN_HI, (hi, lo)
+        model_ratio = _sem_model(counts[hi]["sem_vectors"]) / _sem_model(
+            counts[lo]["sem_vectors"]
+        )
+        r = _ratio(counts, "sem_candidates", hi, lo)
+        assert model_ratio / 1.15 <= r <= model_ratio * 1.15, (hi, lo, r)
     for sf in ("sf1", "sf3"):
         r = counts[sf + "skew"]["sem_candidates"] / counts[sf]["sem_candidates"]
         assert 1 / SKEW_TOL <= r <= SKEW_TOL, (sf, r)

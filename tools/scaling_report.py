@@ -23,16 +23,34 @@ import sys
 
 def load(path: str) -> dict:
     with open(path) as f:
-        return json.loads(f.read().strip().splitlines()[-1])
+        rec = json.loads(f.read().strip().splitlines()[-1])
+    # the stdout line defaults to the 13-row sizing subset unless
+    # SPARK_GRAFT_BENCH_FULL=1; fall back to the detail file's full
+    # per-query mins so a probe run can't silently shrink coverage
+    # (r12 ADVICE)
+    detail = rec.get("detail_file")
+    if detail and rec.get("n_queries", 0) > len(rec.get("queries", {})):
+        import os
+
+        if not os.path.isabs(detail):
+            detail = os.path.join(os.path.dirname(os.path.abspath(path)), detail)
+        try:
+            with open(detail) as f:
+                rec = {**rec, "queries": json.load(f)["queries_min"]}
+        except (OSError, KeyError, json.JSONDecodeError):
+            pass
+    return rec
 
 
 def main() -> None:
     lo, hi = load(sys.argv[1]), load(sys.argv[2])
     ratio_sf = hi["sf"] / lo["sf"]
     rows = []
+    skipped = []
     for name, t_lo in sorted(lo["queries"].items()):
         t_hi = hi["queries"].get(name)
         if t_hi is None:
+            skipped.append(name)
             continue
         t_lo = max(t_lo, 1e-3)
         alpha = math.log(max(t_hi, 1e-3) / t_lo) / math.log(ratio_sf)
@@ -45,6 +63,14 @@ def main() -> None:
         print(f"| {name} | {t_lo:.2f} | {t_hi:.2f} | {alpha:.2f} | {flag(alpha)} |")
     total = math.log(hi["value"] / lo["value"]) / math.log(ratio_sf)
     print(f"| **suite total** | {lo['value']:.1f} | {hi['value']:.1f} | {total:.2f} | {flag(total)} |")
+    expected = max(lo.get("n_queries", 0), hi.get("n_queries", 0))
+    if skipped or (expected and len(rows) < expected):
+        print(
+            f"\nWARNING: exponents cover {len(rows)}/{expected or '?'} queries"
+            + (f"; missing in hi run: {', '.join(sorted(skipped))}" if skipped else "")
+            + " — rerun both benches with SPARK_GRAFT_BENCH_FULL=1",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":
