@@ -92,6 +92,102 @@ def _run_ep2(spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _ep1_doc(i: int) -> dict:
+    """CM-shaped API doc ``i`` (same field surface as the EP1 e2e test's
+    recorded corpus, self-contained so bench.py doesn't import tests/)."""
+    gb = 1024 * 1024 * 1024
+    base_ms = 1704844800000  # 2024-01-10T00:00:00Z
+    dur_ms = 1000 + (i % 600) * 100
+    s_ms = base_ms + i * 1000
+
+    def iso(ms: int) -> str:
+        import datetime as dt
+
+        t = dt.datetime.fromtimestamp(ms / 1000, tz=dt.timezone.utc)
+        return t.strftime("%Y-%m-%dT%H:%M:%S.") + f"{ms % 1000:03d}Z"
+
+    attrs = {
+        "pool": ("etl", "bi", "adhoc")[i % 3],
+        "hdfs_bytes_read": str((i % 8) * gb // 4),
+        "memory_spilled": str((i % 4) * gb // 4),
+        "thread_cpu_time": str((i % 40) * 250),
+        "admission_wait": str((i % 5) * 100),
+        "num_backends": str(1 + i % 16),
+    }
+    if i % 11:  # ~9% of docs take the D1 missing-metric skip route
+        attrs["memory_aggregate_peak"] = str(((i % 6) + 1) * gb // 4)
+    return {
+        "queryId": f"q{i:06d}",
+        "attributes": attrs,
+        "startTime": iso(s_ms),
+        "endTime": iso(s_ms + dur_ms),
+        "durationMillis": dur_ms,
+        "queryType": "QUERY",
+        "queryState": "FINISHED",
+        "user": f"u{i % 9}",
+    }
+
+
+def _run_ep1(spark, sf_dir: str) -> float:
+    """ONE EP1 ingestion pass at bench scale (r12 verdict task 7): a
+    loopback ``http.server`` serves as many CM-shaped docs as the sf
+    dir has events rows in 1000-row pages; the timed region is the real
+    paged REST client (``requests_fetcher`` → ``fetch_pages`` →
+    per-page Arrow ``createDataFrame`` → union) plus the C1-C4 flatten,
+    forced end-to-end with the noop sink. Doc/JSON generation happens
+    server-side OUTSIDE the page cache so serialization cost stays in
+    the measurement only once per page, like a real CM host."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from impala_base_to_cdw_sizing_spark.sources.cm_api import (
+        PAGE_SIZE,
+        flatten_api_docs,
+        load_api_queries,
+        requests_fetcher,
+    )
+
+    n_docs = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    page_cache: dict[int, bytes] = {}
+
+    def page_bytes(offset: int) -> bytes:
+        body = page_cache.get(offset)
+        if body is None:
+            docs = [_ep1_doc(i) for i in range(offset, min(offset + PAGE_SIZE, n_docs))]
+            body = json.dumps({"queries": docs, "warnings": []}).encode()
+            page_cache[offset] = body
+        return body
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            from urllib.parse import parse_qs, urlparse
+
+            offset = int(parse_qs(urlparse(self.path).query).get("offset", ["0"])[0])
+            body = page_bytes(offset)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        fetch = requests_fetcher(
+            f"http://127.0.0.1:{srv.server_address[1]}", "bench", "u", "p"
+        )
+        t0 = time.perf_counter()
+        docs = load_api_queries(spark, fetch, "2024-01-10", "2024-01-20")
+        flatten_api_docs(docs).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def _run_pass(spark, sf_dir: str, ent) -> dict[str, float]:
     timings: dict[str, float] = {}
     qs = ent.queries()
@@ -103,6 +199,7 @@ def _run_pass(spark, sf_dir: str, ent) -> dict[str, float]:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
     timings["ep2_full_pipeline"] = _run_ep2(spark, sf_dir)
+    timings["ep1_api_pipeline"] = _run_ep1(spark, sf_dir)
     return timings
 
 
@@ -129,6 +226,8 @@ def _one_query_mode(sf_dir: str, sf: float, name: str, reps: int) -> None:
         loads.append(round(os.getloadavg()[0], 2))
         if name == "ep2_full_pipeline":
             times.append(_run_ep2(spark, sf_dir))
+        elif name == "ep1_api_pipeline":
+            times.append(_run_ep1(spark, sf_dir))
         else:
             fn = ent.queries()[name]
             t0 = time.perf_counter()
@@ -187,10 +286,77 @@ def _isolated_runs(sf_dir: str, reps: int) -> dict[str, dict]:
     return out
 
 
+def _streaming_mode() -> None:
+    """Micro-batch bench of the streaming tier (r12 verdict task 5):
+    drives all five stateful operators through ``loadgen`` (file source,
+    one pre-written parquet file per trigger — deterministic, no
+    wall-clock coupling) and prints ONE JSON line with rows/s, mean
+    batch latency, and the state-store maxima vs their structural
+    bounds. ``--batches N`` (default 100) and ``--scale N`` mirror
+    tools/stream_bench.py."""
+    import shutil
+    import tempfile
+
+    n_batches = int(_arg("--batches") or 100)
+    scale = int(_arg("--scale") or 1)
+
+    from impala_base_to_cdw_sizing_spark.session import build_spark
+    from impala_base_to_cdw_sizing_spark.streaming import loadgen as lg
+
+    spark = build_spark("stream-bench")
+    workdir = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        runs = {
+            "heavyhitters": lg.run_heavyhitters_load(
+                spark, workdir, n_batches=n_batches, rows_per_batch=500 * scale
+            ),
+            "neardup_ttl": lg.run_neardup_load(
+                spark, workdir, n_batches=n_batches, docs_per_key=10 * scale
+            ),
+            "session": lg.run_session_load(
+                spark, workdir, n_batches=n_batches, rows_per_batch=500 * scale
+            ),
+            "sweep": lg.run_sweep_load(
+                spark, workdir, n_batches=n_batches, rows_per_batch=500 * scale
+            ),
+            "kmv": lg.run_kmv_load(
+                spark, workdir, n_batches=n_batches, rows_per_type=125 * scale
+            ),
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    ops = {}
+    for name, r in runs.items():
+        assert r["state_rows_max"] <= r["state_bound"], (
+            f"{name}: state rows {r['state_rows_max']} exceeded the "
+            f"structural bound {r['state_bound']} at scale {scale}"
+        )
+        ops[name] = {
+            "rows_per_sec": r["rows_per_sec"],
+            "batch_latency_ms": round(1000.0 * r["busy_sec"] / r["batches"], 1),
+            "input_rows": r["input_rows"],
+            "state_rows_max": r["state_rows_max"],
+            "state_bound": r["state_bound"],
+            "state_bytes_max": r["state_bytes_max"],
+        }
+    print(json.dumps({
+        "metric": "stream_bench",
+        "value": round(sum(r["busy_sec"] for r in runs.values()), 3),
+        "unit": "sec",
+        "n_batches": n_batches,
+        "scale": scale,
+        "operators": ops,
+    }))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     reps = _reps_from_argv()
+
+    if "--streaming" in sys.argv[1:]:
+        _streaming_mode()
+        return
 
     one = _arg("--one")
     if one:
@@ -219,7 +385,9 @@ def main() -> None:
     # over the original registry (BASELINE.md records both)
     from impala_base_to_cdw_sizing_spark.operators.queries_ext import PROMOTED
 
-    post_r1 = set(PROMOTED) | {"sizing_report_values", "sizing_api_flatten"}
+    post_r1 = set(PROMOTED) | {
+        "sizing_report_values", "sizing_api_flatten", "ep1_api_pipeline",
+    }
     legacy50 = round(sum(t for n, t in timings.items() if n not in post_r1), 3)
 
     # stop the shared-pass session before the isolated JVMs spin up so

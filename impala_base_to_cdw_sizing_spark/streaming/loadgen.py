@@ -240,3 +240,96 @@ def summarize(progress, state_bound: int):
         "state_bytes_max": max(state_bytes),
         "state_bytes_last": state_bytes[-1],
     }
+
+
+SWEEP_SCHEMA = "ts_ms long, sign int, pods_u long"
+KMV_SCHEMA = "event_type string, hr long, h long"
+_KMV_CLOCK_HOURS = 24  # the fixed clock grid: hr cycles modulo this
+
+
+def sweep_batch_rows(b: int, rows: int):
+    """Batch ``b`` of the sweep-event stream: one hour of ±1 interval
+    endpoints (half starts, half ends, signed pods_u micro-units) —
+    event time advances one hour per batch, so the 2-hour watermark
+    keeps only a constant number of open windows live."""
+    hour_ms = 3_600_000
+    out = []
+    for i in range(rows):
+        sign = 1 if i % 2 == 0 else -1
+        ts = T0_MS + b * hour_ms + (i * hour_ms) // rows
+        out.append((ts, sign, sign * ((i % 7) + 1) * 1_000_000))
+    return out
+
+
+def run_sweep_load(
+    spark: SparkSession,
+    workdir: str,
+    n_batches: int = 100,
+    rows_per_batch: int = 500,
+):
+    """Windowed-concurrency sweep under sustained load: state is the
+    un-evicted hour windows — with a 2 h watermark and one hour of
+    event time per batch, live windows <= 1 current + 2 watermark-held
+    + 1 boundary-straddler, independent of stream length."""
+    from .sweep_stream import windowed_concurrency
+
+    src = f"{workdir}/sweep_src"
+    for b in range(n_batches):
+        spark.createDataFrame(
+            sweep_batch_rows(b, rows_per_batch), SWEEP_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def build(src_dir):
+        stream = (
+            spark.readStream.schema(SWEEP_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return windowed_concurrency(stream)
+
+    progress = _drive(spark, src, f"{workdir}/sweep_ckpt", build, "update")
+    return summarize(progress, state_bound=4)
+
+
+def kmv_batch_rows(b: int, n_types: int, rows_per_type: int):
+    """Batch ``b`` of the KMV event stream: ``n_types`` event types in
+    clock hour ``b % 24``, ``rows_per_type`` mostly-fresh hashes each
+    (an unbounded distinct-value tail, so uncapped per-key state would
+    grow with volume; the KMV insert rule keeps <= k per key)."""
+    hr = b % _KMV_CLOCK_HOURS
+    return [
+        (f"type{t}", hr, ((b * rows_per_type + d) * 2_654_435_761 + t) % (1 << 62))
+        for t in range(n_types)
+        for d in range(rows_per_type)
+    ]
+
+
+def run_kmv_load(
+    spark: SparkSession,
+    workdir: str,
+    n_batches: int = 100,
+    n_types: int = 4,
+    rows_per_type: int = 125,
+):
+    """Streaming KMV sketch maintenance under sustained load: state is
+    one row per occupied (event_type, hour) clock cell — hr cycles
+    modulo 24, so state rows <= n_types * 24 regardless of stream
+    length or per-key event volume (each cell holds <= k hashes)."""
+    from .kmv_stream import kmv_sketch_stream
+
+    src = f"{workdir}/kmv_src"
+    for b in range(n_batches):
+        spark.createDataFrame(
+            kmv_batch_rows(b, n_types, rows_per_type), KMV_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def build(src_dir):
+        stream = (
+            spark.readStream.schema(KMV_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return kmv_sketch_stream(stream)
+
+    progress = _drive(spark, src, f"{workdir}/kmv_ckpt", build, "update")
+    return summarize(progress, state_bound=n_types * _KMV_CLOCK_HOURS)
