@@ -46,6 +46,8 @@ _ISOLATED_QUERIES = (
     "mm_phash_neardup",
     "ep2_full_pipeline",
     "rel_scalar_funcs",
+    # new in r13 — isolated band recorded from its first round
+    "ep1_api_pipeline",
 )
 
 

@@ -98,6 +98,70 @@ def main() -> None:
         out["hn_pairs"] = pairs.count()
         out["hn_pairs_sec"] = round(time.perf_counter() - t0, 1)
 
+    if "semtime" in which:
+        # wall-clock only (quiet-box reruns after a loaded counts pass:
+        # the counts are load-independent, the timings are not)
+        from impala_base_to_cdw_sizing_spark.operators.curation import (
+            q_dedup_hybrid,
+            q_dedup_semantic,
+        )
+
+        t0 = time.perf_counter()
+        q_dedup_semantic(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out["dedup_semantic_sec"] = round(time.perf_counter() - t0, 1)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        q_dedup_hybrid(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out["dedup_hybrid_sec"] = round(time.perf_counter() - t0, 1)
+        spark.catalog.clearCache()
+
+    if "semantic" in which:
+        # r12 verdict task 4: the semantic-dedup saturation notch —
+        # candidate count vs the balanced-cell model and the CAP*n hard
+        # bound, plus end-to-end wall-clock for dedup_semantic and
+        # dedup_hybrid (noop sink, full materialization)
+        import math
+
+        from impala_base_to_cdw_sizing_spark.operators.curation import (
+            _SEM_CELL_CAP,
+            _SEM_K_CAP,
+            _sem_assigned,
+            _sem_candidate_pairs,
+            q_dedup_hybrid,
+            q_dedup_semantic,
+        )
+
+        t0 = time.perf_counter()
+        assigned = _sem_assigned(spark, sf_dir).cache()
+        n = assigned.count()
+        out["sem_vectors"] = n
+        out["sem_candidates"] = _sem_candidate_pairs(assigned).count()
+        out["sem_counts_sec"] = round(time.perf_counter() - t0, 1)
+        assigned.unpersist()
+        k = min(math.ceil(math.sqrt(n)), _SEM_K_CAP)
+        c = n / k
+        cap = _SEM_CELL_CAP
+        per = c * (c - 1) / 2 if c <= cap else cap * c - cap * (cap + 1) / 2
+        out["sem_model"] = int(k * per)
+        out["sem_cap_load"] = round(out["sem_candidates"] / (cap * n), 3)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        q_dedup_semantic(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out["dedup_semantic_sec"] = round(time.perf_counter() - t0, 1)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        q_dedup_hybrid(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out["dedup_hybrid_sec"] = round(time.perf_counter() - t0, 1)
+        spark.catalog.clearCache()
+
     print(json.dumps(out))
 
 
