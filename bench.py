@@ -5,7 +5,7 @@ compact JSON line: {"metric", "value" (total sec), "unit", "queries"
 "sf", "reps", "detail_file", ...}.
 
 The FULL per-query map lives in the committed ``BENCH_DETAIL_r{N}.json``
-next to this file (r11 verdict #3: with 88 declared queries the
+next to this file (r11 verdict #3: with 126 declared queries the
 all-inclusive stdout line outgrew the driver's 2000-char tail capture,
 so BENCH_r11.json recorded ``parsed: null`` — the compact line is sized
 to always fit; the detail file carries everything the line used to).
@@ -434,7 +434,7 @@ def main() -> None:
                 "metric": "suite_total",
                 "value": total,
                 "unit": "sec",
-                # compact headline subset — the FULL 88-query map is in
+                # compact headline subset — the FULL per-query map is in
                 # detail_file (see module docstring)
                 "queries": sizing_subset,
                 "n_queries": len(timings),
