@@ -37,8 +37,15 @@ def load(path: str) -> dict:
         try:
             with open(detail) as f:
                 rec = {**rec, "queries": json.load(f)["queries_min"]}
-        except (OSError, KeyError, json.JSONDecodeError):
-            pass
+        except (OSError, KeyError, json.JSONDecodeError) as exc:
+            # loud, not silent (r12/r13 ADVICE): without the detail file
+            # the table covers only the compact stdout subset
+            print(
+                f"WARNING: {path}: detail file {detail!r} unreadable "
+                f"({exc}); table covers only {len(rec.get('queries', {}))}"
+                f"/{rec.get('n_queries', '?')} queries",
+                file=sys.stderr,
+            )
     return rec
 
 
