@@ -1275,21 +1275,32 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan. Distribution is the classic two-phase skyline: a LOCAL scan
     per salt partition (prunes all but each partition's frontier — the
     16 parallel windows carry the bulk of the data), then the SAME scan
-    globally over the union of local frontiers. The global window is
-    partition-less but its input is frontier-sized by construction
-    (sum of local frontiers, not the table — the global_topk bounded-
-    input precedent), and the result provably equals the single-pass
-    skyline: a row dominated anywhere is dominated by something that
-    survives its own salt's local pass."""
+    globally over the union of local frontiers. The result provably
+    equals the single-pass skyline: a row dominated anywhere is
+    dominated by something that survives its own salt's local pass.
+
+    The global pass is SEGMENTED (r13 verdict #5): through r13 it was a
+    partition-less window sanctioned by the bounded-input precedent,
+    but a 2-D frontier is only "bounded" on friendly data — when price
+    and date are anti-correlated (every order pricier AND later than
+    the last) NOTHING is dominated, the local passes prune zero rows,
+    and the global window would drag the whole table through one
+    partition. The prefix-MIN is associative, so it decomposes exactly
+    like the ABC running sum above: ordering-consistent $10k price
+    buckets (negated so ascending bucket = descending price; equal
+    prices share a bucket) carry the running min per bucket in
+    parallel, and earlier buckets' min date arrives as a broadcast
+    triangular carry-in over the bucket-count-sized min frame.
+    ``least`` of (carry, local prefix min) is bit-equal to the single
+    scan — dates are exact integers, no float reassociation — pinned by
+    the unchanged sequential DuckDB oracle and the adversarial
+    anti-correlated fixture in tests/test_r7_ops.py."""
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderdate"
     )
 
-    def scan(df: DataFrame, part) -> DataFrame:
-        base = (
-            Window.partitionBy(*part) if part else Window.partitionBy(F.lit(1))
-        )
-        w = base.orderBy(
+    def scan(df: DataFrame, part: list) -> DataFrame:
+        w = Window.partitionBy(*part).orderBy(
             F.col("o_totalprice").desc(),
             F.col("o_orderdate").asc(),
             F.col("o_orderkey").asc(),
@@ -1307,7 +1318,46 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["salt"],
     ).drop("salt")
-    return scan(local, None).select(
+
+    # segmented global pass: per-bucket prefix min + broadcast carry-in
+    # of earlier (higher-price) buckets' min date — see docstring. The
+    # local-frontier union is read THREE times below (bucket mins, the
+    # carry join, the per-bucket window); eager localCheckpoint
+    # materializes the one expensive table pass once (the countmin.py:74
+    # / graph_rank.py:317 multiply-read precedent) instead of re-running
+    # the 16 salt windows per consumer.
+    seg = local.withColumn(
+        "_sky_b",
+        F.expr(
+            f"-(CAST(o_totalprice * 100 AS BIGINT) DIV {_ABC_BUCKET_CENTS})"
+        ).cast("long"),
+    ).localCheckpoint(eager=True)
+    w_local = (
+        Window.partitionBy("_sky_b")
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bmins = seg.groupBy("_sky_b").agg(F.min("o_orderdate").alias("_bmin"))
+    t, p = bmins.alias("t"), bmins.alias("p")
+    carry = (
+        t.join(F.broadcast(p), F.col("p._sky_b") < F.col("t._sky_b"), "left")
+        .groupBy(F.col("t._sky_b").alias("_sky_b"))
+        .agg(F.min("p._bmin").alias("_carry"))
+    )
+    frontier = (
+        seg.withColumn("_lmin", F.min("o_orderdate").over(w_local))
+        .join(F.broadcast(carry), "_sky_b")
+        .withColumn("best_d", F.least("_carry", "_lmin"))
+        .filter(
+            F.col("best_d").isNull()
+            | (F.col("o_orderdate") < F.col("best_d"))
+        )
+    )
+    return frontier.select(
         "o_orderkey",
         "o_totalprice",
         F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(

@@ -133,13 +133,15 @@ def test_segmented_row_number_empty_and_single_bucket(spark):
     assert {r.id: r.grank for r in rows} == {i: 7 - i for i in range(7)}
 
 
-# Windows over PROVABLY BOUNDED intermediates (not the table): skyline's
-# global pass reads only the union of per-salt local frontiers — the
-# documented two-phase skyline contract (olap_extra.q_skyline docstring).
-# Every other primary must be window-clean; the sequential twins exist
-# to pay the global window on purpose (they gate the segmented forms'
-# bit-equality through the shared oracle).
-_BOUNDED_INPUT_WINDOWS = {"rel_skyline"}
+# r14: the allowlist is EMPTY — skyline's global pass (the last primary
+# window over a "provably bounded" intermediate) went segmented after
+# the r13 verdict observed a 2-D frontier is O(n) on anti-correlated
+# data, so every primary is now window-clean with zero exceptions. The
+# sequential twins still exist to pay the global window on purpose
+# (they gate the segmented forms' bit-equality through the shared
+# oracle). Adding a name here requires a documented bounded-input proof
+# with an adversarial fixture (the bar rel_skyline failed).
+_BOUNDED_INPUT_WINDOWS: set[str] = set()
 
 
 @pytest.mark.slow  # full-registry plan sweep (~2 min alone) — the
