@@ -328,7 +328,11 @@ def canonical_query_order() -> list[str]:
     build+graph (7.4 s) while ``dedup_minhash`` benched 0.6 s warm. The
     owning query is hoisted before every consumer, so the build cost is
     billed to ``dedup_minhash`` and the graph/CC rows measure their own
-    work."""
+    work. The converged BPE trainer is shared the same way since r14
+    (``text._BPE_MEMO``): ``text_bpe_merges_converged`` precedes
+    ``text_bpe_encode_converged`` in PROMOTED order, so the merge-table
+    query pays the 16-round training and the encode row measures only
+    its own corpus pass."""
     ext = list(queries_ext.queries())
     head = [n for n in _ROTATION_HEAD if n in ext]
     names = (

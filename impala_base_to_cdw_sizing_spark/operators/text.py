@@ -516,6 +516,18 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+# One trained (words, merges) per (application, sf_dir, target, min):
+# the two converged BPE queries (merge table + encode) retrained the
+# IDENTICAL driver loop twice per bench pass / oracle session. The loop
+# output is deterministic, so this is the _QH_MEMO / plan-keyed-sigs
+# sharing pattern (canonical bench order bills the build to its first
+# toucher, text_bpe_merges_converged); bench.py clears it between
+# passes so every pass still pays the full training inside the timed
+# region. Values are a localCheckpoint (valid for the SparkContext's
+# lifetime) + a driver-side list.
+_BPE_MEMO: dict[tuple[str, str, int, int], tuple[DataFrame, list]] = {}
+
+
 def _bpe_trained_converged(
     spark: SparkSession,
     sf_dir: str,
@@ -526,7 +538,26 @@ def _bpe_trained_converged(
     best pair occurs fewer than ``min_pair_n`` times (or no pair at
     all). Returns ``(words, merges)`` — the post-merge vocabulary frame
     and the driver-side merge table rows ``(round, lhs, rhs, merged,
-    pair_n)``."""
+    pair_n)``.
+
+    Round shape (r14 optimization, guide §1.2 "per-task work" after the
+    algorithm is right): ONE Spark job per merge round instead of two.
+    The round's argmax pair rides the broadcast side of the merge job
+    (TakeOrderedAndProject → 1-row BroadcastNestedLoopJoin build) and
+    the checkpointed vocabulary carries the chosen ``(l, r, m, pair_n)``
+    on every row, so the driver reads the merge row back with a
+    first() over the ALREADY-materialized RDD (no recompute) rather
+    than a second full pair-count job. The stop rule is folded into the
+    merge CASE — an under-minimum (or absent) best pair leaves ``syms``
+    untouched, so breaking after the read keeps the vocabulary
+    bit-identical to the two-job form that broke BEFORE merging. At toy
+    scale each vocab-sized job is ~0.2 s of fixed scheduling/planning
+    cost, so halving the job count halves the loop; at 100 TB scale the
+    same fusion halves the number of cluster-wide barriers per round."""
+    key = (spark.sparkContext.applicationId, sf_dir, target, min_pair_n)
+    memo = _BPE_MEMO.get(key)
+    if memo is not None:
+        return memo
     words = (
         _docs(spark, sf_dir)
         .selectExpr(f"explode(regexp_extract_all(text, '{_BPE_RE}', 0)) AS piece")
@@ -537,32 +568,31 @@ def _bpe_trained_converged(
     )
     merges: list[tuple[int, str, str, str, int]] = []
     for i in range(1, target + 1):
-        row = (
+        best = (
             _bpe_pair_counts(words)
             .orderBy(F.col("pair_n").desc(), F.col("l").asc(), F.col("r").asc())
             .limit(1)
-            .first()
+            .selectExpr("l", "r", "concat(l, r) AS m", "pair_n")
         )
-        if row is None or row["pair_n"] < min_pair_n:
-            break
-        merges.append((i, row["l"], row["r"], row["l"] + row["r"], row["pair_n"]))
-        # 1-row frame from driver values (no literal-escaping hazards),
-        # broadcast into the greedy fold; vocabulary re-checkpointed so
-        # round i+1's plan starts from a materialized scan
-        best = spark.createDataFrame(
-            [(row["l"], row["r"], row["l"] + row["r"])], "l string, r string, m string"
-        )
-        words = (
-            words.crossJoin(F.broadcast(best))
+        cand = (
+            words.join(F.broadcast(best), F.lit(True), "left")
             .selectExpr(
                 "piece", "cnt",
-                "aggregate(syms, CAST(array() AS array<string>), (acc, s) ->"
+                f"CASE WHEN l IS NULL OR pair_n < {min_pair_n} THEN syms"
+                " ELSE aggregate(syms, CAST(array() AS array<string>), (acc, s) ->"
                 " CASE WHEN size(acc) > 0 AND element_at(acc, -1) = l AND s = r"
                 " THEN concat(slice(acc, 1, size(acc) - 1), array(m))"
-                " ELSE concat(acc, array(s)) END) AS syms",
+                " ELSE concat(acc, array(s)) END) END AS syms",
+                "l", "r", "m", "pair_n",
             )
             .localCheckpoint(eager=True)
         )
+        row = cand.select("l", "r", "m", "pair_n").first()
+        words = cand.select("piece", "cnt", "syms")
+        if row is None or row["l"] is None or row["pair_n"] < min_pair_n:
+            break
+        merges.append((i, row["l"], row["r"], row["m"], row["pair_n"]))
+    _BPE_MEMO[key] = (words, merges)
     return words, merges
 
 
