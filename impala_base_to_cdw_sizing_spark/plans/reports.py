@@ -32,21 +32,46 @@ class ReportValues:
 def collect_report_values(
     result: SizingResult, params: SizingParams
 ) -> ReportValues:
-    """One driver-side pass over the tiny aggregate DataFrames."""
-    from ..operators.classify import tsize_expr
+    """One driver-side pass over the tiny aggregate DataFrames.
+
+    The seven aggregate reads are INDEPENDENT jobs over shared cached
+    inputs, so after one sequential action materializes the shared
+    caches (``summary.collect()`` forces the derived table and the
+    1-row summary) the rest are submitted from a small thread pool
+    (optimization guide §2.6: actions are only sequential because the
+    driver calls them sequentially — concurrent tiny jobs back-fill
+    idle executors instead of paying seven scheduling latencies end to
+    end). Results are identical: every job is a read of a deterministic
+    frame; the only ordering requirement is cache materialization
+    before fan-out, which the summary collect provides."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import functions as F
 
+    from ..operators.classify import tsize_expr
+
+    # sequential: materializes the cached derived table + 1-row summary
+    # that four of the concurrent jobs below re-read
     summary = result.summary.collect()[0].asDict()
-    argmax = result.argmax.collect()
-    maxima = result.sweep_maxima.collect()[0].asDict()
-    util = result.utilization.collect()[0].asDict()
-    matrix = {
-        (r.dim, r.tsize): r.n for r in result.matrix.collect() if r.tsize is not None
-    }
-    pools = sorted(
-        r.pool for r in result.routed.kept.select("pool").distinct().collect()
-    )
-    prune_count = result.routed.pruned.count()
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_argmax = pool.submit(result.argmax.collect)
+        # the heaviest job: explode + running sums + maxima (also
+        # materializes the shared events cache — sole toucher here)
+        f_maxima = pool.submit(result.sweep_maxima.collect)
+        f_util = pool.submit(result.utilization.collect)
+        f_matrix = pool.submit(result.matrix.collect)
+        f_pools = pool.submit(
+            result.routed.kept.select("pool").distinct().collect
+        )
+        f_prune = pool.submit(result.routed.pruned.count)
+        argmax = f_argmax.result()
+        maxima = f_maxima.result()[0].asDict()
+        util = f_util.result()[0].asDict()
+        matrix = {
+            (r.dim, r.tsize): r.n for r in f_matrix.result() if r.tsize is not None
+        }
+        pools = sorted(r.pool for r in f_pools.result())
+        prune_count = f_prune.result()
 
     counts = {
         size: {dim: int(matrix.get((dim, size), 0)) for dim in DIM_ORDER}
