@@ -6,6 +6,7 @@ DataFrame API uses.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from .sources.files import read_input
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -25,7 +26,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
             # DataFrame-path operator sees, whatever the parquet type
             load_events(spark, sf_dir).createOrReplaceTempView(t)
         else:
-            spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+            read_input(spark, sf_dir, t).createOrReplaceTempView(t)
 
     from .sources.synthetic import query_history_from_events
 

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .hashes import UHASH_COEFFS, uhash_expr
+from ..sources.files import read_input
 from .queries_ext import register_extra
 from .text import (
     DUCK_SHINGLES,
@@ -67,7 +68,7 @@ def _cells(h: str, dialect: str) -> str:
 
 def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        read_input(spark, sf_dir, "documents")
         .selectExpr(f"{SPARK_TOKENS} AS tokens")
         .selectExpr(f"explode({SPARK_SHINGLES}) AS token")
         .withColumn("h", F.expr(spark_charfold("token")))

@@ -50,6 +50,7 @@ from .queries_ext import register_extra
 from .segmented import ntile_expr, segmented_row_number
 from .similarity import DUCK_DOT, SPARK_DOT
 from .text import DUCK_TOKENS, SPARK_TOKENS, duck_charfold, spark_charfold
+from ..sources.files import read_input
 
 # --- SemDeDup ---------------------------------------------------------------------
 
@@ -226,7 +227,7 @@ def q_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).distinct()
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_input(spark, sf_dir, "documents").select("doc_id")
     return cc_labels_star(edges, docs).select("doc_id", "cluster")
 
 
@@ -308,7 +309,7 @@ _DSIR_RATIO = (
 def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared DSIR scoring pass: per-doc token count and integer
     micro-unit importance score (see :func:`q_sample_importance`)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_input(spark, sf_dir, "documents")
     toks = docs.selectExpr(
         "doc_id", "lang", f"explode({SPARK_TOKENS}) AS token"
     ).withColumn("bucket", F.expr(_bucket(spark_charfold("token"))))
@@ -465,7 +466,7 @@ def _spark_quality_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import STOPWORDS, _arr
 
     return (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        read_input(spark, sf_dir, "documents")
         .withColumn("tokens", F.expr(SPARK_TOKENS))
         .selectExpr(
             "doc_id",

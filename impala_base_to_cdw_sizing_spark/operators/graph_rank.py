@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from .queries_ext import register_extra
 from .text import _minhash_sql, q_dedup_minhash
+from ..sources.files import read_input
 
 _NANO = 1_000_000_000
 _N_ITERS = 3
@@ -179,7 +180,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_input(spark, sf_dir, "documents").select("doc_id")
     return pagerank_ranks(edges, docs)
 
 
@@ -192,7 +193,7 @@ def q_graph_pagerank_conserving(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_input(spark, sf_dir, "documents").select("doc_id")
     return pagerank_ranks_conserving(edges, docs)
 
 
@@ -448,7 +449,7 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+    docs = read_input(spark, sf_dir, "documents").selectExpr(
         "doc_id",
         f"CASE WHEN lang = '{_PPR_SEED_LANG}' THEN 1 ELSE 0 END AS is_seed",
     )

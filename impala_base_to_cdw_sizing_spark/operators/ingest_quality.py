@@ -40,7 +40,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.files import read_query_history_with_quarantine
+from ..sources.files import read_input, read_query_history_with_quarantine
 from .queries_ext import register_extra
 from .sampling import _KNUTH, _M32
 
@@ -74,7 +74,7 @@ def _corrupted_replay_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     real CSV text, these are exactly the malformed-row classes a
     PERMISSIVE schema-enforced scan quarantines (token-count anomalies
     are NOT corruption to the CSV reader — it pads/drops those)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_input(spark, sf_dir, "documents")
     return docs.selectExpr(
         "concat('q', doc_id) AS query_id",
         "concat('root.', source) AS pool",
@@ -156,7 +156,7 @@ def q_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset plus its real file count; the oracle recomputes the
     checksums from the source table directly, so any row lost,
     duplicated, or mangled by the round-trip breaks parity."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_input(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     frag = _fixture_dir(sf_dir, "fragmented")
@@ -202,9 +202,9 @@ def q_expectations_report(spark, sf_dir: str):
     rows (that drill-down is a follow-up filter, not this report)."""
     from pyspark.sql import functions as F
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = read_input(spark, sf_dir, "orders")
+    li = read_input(spark, sf_dir, "lineitem")
+    cust = read_input(spark, sf_dir, "customer")
 
     def row(name, checked_violations):
         checked, viol = checked_violations
@@ -359,7 +359,7 @@ def q_zorder_audit(spark, sf_dir: str):
 
     spark_shift = "shiftright({x}, {i})"
     M = 1 << _Z_AUDIT_BITS
-    raw = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+    raw = read_input(spark, sf_dir, "orders").selectExpr(
         "o_custkey AS ck",
         "CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT) AS dk",
     )

@@ -39,13 +39,14 @@ from .queries_ext import register_extra
 from .hashes import UHASH_COEFFS, uhash_expr
 from .sampling import _KNUTH, _M32  # the one shared deterministic coin
 from .text import DUCK_TOKENS, SPARK_TOKENS
+from ..sources.files import read_input
 
 SPARK_DIGEST = "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"
 DUCK_DIGEST = "CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_input(spark, sf_dir, "documents")
 
 
 # --- domain-mixture resampling ---------------------------------------------------

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries_ext import register
+from ..sources.files import read_input
 
 _FORMATS = ["png", "jpeg", "wav"]
 
@@ -48,7 +49,7 @@ def with_payload(docs: DataFrame) -> DataFrame:
 
 def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over the binary column — pure JVM expressions."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_input(spark, sf_dir, "documents")
     return with_payload(docs).select(
         "doc_id",
         "media_format",
@@ -340,7 +341,7 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the ``mapInPandas`` plumbing (schema, Arrow batching, one row per
     payload), kernel-pinned to ``'stub'`` regardless of what media libs
     are installed."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_input(spark, sf_dir, "documents")
     return decode_media(with_payload(docs), kernel="stub").drop("media_format")
 
 
@@ -437,7 +438,7 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); the dedup is one 8-byte-key groupBy. Near-dup (hamming
     ≤ k) banding composes exactly like ``dedup_simhash``'s 4x16-bit
     band tables over the same 64 bits."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_input(spark, sf_dir, "documents")
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -488,7 +489,7 @@ def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits. Same banded shape as ``dedup_simhash``, applied to media.
     The hash halves are BIGINTs computed alongside the hex form, so no
     cross-engine hex parsing is involved."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_input(spark, sf_dir, "documents")
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -686,7 +687,7 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks the full parse -> sample arithmetic; the re-encoded payload
     is pytest-verified to round-trip through the decode kernel
     (tests/test_mm_features.py)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_input(spark, sf_dir, "documents")
     return resize_media_bmp(with_bmp_payload(docs)).selectExpr(
         "doc_id", "width", "height", "new_width", "new_height",
         "n_sampled", "sum_sampled",

@@ -9,12 +9,13 @@ from pyspark.sql import functions as F
 
 from .aggregates import dsum, dsum_sql
 from .queries_ext import register, register_extra
+from ..sources.files import read_input
 
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_input(spark, sf_dir, name)
 
 
 # --- pivot (G5's generic form) --------------------------------------------------
@@ -1195,8 +1196,8 @@ def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     column re-derives every figure from a full recompute so the
     algebra is checked per nation in both engines. Decimal sums merge
     BEFORE any double conversion (the rollup lesson)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    orders = read_input(spark, sf_dir, "orders")
+    cust = read_input(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_nationkey"
     )
     DEC = "decimal(38,6)"

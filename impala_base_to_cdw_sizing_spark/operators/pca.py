@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from .queries_ext import register_extra
 from .similarity import DUCK_DOT, SPARK_DOT
+from ..sources.files import read_input
 
 DIM = 64
 _PCA_ROUNDS = 3
@@ -48,7 +49,7 @@ _DUCK_DOT_XN = (
 
 
 def _centered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+    emb = read_input(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", "transform(embedding, e -> CAST(e AS DOUBLE)) AS v"
     )
     mean = (

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from .queries_ext import register_extra
 from .segmented import ntile_expr, segmented_row_number
+from ..sources.files import read_input
 
 # (column, family): string bounds surface as min_value/max_value
 # VARCHAR, numeric bounds as min_num/max_num DOUBLE — typed per family
@@ -53,7 +54,7 @@ _PROFILE_COLS = [
 
 
 def q_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_input(spark, sf_dir, "orders")
     # THE one-scan stats pass: nulls, min/max, and every column's HLL
     # buffer coexist in a single two-phase aggregate (approx distinct is
     # a plain agg buffer — no Expand). min/max aggregate in the NATIVE
@@ -134,7 +135,7 @@ _N_BUCKETS = 8
 
 
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_input(spark, sf_dir, "orders")
     w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
     return (
         orders.select(
@@ -170,7 +171,7 @@ def q_equidepth_histogram_segmented(spark: SparkSession, sf_dir: str) -> DataFra
     placement); slicing only affects partition balance.
     """
     orders = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        read_input(spark, sf_dir, "orders")
         .select(
             "o_totalprice",
             "o_orderkey",

@@ -27,10 +27,11 @@ from pyspark.sql import functions as F
 
 from .aggregates import dsum, dsum_sql
 from .queries_ext import register, register_extra
+from ..sources.files import read_input
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_input(spark, sf_dir, name)
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from .queries_ext import register, register_extra
 from .text import DUCK_TOKENS, SPARK_TOKENS
+from ..sources.files import read_input
 
 # Knuth multiplicative hash, 32-bit: deterministic pseudo-shuffle key
 _KNUTH = 2654435761
@@ -35,7 +36,7 @@ _M32 = 4294967296
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_input(spark, sf_dir, "documents")
 
 
 def q_sample_stratified(

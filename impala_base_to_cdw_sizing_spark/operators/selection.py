@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries_ext import register_extra
+from ..sources.files import read_input
 
 # $1000-wide buckets over l_extendedprice (~900..105k): ~110 buckets at
 # any scale factor — the histogram width tracks the VALUE RANGE, so the
@@ -42,7 +43,7 @@ _BUCKET_CENTS = 100_000
 
 
 def q_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_input(spark, sf_dir, "lineitem")
     c = li.selectExpr(
         "CAST(l_extendedprice * 100 AS BIGINT) AS cents",
         f"CAST(CAST(l_extendedprice * 100 AS BIGINT) DIV {_BUCKET_CENTS}"
@@ -130,7 +131,7 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer is an exact cents value, and ties in cents can only select
     the same value — deterministic output with no global sort and no
     value buffering."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_input(spark, sf_dir, "lineitem")
     c = li.selectExpr(
         "CAST(l_extendedprice * 100 AS BIGINT) AS cents",
         "CAST(l_quantity AS BIGINT) AS w",
@@ -210,7 +211,7 @@ def q_group_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     that replaces ``percentile``'s per-group value buffering when single
     groups are themselves huge (one group holding 30% of a 100 TB table
     is the skew-gate scenario)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_input(spark, sf_dir, "lineitem")
     c = li.selectExpr(
         "l_returnflag AS grp",
         "CAST(l_extendedprice * 100 AS BIGINT) AS cents",

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries_ext import register_extra
-from ..sources.files import load_events
+from ..sources.files import read_input, load_events
 
 _MICRO = 1_000_000
 
@@ -216,7 +216,7 @@ _CHI2_CRIT_05_DF8 = 15.507
 
 def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        read_input(spark, sf_dir, "orders")
         .selectExpr(
             # floor first, then string-slice: CAST(double AS BIGINT)
             # truncates in Spark but ROUNDS in DuckDB (the r4 ulp class),

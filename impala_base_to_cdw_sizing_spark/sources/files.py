@@ -19,10 +19,84 @@ TPCH_TABLES = [
 ]
 
 
+# fan-out decision per (path, parallelism): tiny driver-side footer read,
+# done once per input per process
+_FANOUT_MEMO: dict[tuple[str, int], int] = {}
+
+# below this row count the per-row work above a 1-task scan is trivial;
+# at/above it (sf0.1 ships 2 000-600 000-row single-row-group files) the
+# expression chains above the scan are the measured bottleneck
+_FANOUT_MIN_ROWS = 2000
+
+
+def _scan_fanout(path: str, cpus: int) -> int:
+    """Round-robin fan-out width for a small/unsplittable parquet input,
+    or 0 to leave the scan alone.
+
+    Parquet splits at ROW-GROUP boundaries, so a single-file,
+    single-row-group table (how every sandbox testdata table ships) scans
+    as ONE task no matter what ``maxPartitionBytes`` says — and every
+    CPU-heavy expression chain above it (MinHash charfold hashing,
+    tokenization, dot products, BMP decode kernels) runs single-threaded
+    until the first exchange (measured: the 64-perm signature build spent
+    4.8 s in 1 task with 31 cores idle at sf0.1). Guide §2.5: "one huge
+    unsplittable file … repartition immediately after the read".
+
+    Scale-adaptive rule, derived from the input (not a local constant):
+    repartition to the scheduler parallelism iff the input's real
+    splittability — row groups summed across its files — is below half
+    the core count AND the table is big enough for per-row work to
+    matter. At any real scale a table has row groups ≫ cores, the footer
+    loop exits early, and the scan is left untouched, so the guard can
+    never shuffle data that would be expensive to move. Non-local paths
+    (no readable footer) are left untouched.
+    """
+    key = (path, cpus)
+    hit = _FANOUT_MEMO.get(key)
+    if hit is not None:
+        return hit
+    fan = 0
+    try:
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        p = Path(path)
+        files = sorted(f for f in p.rglob("*") if f.is_file()
+                       and not f.name.startswith(("_", "."))) if p.is_dir() else [p]
+        rows = groups = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            rows += md.num_rows
+            groups += md.num_row_groups
+            if groups >= cpus:
+                break
+        if groups < max(2, cpus // 2) and rows >= _FANOUT_MIN_ROWS:
+            fan = cpus
+    except Exception:  # noqa: BLE001 — unreadable/remote input: no fan-out
+        fan = 0
+    _FANOUT_MEMO[key] = fan
+    return fan
+
+
+def read_input(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The repo-wide table reader: a parquet scan, fanned out to full
+    parallelism when (and only when) the input itself cannot split.
+
+    Predicate pushdown and column pruning are unaffected: Catalyst
+    pushes filters and prunes columns THROUGH a Repartition node into
+    the scan, so ``PushedFilters``/``ReadSchema`` read the same and the
+    round-robin exchange moves only surviving, pruned rows."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    fan = _scan_fanout(
+        f"{sf_dir}/{name}.parquet", spark.sparkContext.defaultParallelism
+    )
+    return df.repartition(fan) if fan else df
+
+
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Column pruning + predicate pushdown reach
     the parquet scan because the schema is declared by the file itself."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_input(spark, sf_dir, name)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,7 +113,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity mapping DuckDB's naive-as-UTC ``epoch_ns`` applies.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = read_input(spark, sf_dir, "events")
     ts_type = dict(e.dtypes).get("ts")
     if ts_type in ("timestamp", "timestamp_ntz"):
         e = e.withColumn(

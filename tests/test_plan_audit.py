@@ -90,8 +90,13 @@ def test_flagship_narrow_plans_stay_shuffle_free(spark):
         a = audits[name]
         assert a["exchanges"] == 0, (name, a)
         assert a["scans"] == 1, (name, a)
-    # the pushdown showcase keeps its single partial-agg exchange
-    assert audits["rel_tpch_q6_pushdown"]["exchanges"] == 1
+    # the pushdown showcase keeps its single partial-agg exchange, plus
+    # (r14) the adaptive scan fan-out of the single-row-group testdata
+    # file (sources/files.read_input — a RoundRobin exchange directly
+    # above the scan; pushdown/pruning still reach the scan, so it
+    # moves only filtered rows). At real scale the fan-out guard never
+    # fires and the plan is the single-exchange form again.
+    assert audits["rel_tpch_q6_pushdown"]["exchanges"] == 2
 
 
 def test_iterative_per_round_plans_stay_bounded(spark):

@@ -1,0 +1,64 @@
+"""sources/files.read_input — the r14 adaptive scan fan-out.
+
+Pins the guard's three-way decision (fan out / too small / already
+splittable) and that fan-out changes ONLY the partitioning, never the
+rows. The fan-out exists because parquet splits at row-group
+boundaries: a single-file single-row-group table scans as one task and
+serializes every expression above it (measured: the MinHash signature
+build at 4.8 s in 1 task with 31 cores idle, r14)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from impala_base_to_cdw_sizing_spark.sources.files import (  # noqa: E402
+    _FANOUT_MIN_ROWS,
+    _scan_fanout,
+    read_input,
+)
+
+
+def _write(path: Path, n_rows: int, row_group_size: int | None = None) -> None:
+    tbl = pa.table({"k": list(range(n_rows)), "v": [f"x{i}" for i in range(n_rows)]})
+    pq.write_table(tbl, path, row_group_size=row_group_size or n_rows)
+
+
+def test_fans_out_single_row_group_table(spark, tmp_path):
+    _write(tmp_path / "t.parquet", _FANOUT_MIN_ROWS)
+    cpus = spark.sparkContext.defaultParallelism
+    assert _scan_fanout(str(tmp_path / "t.parquet"), cpus) == cpus
+    df = read_input(spark, str(tmp_path), "t")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
+    # rows identical to the direct read
+    direct = spark.read.parquet(str(tmp_path / "t.parquet"))
+    assert sorted(r.k for r in df.collect()) == sorted(
+        r.k for r in direct.collect()
+    )
+
+
+def test_leaves_small_tables_alone(spark, tmp_path):
+    _write(tmp_path / "small.parquet", _FANOUT_MIN_ROWS - 1)
+    assert _scan_fanout(str(tmp_path / "small.parquet"), 32) == 0
+    plan = (
+        read_input(spark, str(tmp_path), "small")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "RoundRobinPartitioning" not in plan
+
+
+def test_leaves_splittable_tables_alone(spark, tmp_path):
+    # 64 row groups >= cpus/2: the input already splits; the guard must
+    # not add a shuffle (at scale this is the only branch ever taken)
+    _write(tmp_path / "big.parquet", 6400, row_group_size=100)
+    assert _scan_fanout(str(tmp_path / "big.parquet"), 32) == 0
+
+
+def test_unreadable_path_is_left_alone():
+    assert _scan_fanout("/nonexistent/nowhere.parquet", 32) == 0
