@@ -46,8 +46,17 @@ def build_filter(pool: str | None) -> str:
 def requests_fetcher(
     cm_url: str, cluster_name: str, user: str, password: str
 ) -> Fetcher:
-    """Production fetcher against CM API v32 (basic auth)."""
+    """Production fetcher against CM API v32 (basic auth).
+
+    One ``requests.Session`` for the fetcher's lifetime (r14): the page
+    loop issues hundreds of GETs against one host, and a bare
+    ``requests.get`` opens a fresh TCP connection (plus TLS handshake on
+    https) per page — the session's keep-alive pool reuses it (guide
+    §4.5's initialise-once rule applied to the ingestion client)."""
     import requests  # gated: not needed for tests
+
+    session = requests.Session()
+    session.auth = (user, password)
 
     def fetch(from_date: str, to_date: str, pool: str | None, offset: int) -> dict:
         url = (
@@ -55,7 +64,7 @@ def requests_fetcher(
             f"impalaQueries?from={from_date}&to={to_date}"
             f"&filter={build_filter(pool)}&limit={PAGE_SIZE}&offset={offset}"
         )
-        resp = requests.get(url, auth=(user, password), timeout=60)
+        resp = session.get(url, timeout=60)
         resp.raise_for_status()
         return resp.json()
 
