@@ -197,9 +197,12 @@ def _run_pass(spark, sf_dir: str, ent) -> dict[str, float]:
     # adjacency every round — see canonical_query_order's docstring
     for name in ent.canonical_query_order():
         fn = qs[name]
+        # guide §1.5: label each query's jobs so the UI/event log reads
+        spark.sparkContext.setJobDescription(name)
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.sparkContext.setJobDescription(None)
     timings["ep2_full_pipeline"] = _run_ep2(spark, sf_dir)
     timings["ep1_api_pipeline"] = _run_ep1(spark, sf_dir)
     return timings
