@@ -419,15 +419,27 @@ def main() -> None:
     # it in r11)
     # --round pins the detail-file name explicitly (r13 verdict: a
     # quiet-close re-run AFTER the driver writes CORRECTNESS_r{N} sees
-    # _round_number() = N+1 and mislabels the file); default stays the
-    # in-round inference, and the stdout manifest self-describes either
-    # way via the "round" field
-    round_no = int(
-        _arg("--round")
-        or os.environ.get("SPARK_GRAFT_ROUND")
-        or ent._round_number()
-    )
-    detail_file = f"BENCH_DETAIL_r{round_no:02d}.json"
+    # _round_number() = N+1 and mislabels the file); default is the
+    # MID-ROUND-AWARE inference (r14 verdict #3: the driver benches
+    # after writing CORRECTNESS_r{N}, so `max(CORRECTNESS)+1` labeled
+    # the driver's own round-N run "N+1" — if the newest CORRECTNESS
+    # round has no BENCH_r{N}.json yet, that round is still in flight
+    # and THIS run belongs to it), and the stdout manifest
+    # self-describes either way via the "round" field
+    explicit = _arg("--round") or os.environ.get("SPARK_GRAFT_ROUND")
+    if explicit:
+        round_no = int(explicit)
+    else:
+        round_no = ent._round_number()  # max(CORRECTNESS rounds) + 1
+        here = Path(__file__).resolve().parent
+        latest = round_no - 1
+        if latest >= 1 and not (here / f"BENCH_r{latest:02d}.json").exists():
+            round_no = latest
+    # cpu-count-suffixed name (r14 verdict #3: the driver's 8-core
+    # scaling run overwrote the 32-core run's detail — same round, same
+    # name); a 32c and an 8c run of one round now coexist on disk
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    detail_file = f"BENCH_DETAIL_r{round_no:02d}_c{cpus}.json"
     detail = {
         "round": round_no,
         "sf": sf,
@@ -472,6 +484,10 @@ def main() -> None:
                 "reps": reps,
                 "round": round_no,
                 "shuffle_partitions": shuffle_partitions,
+                # 1-min load average sampled at each pass start (r14
+                # verdict #3, additions-only): lets PERF separate box
+                # weather from code without detail-file archaeology
+                "loadavg1_per_pass": pass_loads,
                 "detail_file": detail_file,
             }
         )

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .hashes import UHASH_COEFFS, uhash_expr
-from ..sources.files import read_input
+from ..sources.files import ROWS_PER_TASK_HEAVY, read_input
 from .queries_ext import register_extra
 from .text import (
     DUCK_SHINGLES,
@@ -68,7 +68,7 @@ def _cells(h: str, dialect: str) -> str:
 
 def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
-        read_input(spark, sf_dir, "documents")
+        read_input(spark, sf_dir, "documents", ROWS_PER_TASK_HEAVY)
         .selectExpr(f"{SPARK_TOKENS} AS tokens")
         .selectExpr(f"explode({SPARK_SHINGLES}) AS token")
         .withColumn("h", F.expr(spark_charfold("token")))

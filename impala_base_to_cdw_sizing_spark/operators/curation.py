@@ -50,7 +50,7 @@ from .queries_ext import register_extra
 from .segmented import ntile_expr, segmented_row_number
 from .similarity import DUCK_DOT, SPARK_DOT
 from .text import DUCK_TOKENS, SPARK_TOKENS, duck_charfold, spark_charfold
-from ..sources.files import read_input
+from ..sources.files import ROWS_PER_TASK_HEAVY, read_input
 
 # --- SemDeDup ---------------------------------------------------------------------
 
@@ -309,7 +309,7 @@ _DSIR_RATIO = (
 def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared DSIR scoring pass: per-doc token count and integer
     micro-unit importance score (see :func:`q_sample_importance`)."""
-    docs = read_input(spark, sf_dir, "documents")
+    docs = read_input(spark, sf_dir, "documents", ROWS_PER_TASK_HEAVY)
     toks = docs.selectExpr(
         "doc_id", "lang", f"explode({SPARK_TOKENS}) AS token"
     ).withColumn("bucket", F.expr(_bucket(spark_charfold("token"))))
@@ -466,7 +466,7 @@ def _spark_quality_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import STOPWORDS, _arr
 
     return (
-        read_input(spark, sf_dir, "documents")
+        read_input(spark, sf_dir, "documents", ROWS_PER_TASK_HEAVY)
         .withColumn("tokens", F.expr(SPARK_TOKENS))
         .selectExpr(
             "doc_id",

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from .queries_ext import register, register_extra
 from .similarity import DIM, DUCK_DOT, DUCK_EMB, N_QUERIES, SPARK_DOT
-from ..sources.files import read_input
+from ..sources.files import ROWS_PER_TASK_HEAVY, read_input
 
 K = 8
 N_ITERS = 2
@@ -33,7 +33,7 @@ _NANO = 1_000_000_000.0
 
 def _emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        read_input(spark, sf_dir, "embeddings")
+        read_input(spark, sf_dir, "embeddings", ROWS_PER_TASK_HEAVY)
         .selectExpr(
             "vec_id", "label",
             "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from .curation import _DET_LN_W, _DET_LN_Y, _DET_LN_Z, _DET_LN_Z2
 from .queries_ext import register_extra
 from .text import DUCK_TOKENS, SPARK_TOKENS
-from ..sources.files import read_input
+from ..sources.files import ROWS_PER_TASK_HEAVY, read_input
 
 _REF_LANG = "en"
 # nats/bigram bucket cuts — inside the synthetic corpus's natural band
@@ -78,7 +78,7 @@ _BUCKET_CASE = (
 
 
 def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_input(spark, sf_dir, "documents")
+    docs = read_input(spark, sf_dir, "documents", ROWS_PER_TASK_HEAVY)
     bg = (
         docs.withColumn("tokens", F.expr(SPARK_TOKENS))
         .selectExpr("doc_id", "lang", f"explode({_SPARK_BIGRAMS}) AS b")

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries_ext import register
-from ..sources.files import read_input
+from ..sources.files import ROWS_PER_TASK_HEAVY, read_input
 
 _FORMATS = ["png", "jpeg", "wav"]
 
@@ -341,7 +341,7 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the ``mapInPandas`` plumbing (schema, Arrow batching, one row per
     payload), kernel-pinned to ``'stub'`` regardless of what media libs
     are installed."""
-    docs = read_input(spark, sf_dir, "documents")
+    docs = read_input(spark, sf_dir, "documents", ROWS_PER_TASK_HEAVY)
     return decode_media(with_payload(docs), kernel="stub").drop("media_format")
 
 
@@ -438,7 +438,7 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); the dedup is one 8-byte-key groupBy. Near-dup (hamming
     ≤ k) banding composes exactly like ``dedup_simhash``'s 4x16-bit
     band tables over the same 64 bits."""
-    docs = read_input(spark, sf_dir, "documents")
+    docs = read_input(spark, sf_dir, "documents", ROWS_PER_TASK_HEAVY)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -489,7 +489,7 @@ def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits. Same banded shape as ``dedup_simhash``, applied to media.
     The hash halves are BIGINTs computed alongside the hex form, so no
     cross-engine hex parsing is involved."""
-    docs = read_input(spark, sf_dir, "documents")
+    docs = read_input(spark, sf_dir, "documents", ROWS_PER_TASK_HEAVY)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -44,7 +44,7 @@ from .curation import _DET_LN_W, _DET_LN_Y, _DET_LN_Z, _DET_LN_Z2
 from .lm_quality import _DUCK_BIGRAMS, _SPARK_BIGRAMS
 from .queries_ext import register_extra
 from .text import DUCK_TOKENS, SPARK_TOKENS
-from ..sources.files import read_input
+from ..sources.files import ROWS_PER_TASK_HEAVY, read_input
 
 # --- BM25 -------------------------------------------------------------------------
 
@@ -77,7 +77,7 @@ _BM25_CONTRIB = (
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_input(spark, sf_dir, "documents").selectExpr(
+    docs = read_input(spark, sf_dir, "documents", ROWS_PER_TASK_HEAVY).selectExpr(
         "doc_id", f"{SPARK_TOKENS} AS tokens"
     )
     lens = docs.selectExpr("doc_id", "size(tokens) AS doc_len")
@@ -195,7 +195,7 @@ _PMI_RATIO = "CAST(c12 * n_bg AS DOUBLE) / CAST(c1 * c2 AS DOUBLE)"
 
 
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_input(spark, sf_dir, "documents")
+    docs = read_input(spark, sf_dir, "documents", ROWS_PER_TASK_HEAVY)
     bg = (
         docs.withColumn("tokens", F.expr(SPARK_TOKENS))
         .selectExpr(f"explode({_SPARK_BIGRAMS}) AS b")

@@ -27,14 +27,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries_ext import register
-from ..sources.files import read_input
+from ..sources.files import ROWS_PER_TASK_HEAVY, read_input
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 5
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_input(spark, sf_dir, "embeddings").selectExpr(
+    return read_input(spark, sf_dir, "embeddings", ROWS_PER_TASK_HEAVY).selectExpr(
         "vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
     )
 

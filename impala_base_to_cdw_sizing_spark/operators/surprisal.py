@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from .queries_ext import register_extra
 from .text import DUCK_TOKENS, SPARK_TOKENS
-from ..sources.files import read_input
+from ..sources.files import ROWS_PER_TASK_HEAVY, read_input
 
 # mean-surprisal band (bits/token) for the keep flag; outside = filtered.
 # The synthetic corpus's natural band is narrow (5.0–5.5 bits/token at
@@ -82,7 +82,7 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
 
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(
-        read_input(spark, sf_dir, "documents")
+        read_input(spark, sf_dir, "documents", ROWS_PER_TASK_HEAVY)
     )
 
 

@@ -30,13 +30,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries_ext import register, register_extra
-from ..sources.files import read_input
+from ..sources.files import ROWS_PER_TASK_HEAVY, read_input
 
 _MOD = 1_000_000_000_000_000  # 1e15: keeps acc*31+x < 2^63
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_input(spark, sf_dir, "documents")
+    return read_input(spark, sf_dir, "documents", ROWS_PER_TASK_HEAVY)
 
 
 # --- shared expression twins ---------------------------------------------------
@@ -1785,7 +1785,7 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return scrub_pii(read_input(spark, sf_dir, "documents"))
+    return scrub_pii(read_input(spark, sf_dir, "documents", ROWS_PER_TASK_HEAVY))
 
 
 def _pii_sql() -> str:

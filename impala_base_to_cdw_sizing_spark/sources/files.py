@@ -19,17 +19,35 @@ TPCH_TABLES = [
 ]
 
 
-# fan-out decision per (path, parallelism): tiny driver-side footer read,
-# done once per input per process
-_FANOUT_MEMO: dict[tuple[str, int], int] = {}
+# fan-out decision per (path, parallelism, rows_per_task): tiny
+# driver-side footer read, done once per input per process
+_FANOUT_MEMO: dict[tuple[str, int, int], int] = {}
 
 # below this row count the per-row work above a 1-task scan is trivial;
 # at/above it (sf0.1 ships 2 000-600 000-row single-row-group files) the
 # expression chains above the scan are the measured bottleneck
 _FANOUT_MIN_ROWS = 2000
 
+# Per-task row targets by CONSUMER cost class (r15: the r14 flat
+# `fan = cpus` width taxed every cheap chain ~0.2-1 s at local[32] —
+# a 5 000-row table got 32 partitions of 156 rows, and the sizing
+# family re-paid 32-wide scheduling on every cached-qh read; the
+# measured 8c-vs-32c scaling ratios ≈ 1 proved the width bought
+# nothing there). The footer only knows rows; the CALLER knows its
+# per-row cost, so the width derives from both (guide §2.2/§2.5:
+# size partitions so per-task work dominates scheduling overhead):
+#   heavy — hash/tokenize/shingle/vector/image-kernel chains,
+#           ~0.1-1 ms+/row: 64 rows/task reaches full width on any
+#           input big enough to matter (5 000 docs -> 32 tasks);
+#   light — columnar expression/aggregate chains, ~us/row: 16 Ki
+#           rows/task (600 k-row lineitem -> full width, 100 k-row
+#           events -> 6, a 15 k-row dim -> untouched).
+ROWS_PER_TASK_HEAVY = 64
+ROWS_PER_TASK_LIGHT = 16 * 1024
 
-def _scan_fanout(path: str, cpus: int) -> int:
+
+def _scan_fanout(path: str, cpus: int,
+                 rows_per_task: int = ROWS_PER_TASK_LIGHT) -> int:
     """Round-robin fan-out width for a small/unsplittable parquet input,
     or 0 to leave the scan alone.
 
@@ -43,15 +61,18 @@ def _scan_fanout(path: str, cpus: int) -> int:
     unsplittable file … repartition immediately after the read".
 
     Scale-adaptive rule, derived from the input (not a local constant):
-    repartition to the scheduler parallelism iff the input's real
-    splittability — row groups summed across its files — is below half
-    the core count AND the table is big enough for per-row work to
-    matter. At any real scale a table has row groups ≫ cores, the footer
-    loop exits early, and the scan is left untouched, so the guard can
-    never shuffle data that would be expensive to move. Non-local paths
-    (no readable footer) are left untouched.
+    iff the input's real splittability — row groups summed across its
+    files — is below half the core count AND the table is big enough for
+    per-row work to matter, repartition to ``rows // rows_per_task``
+    partitions, capped at the scheduler parallelism (r15: width scales
+    with the input and the consumer's per-row cost, not a flat core
+    count — see ``ROWS_PER_TASK_*``). At any real scale a table has row
+    groups ≫ cores, the footer loop exits early, and the scan is left
+    untouched, so the guard can never shuffle data that would be
+    expensive to move. Non-local paths (no readable footer) are left
+    untouched.
     """
-    key = (path, cpus)
+    key = (path, cpus, rows_per_task)
     hit = _FANOUT_MEMO.get(key)
     if hit is not None:
         return hit
@@ -71,16 +92,25 @@ def _scan_fanout(path: str, cpus: int) -> int:
             if groups >= cpus:
                 break
         if groups < max(2, cpus // 2) and rows >= _FANOUT_MIN_ROWS:
-            fan = cpus
+            fan = min(cpus, rows // rows_per_task)
+            if fan < 2:
+                fan = 0
     except Exception:  # noqa: BLE001 — unreadable/remote input: no fan-out
         fan = 0
     _FANOUT_MEMO[key] = fan
     return fan
 
 
-def read_input(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """The repo-wide table reader: a parquet scan, fanned out to full
-    parallelism when (and only when) the input itself cannot split.
+def read_input(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    rows_per_task: int = ROWS_PER_TASK_LIGHT,
+) -> DataFrame:
+    """The repo-wide table reader: a parquet scan, fanned out when (and
+    only when) the input itself cannot split, to a width scaled by input
+    rows and the consumer's per-row cost class (``rows_per_task`` —
+    pass :data:`ROWS_PER_TASK_HEAVY` above CPU-heavy kernel chains).
 
     Predicate pushdown and column pruning are unaffected: Catalyst
     pushes filters and prunes columns THROUGH a Repartition node into
@@ -88,7 +118,9 @@ def read_input(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     round-robin exchange moves only surviving, pruned rows."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     fan = _scan_fanout(
-        f"{sf_dir}/{name}.parquet", spark.sparkContext.defaultParallelism
+        f"{sf_dir}/{name}.parquet",
+        spark.sparkContext.defaultParallelism,
+        rows_per_task,
     )
     return df.repartition(fan) if fan else df
 

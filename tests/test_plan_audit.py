@@ -90,13 +90,16 @@ def test_flagship_narrow_plans_stay_shuffle_free(spark):
         a = audits[name]
         assert a["exchanges"] == 0, (name, a)
         assert a["scans"] == 1, (name, a)
-    # the pushdown showcase keeps its single partial-agg exchange, plus
-    # (r14) the adaptive scan fan-out of the single-row-group testdata
-    # file (sources/files.read_input — a RoundRobin exchange directly
-    # above the scan; pushdown/pruning still reach the scan, so it
-    # moves only filtered rows). At real scale the fan-out guard never
-    # fires and the plan is the single-exchange form again.
-    assert audits["rel_tpch_q6_pushdown"]["exchanges"] == 2
+    # the pushdown showcase keeps its single partial-agg exchange. At
+    # sf0.001 the r15 row-scaled fan-out width leaves the 6 000-row
+    # lineitem alone for a light consumer (6 000 rows / 16 Ki rows per
+    # task < 2 tasks — sources/files.read_input), so the plan is the
+    # single-exchange form; at sf0.1 the same rule fans the 600 000-row
+    # scan to the core cap and adds one RoundRobin exchange directly
+    # above the scan (pushdown/pruning still reach the scan, so it
+    # moves only filtered rows — plans/r15). At real scale the fan-out
+    # guard never fires either way.
+    assert audits["rel_tpch_q6_pushdown"]["exchanges"] == 1
 
 
 def test_iterative_per_round_plans_stay_bounded(spark):
