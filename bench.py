@@ -239,11 +239,15 @@ def _one_query_mode(sf_dir: str, sf: float, name: str, reps: int) -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 3))
         spark.catalog.clearCache()
+        from impala_base_to_cdw_sizing_spark.operators.kmeans import (
+            _CENTROID_MEMO,
+        )
         from impala_base_to_cdw_sizing_spark.operators.text import _BPE_MEMO
         from impala_base_to_cdw_sizing_spark.sources.synthetic import _QH_MEMO
 
         _QH_MEMO.clear()
         _BPE_MEMO.clear()
+        _CENTROID_MEMO.clear()
     print(json.dumps(
         {"query": name, "sf": sf, "times": times, "min": min(times),
          "loadavg1": loads}
@@ -381,6 +385,7 @@ def main() -> None:
         return
 
     import __spark_entry__ as ent
+    from impala_base_to_cdw_sizing_spark.operators.kmeans import _CENTROID_MEMO
     from impala_base_to_cdw_sizing_spark.operators.text import _BPE_MEMO
     from impala_base_to_cdw_sizing_spark.sources.synthetic import _QH_MEMO
 
@@ -395,6 +400,7 @@ def main() -> None:
         spark.catalog.clearCache()
         _QH_MEMO.clear()
         _BPE_MEMO.clear()
+        _CENTROID_MEMO.clear()
 
     timings = {name: min(p[name] for p in passes) for name in passes[0]}
     total = round(sum(timings.values()), 3)

@@ -111,7 +111,10 @@ def _sem_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _assign(
         emb,
-        trained_centroids(emb, k_frame=k_frame, train_cap=_SEM_TRAIN_CAP),
+        trained_centroids(
+            emb, k_frame=k_frame, train_cap=_SEM_TRAIN_CAP,
+            memo_key=(sf_dir, "sem"),
+        ),
     ).select("vec_id", "cluster", "v", "norm2")
 
 

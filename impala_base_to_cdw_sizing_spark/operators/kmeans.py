@@ -104,10 +104,25 @@ def _recompute(assigned: DataFrame) -> DataFrame:
     )
 
 
+# Trained-centroid sharing (r15): one training per (application, key).
+# The unrolled 2-iteration Lloyd plan is deep, and before r15 every
+# consumer re-optimized AND re-executed the whole training chain
+# (kmeans_clusters, sim_ivf_trained, dedup_semantic and dedup_hybrid
+# each trained from scratch). The memo is the accepted _QH_MEMO /
+# _BPE_MEMO pattern: in-process only, keyed per SparkContext (the
+# localCheckpoint's lifetime), cleared by bench.py between passes and
+# isolated reps, billed to the family's first toucher in canonical
+# bench order. Returning the SAME checkpointed frame also keeps
+# _sem_assigned's plan-keyed cache shared between dedup_semantic and
+# dedup_hybrid (tests/test_cache_hygiene.py pins that sharing).
+_CENTROID_MEMO: dict[tuple, DataFrame] = {}
+
+
 def trained_centroids(
     emb: DataFrame,
     k_frame: DataFrame | None = None,
     train_cap: int | None = None,
+    memo_key: tuple | None = None,
 ) -> DataFrame:
     """Centroids after ``N_ITERS`` unrolled Lloyd iterations from the
     deterministic first-``K`` init — the trained coarse quantizer the IVF
@@ -128,7 +143,24 @@ def trained_centroids(
     ``vec_id < k`` is a subset of any cap ≥ k, and the oracle twin
     applies the identical filter, so parity is unconditional; at every
     oracle-checked sf (n ≤ 60k < cap) the sample IS the corpus and
-    results are bit-identical to the uncapped form."""
+    results are bit-identical to the uncapped form.
+
+    The returned frame is ``localCheckpoint``-ed (r15, guide §5/§3.3
+    "materialising an intermediate truncates the plan"): training runs
+    ONCE, eagerly, and every consumer's plan starts from a shallow
+    k-row ``Scan ExistingRDD`` instead of re-optimizing (and, without a
+    plan-keyed cache hit, re-executing) the unrolled Lloyd chain.
+    ``memo_key`` additionally shares the checkpointed result across the
+    family's queries within one pass (see ``_CENTROID_MEMO``)."""
+    if memo_key is not None:
+        # N_ITERS is part of the trained result's identity (tests
+        # monkeypatch it to compare iteration counts)
+        memo_key = (
+            emb.sparkSession.sparkContext.applicationId, N_ITERS, *memo_key
+        )
+        hit = _CENTROID_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
     if k_frame is None:
         init = emb.filter(F.col("vec_id") < K)
     else:
@@ -143,6 +175,9 @@ def trained_centroids(
     centroids = init.selectExpr("vec_id AS cluster", "v AS cv")
     for _ in range(N_ITERS):
         centroids = _recompute(_assign(train, centroids))
+    centroids = centroids.localCheckpoint(eager=True)
+    if memo_key is not None:
+        _CENTROID_MEMO[memo_key] = centroids
     return centroids
 
 
@@ -150,7 +185,7 @@ def q_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means after ``N_ITERS`` unrolled Lloyd iterations: cluster sizes
     and exact per-cluster inertia (micro-quantized for oracle parity)."""
     emb = _emb_norm(spark, sf_dir)
-    centroids = trained_centroids(emb)
+    centroids = trained_centroids(emb, memo_key=(sf_dir, "k8"))
     final = _assign(emb, centroids)
     with_dist = final.join(centroids, "cluster").withColumn(
         "dist2",
@@ -276,7 +311,7 @@ def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = _emb_norm(spark, sf_dir)
-    cells = _assign(emb, trained_centroids(emb))
+    cells = _assign(emb, trained_centroids(emb, memo_key=(sf_dir, "k8")))
     q = cells.filter(F.col("vec_id") < N_QUERIES).selectExpr(
         "vec_id AS q_id", "v AS qv", "norm2 AS q_norm2", "cluster AS cell_id"
     )
