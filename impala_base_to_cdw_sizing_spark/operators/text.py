@@ -2081,26 +2081,55 @@ def cc_labels_star(
         ).union(out.select(F.col("v").alias("doc_a"), F.col("u").alias("doc_b")))
 
     e = edges.localCheckpoint(eager=True)
+    spark = e.sparkSession
+    # Small-graph fast path (r15, guide §1.2/§2.4): with AQE on, EVERY
+    # tiny shuffle of EVERY star round becomes its own re-optimized
+    # query stage — dedup_hybrid planned 87 jobs at sf0.1, almost all
+    # AQE re-planning of sub-100k-row frames, and the job-scheduling
+    # overhead dominated the round's actual work. Below ~2k edges per
+    # core the runtime re-planning cannot buy anything (there is no
+    # skew or size estimate to correct at that scale), so the ROUNDS
+    # run with AQE off and a shuffle width scaled to the edge count;
+    # both confs are restored after the loop, so the final label join
+    # (and everything else on the session) still plans under AQE. The
+    # count is an O(partitions) action over the already-materialized
+    # checkpoint. At real scale n_edges exceeds the threshold and the
+    # loop is untouched.
+    n_edges = e.count()
+    small = n_edges < 2048 * spark.sparkContext.defaultParallelism
+    if small:
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        old_width = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(2, min(int(old_width), n_edges // 4096 + 2))),
+        )
     prev_digest = None
     rounds = 0
-    for _ in range(max_iters):
-        # the intermediate large-star output skips its distinct: the
-        # small-star pass only min-aggregates and joins over it, both
-        # duplicate-insensitive for the resulting edge SET, and the round
-        # ends in a distinct — one shuffle fewer per round, identical
-        # per-round edge sets (so identical digests and round counts)
-        e = _star(
-            _star(e, large=True, dedupe=False), large=False
-        ).localCheckpoint(eager=True)
-        rounds += 1
-        digest = e.agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(doc_a, doc_b))").alias("h"),
-        ).first()
-        digest = (digest["n"], digest["h"])
-        if digest == prev_digest:
-            break
-        prev_digest = digest
+    try:
+        for _ in range(max_iters):
+            # the intermediate large-star output skips its distinct: the
+            # small-star pass only min-aggregates and joins over it, both
+            # duplicate-insensitive for the resulting edge SET, and the round
+            # ends in a distinct — one shuffle fewer per round, identical
+            # per-round edge sets (so identical digests and round counts)
+            e = _star(
+                _star(e, large=True, dedupe=False), large=False
+            ).localCheckpoint(eager=True)
+            rounds += 1
+            digest = e.agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(doc_a, doc_b))").alias("h"),
+            ).first()
+            digest = (digest["n"], digest["h"])
+            if digest == prev_digest:
+                break
+            prev_digest = digest
+    finally:
+        if small:
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", old_width)
     if rounds_out is not None:
         rounds_out.append(rounds)
     star_min = e.groupBy("doc_a").agg(F.min("doc_b").alias("nbr_min"))
