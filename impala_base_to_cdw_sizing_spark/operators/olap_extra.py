@@ -52,9 +52,31 @@ FROM orders GROUP BY o_orderstatus
 
 
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE as a two-level cascade (r15, guide §2.3 "aggregate before
+    you shuffle"): Catalyst plans ``cube`` as Expand(4 grouping sets) ×
+    every input row — 4× the rows through the partial-aggregate hash —
+    but (count, exact-decimal sum) are re-aggregable, so the base
+    GROUP BY collapses the table to its ~|flag×status| cells FIRST and
+    the Expand multiplies only those few rows. Bit-identical output:
+    decimal re-summing is exact, the single double cast happens at the
+    end, ``coalesce`` restores count's non-null type, and a
+    data-NULL key contributes to exactly the same grouping-set rows
+    from the cell frame as from the raw rows (measured identical at
+    sf0.1; the same DuckDB oracle covers both). The grouping-sets twin
+    (``rel_grouping_sets``, 3 sets over orders) measured FASTER in its
+    single-pass Expand form — 0.50 vs 0.60 s — so it keeps that shape;
+    the cascade pays off when the expansion factor and input size are
+    both high."""
+    from .aggregates import DEC
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), dsum(F.col("l_quantity")).alias("sum_qty")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("_s"),
+    )
+    return cells.cube("l_returnflag", "l_linestatus").agg(
+        F.coalesce(F.sum("_n"), F.lit(0).cast("long")).alias("n"),
+        F.sum("_s").cast("double").alias("sum_qty"),
     )
 
 
