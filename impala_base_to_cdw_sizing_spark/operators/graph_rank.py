@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries_ext import register_extra
+from .smallplan import small_plan_mode
 from .text import _minhash_sql, q_dedup_minhash
 from ..sources.files import read_input
 
@@ -70,30 +71,41 @@ def pagerank_ranks(
     ranks = nodes.select(
         "doc_id", F.lit(_NANO // n_docs).cast("long").alias("rank_nano")
     )
-    for _ in range(n_iters):
-        contrib = (
-            edges.join(ranks, edges.doc_a == ranks.doc_id)
-            .join(nodes.select(F.col("doc_id").alias("src"), "outdeg"),
-                  edges.doc_a == F.col("src"))
-            .selectExpr(
-                "doc_b AS doc_id",
-                f"({_DAMP_NUM} * rank_nano) div ({_DAMP_DEN} * outdeg) AS c",
+    # Small-graph fast path (r15, guide §1.2/§2.4): the unrolled
+    # n_iters-round plan executes at the final localCheckpoint, and with
+    # AQE on every per-round shuffle becomes its own re-optimized query
+    # stage — pure re-planning overhead on sub-5k-row frames. The count
+    # materializes the cache (work round 1 would pay anyway) and gates
+    # small_plan_mode; at real scale the gate never fires.
+    n_edges = edges.count()
+    with small_plan_mode(edges.sparkSession, n_edges):
+        for _ in range(n_iters):
+            contrib = (
+                edges.join(ranks, edges.doc_a == ranks.doc_id)
+                .join(nodes.select(F.col("doc_id").alias("src"), "outdeg"),
+                      edges.doc_a == F.col("src"))
+                .selectExpr(
+                    "doc_b AS doc_id",
+                    f"({_DAMP_NUM} * rank_nano) div ({_DAMP_DEN} * outdeg) AS c",
+                )
+                .groupBy("doc_id")
+                .agg(F.sum("c").alias("in_sum"))
             )
-            .groupBy("doc_id")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        ranks = (
-            nodes.join(contrib, "doc_id", "left")
-            .selectExpr(
-                "doc_id",
-                f"CAST({base} + coalesce(in_sum, 0) AS BIGINT) AS rank_nano",
+            ranks = (
+                nodes.join(contrib, "doc_id", "left")
+                .selectExpr(
+                    "doc_id",
+                    f"CAST({base} + coalesce(in_sum, 0) AS BIGINT) AS rank_nano",
+                )
             )
+        out = nodes.join(ranks, "doc_id").select(
+            "doc_id", "rank_nano", "outdeg"
         )
-    out = nodes.join(ranks, "doc_id").select("doc_id", "rank_nano", "outdeg")
-    # materialize before releasing the cached inputs the plan references
-    # (the dedup_components pattern): a long-lived session running the
-    # full registry must not accumulate per-query storage memory
-    out = out.localCheckpoint(eager=True)
+        # materialize before releasing the cached inputs the plan
+        # references (the dedup_components pattern): a long-lived session
+        # running the full registry must not accumulate per-query storage
+        # memory. Inside the gate: this action executes the whole loop.
+        out = out.localCheckpoint(eager=True)
     edges.unpersist()
     nodes.unpersist()
     return out
@@ -133,39 +145,48 @@ def pagerank_ranks_conserving(
         f"CAST({_NANO // n_docs} + CASE WHEN doc_id = min_doc"
         f" THEN {_NANO % n_docs} ELSE 0 END AS BIGINT) AS rank_nano",
     )
-    for _ in range(n_iters):
-        contrib = (
-            edges.join(ranks, edges.doc_a == ranks.doc_id)
-            .join(nodes.select(F.col("doc_id").alias("src"), "outdeg"),
-                  edges.doc_a == F.col("src"))
-            .selectExpr(
-                "doc_b AS doc_id",
-                f"({_DAMP_NUM} * rank_nano) div ({_DAMP_DEN} * outdeg) AS c",
+    # r15: same small-graph fast path as pagerank_ranks — here each
+    # round's pre-checkpoint executes inside the gate, so every round's
+    # shuffles skip the per-stage AQE re-planning
+    n_edges = edges.count()
+    with small_plan_mode(edges.sparkSession, n_edges):
+        for _ in range(n_iters):
+            contrib = (
+                edges.join(ranks, edges.doc_a == ranks.doc_id)
+                .join(nodes.select(F.col("doc_id").alias("src"), "outdeg"),
+                      edges.doc_a == F.col("src"))
+                .selectExpr(
+                    "doc_b AS doc_id",
+                    f"({_DAMP_NUM} * rank_nano) div ({_DAMP_DEN} * outdeg) AS c",
+                )
+                .groupBy("doc_id")
+                .agg(F.sum("c").alias("in_sum"))
             )
-            .groupBy("doc_id")
-            .agg(F.sum("c").alias("in_sum"))
+            pre = nodes.join(contrib, "doc_id", "left").selectExpr(
+                "doc_id",
+                f"CAST({base} + coalesce(in_sum, 0) AS BIGINT) AS pre",
+            )
+            # materialize the round (graph_ppr's per-round hygiene): the
+            # leak aggregate AND next round's contrib both read `pre`, so
+            # without truncation the round's whole subplan is evaluated
+            # twice and the lineage compounds per iteration (measured 12 s
+            # at sf0.1 vs ~4 s for the same-shape ppr loop). One tiny
+            # N-row checkpoint per round makes leak + ranks single-eval.
+            pre = pre.localCheckpoint(eager=True)
+            leak = F.broadcast(
+                pre.agg(
+                    (F.lit(_NANO) - F.sum("pre")).cast("long").alias("leak")
+                )
+            )
+            ranks = pre.crossJoin(leak).crossJoin(min_doc).selectExpr(
+                "doc_id",
+                f"CAST(pre + leak div {n_docs} + CASE WHEN doc_id = min_doc"
+                f" THEN leak % {n_docs} ELSE 0 END AS BIGINT) AS rank_nano",
+            )
+        out = nodes.join(ranks, "doc_id").select(
+            "doc_id", "rank_nano", "outdeg"
         )
-        pre = nodes.join(contrib, "doc_id", "left").selectExpr(
-            "doc_id",
-            f"CAST({base} + coalesce(in_sum, 0) AS BIGINT) AS pre",
-        )
-        # materialize the round (graph_ppr's per-round hygiene): the
-        # leak aggregate AND next round's contrib both read `pre`, so
-        # without truncation the round's whole subplan is evaluated
-        # twice and the lineage compounds per iteration (measured 12 s
-        # at sf0.1 vs ~4 s for the same-shape ppr loop). One tiny
-        # N-row checkpoint per round makes leak + ranks single-eval.
-        pre = pre.localCheckpoint(eager=True)
-        leak = F.broadcast(
-            pre.agg((F.lit(_NANO) - F.sum("pre")).cast("long").alias("leak"))
-        )
-        ranks = pre.crossJoin(leak).crossJoin(min_doc).selectExpr(
-            "doc_id",
-            f"CAST(pre + leak div {n_docs} + CASE WHEN doc_id = min_doc"
-            f" THEN leak % {n_docs} ELSE 0 END AS BIGINT) AS rank_nano",
-        )
-    out = nodes.join(ranks, "doc_id").select("doc_id", "rank_nano", "outdeg")
-    out = out.localCheckpoint(eager=True)
+        out = out.localCheckpoint(eager=True)
     edges.unpersist()
     nodes.unpersist()
     return out
@@ -408,30 +429,34 @@ def ppr_ranks(
         f"CAST(CASE WHEN is_seed = 1 THEN {_NANO // n_seeds}"
         " ELSE 0 END AS BIGINT) AS rank_nano",
     )
-    for _ in range(n_iters):
-        contrib = (
-            edges.join(ranks, edges.doc_a == ranks.doc_id)
-            .join(nodes.select(F.col("doc_id").alias("src"), "outdeg"),
-                  edges.doc_a == F.col("src"))
-            .selectExpr(
-                "doc_b AS doc_id",
-                f"({_DAMP_NUM} * rank_nano) div ({_DAMP_DEN} * outdeg) AS c",
+    # r15: same small-graph fast path as pagerank_ranks (the unrolled
+    # plan executes at the final localCheckpoint, inside the gate)
+    n_edges = edges.count()
+    with small_plan_mode(edges.sparkSession, n_edges):
+        for _ in range(n_iters):
+            contrib = (
+                edges.join(ranks, edges.doc_a == ranks.doc_id)
+                .join(nodes.select(F.col("doc_id").alias("src"), "outdeg"),
+                      edges.doc_a == F.col("src"))
+                .selectExpr(
+                    "doc_b AS doc_id",
+                    f"({_DAMP_NUM} * rank_nano) div ({_DAMP_DEN} * outdeg) AS c",
+                )
+                .groupBy("doc_id")
+                .agg(F.sum("c").alias("in_sum"))
             )
-            .groupBy("doc_id")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        ranks = (
-            nodes.join(contrib, "doc_id", "left")
-            .selectExpr(
-                "doc_id",
-                f"CAST(CASE WHEN is_seed = 1 THEN {base} ELSE 0 END"
-                " + coalesce(in_sum, 0) AS BIGINT) AS rank_nano",
+            ranks = (
+                nodes.join(contrib, "doc_id", "left")
+                .selectExpr(
+                    "doc_id",
+                    f"CAST(CASE WHEN is_seed = 1 THEN {base} ELSE 0 END"
+                    " + coalesce(in_sum, 0) AS BIGINT) AS rank_nano",
+                )
             )
+        out = nodes.join(ranks, "doc_id").select(
+            "doc_id", "rank_nano", "outdeg", "is_seed"
         )
-    out = nodes.join(ranks, "doc_id").select(
-        "doc_id", "rank_nano", "outdeg", "is_seed"
-    )
-    out = out.localCheckpoint(eager=True)
+        out = out.localCheckpoint(eager=True)
     edges.unpersist()
     nodes.unpersist()
     return out

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries_ext import register, register_extra
+from .smallplan import small_plan_mode
 from ..sources.files import ROWS_PER_TASK_HEAVY, read_input
 
 _MOD = 1_000_000_000_000_000  # 1e15: keeps acc*31+x < 2^63
@@ -2086,28 +2087,17 @@ def cc_labels_star(
     # tiny shuffle of EVERY star round becomes its own re-optimized
     # query stage — dedup_hybrid planned 87 jobs at sf0.1, almost all
     # AQE re-planning of sub-100k-row frames, and the job-scheduling
-    # overhead dominated the round's actual work. Below ~2k edges per
-    # core the runtime re-planning cannot buy anything (there is no
-    # skew or size estimate to correct at that scale), so the ROUNDS
-    # run with AQE off and a shuffle width scaled to the edge count;
-    # both confs are restored after the loop, so the final label join
-    # (and everything else on the session) still plans under AQE. The
-    # count is an O(partitions) action over the already-materialized
+    # overhead dominated the round's actual work. small_plan_mode runs
+    # the ROUNDS with AQE off and a shuffle width scaled to the edge
+    # count; both confs are restored after the loop, so the final label
+    # join (and everything else on the session) still plans under AQE.
+    # The count is an O(partitions) action over the already-materialized
     # checkpoint. At real scale n_edges exceeds the threshold and the
     # loop is untouched.
     n_edges = e.count()
-    small = n_edges < 2048 * spark.sparkContext.defaultParallelism
-    if small:
-        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-        old_width = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(2, min(int(old_width), n_edges // 4096 + 2))),
-        )
     prev_digest = None
     rounds = 0
-    try:
+    with small_plan_mode(spark, n_edges):
         for _ in range(max_iters):
             # the intermediate large-star output skips its distinct: the
             # small-star pass only min-aggregates and joins over it, both
@@ -2126,10 +2116,6 @@ def cc_labels_star(
             if digest == prev_digest:
                 break
             prev_digest = digest
-    finally:
-        if small:
-            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
-            spark.conf.set("spark.sql.shuffle.partitions", old_width)
     if rounds_out is not None:
         rounds_out.append(rounds)
     star_min = e.groupBy("doc_a").agg(F.min("doc_b").alias("nbr_min"))
