@@ -16,6 +16,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import pytest
 from tools.gen_api_fixture import N_DOCS, make_doc  # noqa: E402
 
 GB = 1024 * 1024 * 1024
@@ -64,6 +65,7 @@ def _expected_row(i: int) -> tuple:
     )
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_spark_flatten_matches_pure_python(spark):
     from impala_base_to_cdw_sizing_spark.operators.api_flatten import (
         q_sizing_api_flatten,

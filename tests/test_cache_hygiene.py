@@ -113,6 +113,7 @@ def test_r8_segmented_and_prefixfilter_leave_no_cache_entries(spark):
     )
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_plan_keyed_caches_are_flat_across_repeat_runs(spark):
     """The dedup family's shared MinHash cache is plan-keyed: a second
     run of the same query must hit the same entry, so the cache-entry

@@ -11,6 +11,7 @@ import random
 import duckdb
 from pyspark.sql import functions as F
 
+import pytest
 from impala_base_to_cdw_sizing_spark.operators.text import (
     cc_labels_converged,
     cc_labels_star,
@@ -30,6 +31,7 @@ def _labels(df):
     return {r.doc_id: r.cluster for r in df.collect()}
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_star_collapses_long_chain(spark):
     n = 24  # diameter 24: propagation needs 24 rounds, star needs ~log
     pairs = [(i, i + 1) for i in range(n)]
@@ -80,6 +82,7 @@ def _duck_cc_oracle(pairs, node_ids):
     return {doc_id: cluster for doc_id, cluster in rows}
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_star_log_rounds_on_high_diameter_chain(spark):
     """The 100 TB long-chain case: a 65-node chain (diameter 64). Star,
     convergent propagation, and the DuckDB recursive-CTE oracle must all
@@ -111,6 +114,7 @@ def test_star_log_rounds_on_high_diameter_chain(spark):
     assert star_rounds[0] * 4 < conv_rounds[0]
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_star_equals_converged_on_random_graphs(spark):
     rng = random.Random(42)
     for trial in range(3):

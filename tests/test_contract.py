@@ -7,6 +7,7 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
 import duckdb
 
 import __spark_entry__ as ent
@@ -55,6 +56,7 @@ def test_oracle_sql_parses_in_duckdb():
             raise AssertionError(f"oracle {name} failed to plan: {e}") from e
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_cli_api_mode_unreachable_host_fails_with_named_error(tmp_path: Path):
     """API mode is a real program path since r9 (`run_api_sizing`); an
     unreachable CM host must fail fast with a one-line named error, not

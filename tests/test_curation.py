@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
 from impala_base_to_cdw_sizing_spark.operators.curation import (
     _KEEP_FRAC,
     _TARGET_LANG,
@@ -34,6 +35,7 @@ def test_semantic_dedup_finds_dups_and_keeps_cluster_minimum(spark):
             assert not r.is_dup
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_hybrid_clusters_refine_neither_signal(spark):
     """Union-graph components must be coarser-or-equal than each
     single-signal clustering: any two docs the lexical CC puts together

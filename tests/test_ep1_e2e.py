@@ -157,6 +157,7 @@ def _report_dicts(values) -> dict:
     }
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_ep1_full_program_equals_ep2_on_equivalent_data(
     spark, corpus_server, tmp_path
 ):

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from impala_base_to_cdw_sizing_spark.operators.funnels import (
     _WEEK_NS,
     q_funnel_steps,
@@ -69,6 +70,7 @@ def _ref_scd2(rows):
     return out
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_funnel_and_scd2_match_python_reference_on_random_logs(spark, tmp_path):
     rng = random.Random(20260814)
     for trial in range(4):

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
 from tests.conftest import SF_SMALL
 
 
@@ -22,6 +23,7 @@ def test_kmeans_inertia_decreases_with_iterations(spark, monkeypatch):
     assert i1 < i0  # and at least the first step actually improves
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
     """The scale-critical sink property: a partitionBy write must let a
     later filtered read prune partitions at planning time."""

@@ -11,9 +11,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
 from tests.conftest import SF_SMALL
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_stream_sketch_equals_batch_and_sliding_identity(spark, tmp_path):
     from impala_base_to_cdw_sizing_spark.operators import sketch_sets as SS
     from impala_base_to_cdw_sizing_spark.sources.files import load_events

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
 from impala_base_to_cdw_sizing_spark.operators.similarity import (
     N_QUERIES,
     _banded_spark,
@@ -29,6 +30,7 @@ def _candidate_pairs(spark, probes, capped) -> int:
     )
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_multiprobe_improves_recall_within_2x_candidates(spark):
     plain = q_lsh_recall(spark, SF_SMALL).first()
     mp = q_lsh_mp_recall(spark, SF_SMALL).first()

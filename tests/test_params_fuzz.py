@@ -22,6 +22,7 @@ import pandas as pd
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
+import pytest
 from impala_base_to_cdw_sizing_spark.config import SizingParams
 from impala_base_to_cdw_sizing_spark.operators.aggregates import (
     summarize,
@@ -117,6 +118,7 @@ def _assert_frames_equal(tag: str, got: pd.DataFrame, want: pd.DataFrame):
         assert not bad, f"{tag} col {c}: first mismatch {bad[0]}"
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_param_injected_oracles_agree_on_fuzzed_params(spark):
     global _SPARK
     _SPARK = spark

@@ -9,6 +9,7 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import pytest
 from impala_base_to_cdw_sizing_spark.operators.olap_extra import (
     _ABC_BUCKET_CENTS,
     pareto_classes,
@@ -27,6 +28,7 @@ _revs = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(_revs)
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_segmented_cumshare_equals_sequential(spark, revs):
     rows = [(i, int(v)) for i, v in enumerate(revs)]
     df = spark.createDataFrame(rows, "o_custkey LONG, rev LONG")

@@ -33,6 +33,7 @@ def _audits(spark):
     return out
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_no_row_udfs_or_cartesians_anywhere(spark):
     audits = _audits(spark)
     assert len(audits) >= 45
@@ -81,6 +82,7 @@ def test_extra_tier_has_no_row_udfs_or_cartesians(spark):
     assert arrow_users <= {"agg_grouped_median"}, arrow_users
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_flagship_narrow_plans_stay_shuffle_free(spark):
     from pyspark.sql import functions as F  # noqa: F401
 

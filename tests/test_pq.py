@@ -10,6 +10,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import pytest
 from tests.conftest import SF_ORACLE, SF_SMALL  # noqa: E402
 
 from impala_base_to_cdw_sizing_spark.operators.pq import (  # noqa: E402
@@ -61,6 +62,7 @@ def test_training_strictly_reduces_distortion_everywhere(spark):
         assert r.d_trained_micro < r.d_seed_micro, r
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_multiprobe_dominates_single_probe_within_budget(spark):
     """r5 verdict #4 done-bar: the multi-probe refined search must be
     at least as good as the single-probe refined search on BOTH fixture

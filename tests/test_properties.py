@@ -9,6 +9,7 @@ import math
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
+import pytest
 from impala_base_to_cdw_sizing_spark.operators.classify import tsize_expr
 from impala_base_to_cdw_sizing_spark.schemas import SIZE_BUCKET_ROWS
 
@@ -57,6 +58,7 @@ def test_tsize_expr_matches_python_model(spark):
     check()
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_sweep_concurrency_property(spark):
     """Max concurrency from the engine sweep equals brute-force interval
     overlap on hypothesis-generated intervals."""

@@ -6,6 +6,7 @@ import csv
 import subprocess
 import sys
 from pathlib import Path
+import pytest
 
 ROWS = [
     # query_id, pool, start_time, end_time, duration_millis, reqd_cache_gb,
@@ -26,6 +27,7 @@ HEADER = [
 ]
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_replay_cli_end_to_end(tmp_path: Path):
     input_csv = tmp_path / "history.csv"
     with input_csv.open("w", newline="") as f:

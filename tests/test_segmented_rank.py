@@ -84,6 +84,7 @@ def test_ntile_closed_form_matches_spark_ntile(spark):
         assert sorted(got.collect()) == sorted(expected.collect()), (n, k)
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_segmented_rank_fuzz_random_values_and_quantizations(spark):
     """Property: for ARBITRARY integer values and ANY monotone coarse
     quantization (value DIV span), segmented rank == the global

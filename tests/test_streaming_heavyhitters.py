@@ -9,6 +9,7 @@ import collections
 
 from pyspark.sql import types as T
 
+import pytest
 from impala_base_to_cdw_sizing_spark.streaming.heavyhitters import (
     heavyhitters_stream,
     spacesaving_fold,
@@ -183,6 +184,7 @@ def test_summary_state_survives_checkpoint_restart(spark, tmp_path):
     assert got == sorted(expect)
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_global_topk_merged_view_guarantees(spark, tmp_path):
     """r5 verdict #5: the merged view over the per-shard summaries must
     (a) be the union-selection of the shard summaries ranked globally,

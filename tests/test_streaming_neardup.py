@@ -12,6 +12,7 @@ from impala_base_to_cdw_sizing_spark.streaming.neardup_stream import (
     neardup_candidates_stream,
 )
 from tests.conftest import SF_SMALL
+import pytest
 
 CAP = 8
 BANDED_SCHEMA = "doc_id long, arrival long, band_id long, band_key long"
@@ -69,6 +70,7 @@ def test_stream_equals_batch_across_microbatches(spark, tmp_path):
     banded.unpersist()
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_ttl_evicts_cold_buckets(spark, tmp_path):
     """Event-time TTL: batch 1 fills a bucket, batch 2 arrives far past
     the horizon — the bucket's state must be gone, so the late doc emits

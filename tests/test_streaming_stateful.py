@@ -16,6 +16,7 @@ from impala_base_to_cdw_sizing_spark.streaming.stateful import (
 )
 
 from tests.conftest import SF_SMALL
+import pytest
 
 SCHEMA = T.StructType(
     [
@@ -27,6 +28,7 @@ SCHEMA = T.StructType(
 )
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_stateful_concurrency_final_state(spark, tmp_path):
     qh = query_history_from_events(spark, SF_SMALL)
     res = run_sizing(qh, DEFAULT_PARAMS)

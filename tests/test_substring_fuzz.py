@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from impala_base_to_cdw_sizing_spark.operators.text import (
     _SUBSTR_W,
     substring_signals,
@@ -42,6 +43,7 @@ def _ref(docs: dict[int, str]):
     return out
 
 
+@pytest.mark.slow  # re-tiered r15: driver gate = fast tier; this test's coverage stays in the release gate (pytest -m "")
 def test_substring_matches_reference_on_random_corpora(spark):
     rng = random.Random(20260814)
     saw_sharing = False
