@@ -9,13 +9,20 @@ from pyspark.sql import functions as F
 
 from .aggregates import dsum, dsum_sql
 from .queries_ext import register, register_extra
-from ..sources.files import read_input
+from ..sources.files import ROWS_PER_TASK_COLLAPSING, read_input
 
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_input(spark, sf_dir, name)
+
+
+def _t_collapsing(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Reader for collapsing-aggregate consumers: the pipeline head is a
+    partial aggregate that collapses rows before any exchange, so the
+    scan is never fanned (see ``ROWS_PER_TASK_COLLAPSING``)."""
+    return read_input(spark, sf_dir, name, ROWS_PER_TASK_COLLAPSING)
 
 
 # --- pivot (G5's generic form) --------------------------------------------------
@@ -69,7 +76,9 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     both high."""
     from .aggregates import DEC
 
-    li = _t(spark, sf_dir, "lineitem")
+    # r15: collapsing consumer — the cell pre-agg IS the collapse, so
+    # the scan is read unfanned (fan measured 0.97 vs 0.46 s unfanned)
+    li = _t_collapsing(spark, sf_dir, "lineitem")
     cells = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("_n"),
         F.sum(F.col("l_quantity").cast(DEC)).alias("_s"),
@@ -203,12 +212,19 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-column scan) and cross-joining the 1-row results measured
     22.8 s → 4.4 s at sf0.1 — and at 100 TB the Expand would have tripled
     shuffle volume, so the split is the scale plan, not a micro-opt."""
+    # r15: the two COUNT DISTINCT subtrees are collapsing consumers —
+    # their partial-distinct stage collapses raw rows before the first
+    # exchange, so the fan-out exchange only moved 600 k raw keys the
+    # partial agg was about to fold (measured 2.0 → 1.1 s per agg).
+    # The exact-percentile agg keeps the fanned read: it buffers every
+    # value (heavy per row), and fan measurably helps it (1.9 vs 2.3).
+    li_keys = _t_collapsing(spark, sf_dir, "lineitem")
     li = _t(spark, sf_dir, "lineitem")
-    parts = li.agg(
+    parts = li_keys.agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey", 0.02).alias("_approx_parts"),
     )
-    orders = li.agg(
+    orders = li_keys.agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("_approx_orders"),
     )
@@ -1045,7 +1061,10 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     output one row per type."""
     from ..sources.files import load_events
 
-    e = load_events(spark, sf_dir).selectExpr(
+    # r15: collapsing consumer — both windows' counts() collapse to the
+    # tiny #types x #bins grid at their first partial agg, so the scan
+    # is read unfanned (measured 0.78 -> 0.54 s at sf0.1)
+    e = load_events(spark, sf_dir, ROWS_PER_TASK_COLLAPSING).selectExpr(
         "event_type",
         "ts",
         f"least({_PSI_BINS - 1}, greatest(0,"
@@ -1486,7 +1505,11 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cum·100 ≤ total·80), zero global windows. Output: 3-row class
     summary with exact revenue and one display-division share."""
     rev = (
-        _t(spark, sf_dir, "orders")
+        # r15: collapsing consumer — the per-customer partial agg folds
+        # 10x before the first exchange, so the scan is read unfanned
+        # (measured: gini 0.98->0.60, pareto 1.39->0.92, lorenz
+        # 1.71->1.17 s at sf0.1)
+        _t_collapsing(spark, sf_dir, "orders")
         .selectExpr("o_custkey", f"{_ABC_CENTS} AS cents")
         .groupBy("o_custkey")
         .agg(F.sum("cents").cast("long").alias("rev"))
@@ -1584,7 +1607,11 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .segmented import segmented_row_number
 
     rev = (
-        _t(spark, sf_dir, "orders")
+        # r15: collapsing consumer — the per-customer partial agg folds
+        # 10x before the first exchange, so the scan is read unfanned
+        # (measured: gini 0.98->0.60, pareto 1.39->0.92, lorenz
+        # 1.71->1.17 s at sf0.1)
+        _t_collapsing(spark, sf_dir, "orders")
         .selectExpr("o_custkey", f"{_ABC_CENTS} AS cents")
         .groupBy("o_custkey")
         .agg(F.sum("cents").cast("long").alias("rev"))
@@ -1648,7 +1675,11 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .segmented import ntile_expr, segmented_row_number
 
     rev = (
-        _t(spark, sf_dir, "orders")
+        # r15: collapsing consumer — the per-customer partial agg folds
+        # 10x before the first exchange, so the scan is read unfanned
+        # (measured: gini 0.98->0.60, pareto 1.39->0.92, lorenz
+        # 1.71->1.17 s at sf0.1)
+        _t_collapsing(spark, sf_dir, "orders")
         .selectExpr("o_custkey", f"{_ABC_CENTS} AS cents")
         .groupBy("o_custkey")
         .agg(F.sum("cents").cast("long").alias("rev"))

@@ -468,7 +468,12 @@ SELECT
 
 
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
+    # r15: collapsing consumer — the rollup's partial agg collapses to
+    # a handful of status x priority cells before the first exchange,
+    # so the scan is read unfanned (measured 0.71 -> 0.59 s at sf0.1)
+    from ..sources.files import ROWS_PER_TASK_COLLAPSING
+
+    orders = read_input(spark, sf_dir, "orders", ROWS_PER_TASK_COLLAPSING)
     return (
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count("*").alias("n"), dsum(F.col("o_totalprice")).alias("sum_total"))

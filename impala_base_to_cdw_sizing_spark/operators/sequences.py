@@ -37,7 +37,14 @@ from ..sources.files import load_events
 
 
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    # r15: the pipeline head is the w_seq window's partitionBy shuffle —
+    # a fan exchange before it only adds a second shuffle of the same
+    # raw rows, so the scan is read unfanned (0.78 -> 0.60 s at sf0.1)
+    from ..sources.files import ROWS_PER_TASK_COLLAPSING
+
+    ev = load_events(spark, sf_dir, ROWS_PER_TASK_COLLAPSING).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
     w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     steps = (
         ev.withColumn("dst", F.lead("event_type").over(w_seq))

@@ -44,6 +44,19 @@ _FANOUT_MIN_ROWS = 2000
 #           events -> 6, a 15 k-row dim -> untouched).
 ROWS_PER_TASK_HEAVY = 64
 ROWS_PER_TASK_LIGHT = 16 * 1024
+# collapsing consumers (r15): queries whose pipeline head is itself a
+# collapsing partial aggregate (CUBE cell pre-agg, COUNT DISTINCT,
+# few-group GROUP BY) or a wide shuffle (a window's partitionBy) do all
+# their real work AT or AFTER their first exchange — the chain above
+# the scan is a trivial projection, so a fan-out exchange only moves
+# raw rows the very next operator would have collapsed or reshuffled
+# anyway (guide §2.3: aggregate before you shuffle). The sentinel makes
+# `rows // rows_per_task` zero for any input, i.e. never fan. Measured
+# at sf0.1 (min-of-4, warm): rel_cube 0.97→0.46, rel_approx_distinct's
+# distinct aggs 2.0→1.1 each, rel_gini 0.98→0.60, rel_drift_psi
+# 0.78→0.54, rel_markov_transitions 0.78→0.60; rel_grouping_sets keeps
+# its fan (Expand ×3 per raw row measurably benefits: 0.52 vs 0.58).
+ROWS_PER_TASK_COLLAPSING = 1 << 62
 
 
 def _scan_fanout(path: str, cpus: int,
@@ -131,7 +144,11 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     return read_input(spark, sf_dir, name)
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_events(
+    spark: SparkSession,
+    sf_dir: str,
+    rows_per_task: int = ROWS_PER_TASK_LIGHT,
+) -> DataFrame:
     """Read the ``events`` table with ``ts`` normalized to epoch-NANOS
     BIGINT, whatever the parquet physical type is.
 
@@ -145,7 +162,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity mapping DuckDB's naive-as-UTC ``epoch_ns`` applies.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = read_input(spark, sf_dir, "events")
+    e = read_input(spark, sf_dir, "events", rows_per_task)
     ts_type = dict(e.dtypes).get("ts")
     if ts_type in ("timestamp", "timestamp_ntz"):
         e = e.withColumn(
